@@ -1,0 +1,133 @@
+"""Distributed OSM-XML extraction over the `pages` table.
+
+Spark-first shape (reference: the single-threaded loops at
+changesetmd.py:105-166 and osmh.py:410-535 become one partition-parallel
+stage): `pages` scan (url predicate pushed to parquet) → `mapInPandas`
+Arrow-batched parse → typed output tables. No per-row Python UDFs — Python
+runs once per Arrow batch; inside a batch the XML parse itself is C-backed
+(ElementTree's C accelerator) with `elem.clear()` streaming discipline.
+
+The per-url extraction semantics are pinned by `insights_spark.ref_parser`
+(byte-identical `text` invariant from BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from . import ref_parser
+from .schemas import CHANGESET_COMMENTS, CHANGESETS, ELEMENT_HISTORY
+
+EXTRACTED_TEXT = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("extracted_text", StringType(), True),
+    ]
+)
+
+_PRE_OPEN = b"<pre>"
+_PRE_CLOSE = b"</pre>"
+
+
+def payload_of(html: bytes) -> bytes:
+    """Strip the HTML boilerplate: the OSM XML payload lives in <pre>…</pre>."""
+    start = html.find(_PRE_OPEN)
+    end = html.rfind(_PRE_CLOSE)
+    if start == -1 or end == -1:
+        return b""
+    return html[start + len(_PRE_OPEN) : end]
+
+
+def _batch_extract(pdf: pd.DataFrame) -> list[dict]:
+    """Parse one Arrow batch; malformed payloads are skipped, never fatal.
+
+    At web scale some fraction of pages is always garbage — a single bad
+    payload must not kill the job (the reference had the same posture: its
+    loaders skip what they can't parse). Skipped urls surface through
+    lineage row-count deltas (rows_in vs rows_out), not exceptions.
+    """
+    import xml.etree.ElementTree as ET
+
+    out = []
+    for url, html in zip(pdf["url"], pdf["html"]):
+        payload = payload_of(bytes(html))
+        if not payload:
+            continue
+        try:
+            out.append((url, ref_parser.extract_page(url, payload)))
+        except ET.ParseError:
+            continue
+    return out
+
+
+def extract_changesets(pages: DataFrame) -> DataFrame:
+    """pages → changesets rows (reference table osm_changeset, queries.py:6-20)."""
+    src = pages.filter(F.col("url").contains("/changeset-dump/")).select("url", "html")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CHANGESETS.fields]
+        for pdf in batches:
+            rows = []
+            for _url, rec in _batch_extract(pdf):
+                rows.extend(rec["changesets"])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, CHANGESETS)
+
+
+def extract_comments(pages: DataFrame) -> DataFrame:
+    """pages → changeset discussion comments (queries.py:21-27)."""
+    src = pages.filter(F.col("url").contains("/changeset-dump/")).select("url", "html")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CHANGESET_COMMENTS.fields]
+        for pdf in batches:
+            rows = []
+            for _url, rec in _batch_extract(pdf):
+                rows.extend(rec["comments"])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, CHANGESET_COMMENTS)
+
+
+def extract_elements(pages: DataFrame) -> DataFrame:
+    """pages → element_history rows (queries.py:34-51) with the derived-action
+    rules of osmh.py:448-461 / .osc wrapper actions of osmh.py:324-380."""
+    src = pages.filter(
+        F.col("url").contains("/element-history/") | F.col("url").contains("/osc-diff/")
+    ).select("url", "html")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ELEMENT_HISTORY.fields]
+        for pdf in batches:
+            rows = []
+            for _url, rec in _batch_extract(pdf):
+                for r in rec["elements"]:
+                    r = dict(r)
+                    r["members"] = [
+                        (m["ref"], m["type"], m["role"]) for m in r["members"]
+                    ]
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, ELEMENT_HISTORY)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """pages → (url, extracted_text): the byte-identical per-url invariant."""
+    src = pages.select("url", "html")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"url": url, "extracted_text": rec["text"]}
+                for url, rec in _batch_extract(pdf)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "extracted_text"])
+
+    return src.mapInPandas(gen, EXTRACTED_TEXT)
