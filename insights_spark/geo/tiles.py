@@ -1,0 +1,102 @@
+"""Slippy-map z/x/y tile assignment and edit-density rollups.
+
+North-rule operator with no reference counterpart (SURVEY §2.11): raster
+tile rollups of edit density. Implemented as PURE Spark column expressions
+— whole-stage-codegen'd JVM math, zero Python in the hot path, and exactly
+reproducible in ANSI SQL (the DuckDB oracle uses the same ln-form formula).
+
+Standard web-mercator tiling:
+    x = floor((lon + 180) / 360 * 2^z)
+    y = floor((1 - ln(tan(φ) + 1/cos(φ)) / π) / 2 * 2^z)
+with φ clamped to ±85.05112878° (mercator validity), both clamped to
+[0, 2^z - 1]. Out-of-range latitudes (the reference warns about lat
+outside ±90, README.md:78) are clamped rather than dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_MERC_LAT = 85.05112878
+
+
+def tile_x(lon: Column, z: int) -> Column:
+    n = F.lit(float(2 ** z))
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    return F.greatest(F.lit(0), F.least(x, F.lit(2 ** z - 1))).cast("int")
+
+
+def tile_y(lat: Column, z: int) -> Column:
+    n = F.lit(float(2 ** z))
+    clamped = F.greatest(F.lit(-MAX_MERC_LAT), F.least(lat, F.lit(MAX_MERC_LAT)))
+    rad = F.radians(clamped)
+    # ln-form of asinh(tan(rad)) — identical expression on the SQL-oracle side
+    y = F.floor(
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(3.141592653589793))
+        / F.lit(2.0)
+        * n
+    )
+    return F.greatest(F.lit(0), F.least(y, F.lit(2 ** z - 1))).cast("int")
+
+
+def with_tile(df: DataFrame, z: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    return (
+        df.withColumn("z", F.lit(z))
+        .withColumn("x", tile_x(F.col(lon_col), z))
+        .withColumn("y", tile_y(F.col(lat_col), z))
+    )
+
+
+def density_rollup(
+    df: DataFrame,
+    z: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Edit-density per tile: groupBy(z,x,y) count (or weighted sum).
+
+    One shuffle on (x, y); at scale the tile key space is dense and uniform
+    at z ≥ 6, so no salting is needed — skew lives in the *cell* domain
+    (hot H3 cells), which the stats stage salts instead.
+    """
+    t = with_tile(df.filter(F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()), z,
+                  lon_col, lat_col)
+    agg = (
+        F.sum(weight_col).alias("density")
+        if weight_col
+        else F.count(F.lit(1)).alias("density")
+    )
+    return t.groupBy("z", "x", "y").agg(agg)
+
+
+def tile_pyramid(df: DataFrame, zooms: list[int], lon_col: str = "lon",
+                 lat_col: str = "lat") -> DataFrame:
+    """Multi-zoom pyramid: per-z rollups unioned; base computed once.
+
+    The base-z rollup is aggregated first, then coarser zooms derive from it
+    by integer-halving tile coordinates — each level aggregates the previous
+    one instead of rescanning the fact table (log-depth rollup, the Spark
+    answer to the reference's per-period loop pattern, hashtags.py:162-349).
+    """
+    zooms = sorted(set(zooms), reverse=True)
+    base_z = zooms[0]
+    base = density_rollup(df, base_z, lon_col, lat_col)
+    out = base
+    prev, prev_z = base, base_z
+    for z in zooms[1:]:
+        shift = 2 ** (prev_z - z)
+        lvl = (
+            prev.select(
+                F.lit(z).alias("z"),
+                (F.col("x") / F.lit(shift)).cast("int").alias("x"),
+                (F.col("y") / F.lit(shift)).cast("int").alias("y"),
+                F.col("density"),
+            )
+            .groupBy("z", "x", "y")
+            .agg(F.sum("density").alias("density"))
+        )
+        out = out.unionByName(lvl)
+        prev, prev_z = lvl, z
+    return out

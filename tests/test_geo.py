@@ -1,0 +1,186 @@
+"""Geo kernel tests (SURVEY §5 item 4): PIP vs brute force + known points,
+tiles vs pure-Python slippy math, S2/hex properties, kNN cell-local vs
+brute force, geodesic length vs known arcs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from insights_spark import synth
+from insights_spark.geo import cells, knn, length, pip, tiles
+
+
+# ---------------------------------------------------------------- PIP
+
+def test_pip_known_points_and_tiebreak(spark):
+    rows = synth.gen_boundaries()
+    df = spark.createDataFrame(
+        [(1, 36.0, 0.0), (2, 40.0, 5.0), (3, 121.0, 7.0), (4, 179.5, -17.0),
+         (5, -179.0, -17.0), (6, -55.0, -8.0), (7, 37.0, 0.0), (8, 0.0, 50.0),
+         (9, None, None)],
+        "id long, lon double, lat double",
+    )
+    got = {r["id"]: r["country"] for r in pip.assign_country(df, rows).collect()}
+    assert got == {1: "Kenya", 2: "Somalia", 3: "Philippines", 4: "Fiji",
+                   5: "Fiji", 6: "Triland", 7: "Kenya", 8: None, 9: None}
+
+
+def test_pip_agrees_with_bruteforce_random(spark):
+    """Pruned kernel == brute force (every polygon tested) on random points."""
+    rows = synth.gen_boundaries()
+    idx = pip.PolygonIndex(rows)
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = rng.uniform(-90, 90, 3000)
+    fast = idx.locate(lon, lat)
+    brute = np.full(lon.shape, None, dtype=object)
+    for i in range(len(lon)):
+        for e in range(len(idx.names)):
+            if idx.covers(lon[i : i + 1], lat[i : i + 1], e)[0]:
+                brute[i] = idx.names[e]
+                break
+    assert (fast == brute).all()
+    assert sum(x is not None for x in fast) > 0
+
+
+def test_pip_country_enrichment_on_extracted_nodes(spark, pages):
+    from insights_spark import extract
+
+    nodes = extract.extract_elements(pages).filter(
+        (F.col("type") == "node") & F.col("lat").isNotNull()
+    )
+    enriched = pip.assign_country(nodes, synth.gen_boundaries())
+    per = {r["country"]: r["n"] for r in
+           enriched.groupBy("country").agg(F.count("*").alias("n")).collect()}
+    # hot box is inside Kenya — ~30% of nodes land there
+    assert per.get("Kenya", 0) > 0
+
+
+# ---------------------------------------------------------------- cells
+
+def test_s2_hierarchy_and_determinism():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    c12 = cells.s2_cell_id(lon, lat, 12)
+    c10 = cells.s2_cell_id(lon, lat, 10)
+    p = cells.s2_parent(cells.s2_parent(c12))
+    assert np.array_equal(p, c10)
+    assert np.array_equal(cells.s2_cell_id(lon, lat, 12), c12)
+    faces = sorted(set((c12.view(np.uint64) >> np.uint64(61)).astype(int)))
+    assert faces == [0, 1, 2, 3, 4, 5]
+
+
+def test_with_cells_spark(spark):
+    df = spark.createDataFrame(
+        [(1, 36.8, -1.28), (2, 36.800001, -1.280001), (3, -74.0, 40.7), (4, None, None)],
+        "id long, lon double, lat double",
+    )
+    out = {r["id"]: (r["s2_l12"], r["h3_r8"]) for r in cells.with_cells(df).collect()}
+    assert out[1][0] == out[2][0] and out[1][1] == out[2][1]  # near points share
+    assert out[1][0] != out[3][0]
+    assert out[4] == (None, None)
+    # matches the driver-side kernel exactly
+    assert out[1][0] == int(cells.s2_cell_id(np.array([36.8]), np.array([-1.28]), 12)[0])
+    assert out[1][1] == int(cells.hex_cell_id(np.array([36.8]), np.array([-1.28]), 8)[0])
+
+
+# ---------------------------------------------------------------- tiles
+
+def _ref_tile(lon, lat, z):
+    """Pure-Python slippy-map reference math (osm wiki formula)."""
+    lat = max(-tiles.MAX_MERC_LAT, min(lat, tiles.MAX_MERC_LAT))
+    n = 2 ** z
+    x = int((lon + 180.0) / 360.0 * n)
+    r = math.radians(lat)
+    y = int((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.pi) / 2.0 * n)
+    return max(0, min(x, n - 1)), max(0, min(y, n - 1))
+
+
+def test_tile_assignment_matches_reference_math(spark):
+    pts = [(i, -180.0 + i * 7.37, -85.0 + (i * 3.1) % 170) for i in range(48)]
+    pts += [(100, 0.0, 0.0), (101, -180.0, 85.05112878), (102, 179.999, -89.9),
+            (103, 10.0, 95.0)]  # out-of-range lat clamps
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    for z in (6, 8, 12):
+        got = {r["id"]: (r["x"], r["y"]) for r in tiles.with_tile(df, z).collect()}
+        for pid, lon, lat in pts:
+            assert got[pid] == _ref_tile(lon, lat, z), (pid, z)
+
+
+def test_tile_pyramid_sums_preserved(spark):
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(a), float(b)) for i, (a, b) in
+           enumerate(zip(rng.uniform(-170, 170, 400), rng.uniform(-80, 80, 400)))]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    pyr = tiles.tile_pyramid(df, [4, 6, 8]).collect()
+    by_z = {}
+    for r in pyr:
+        by_z[r["z"]] = by_z.get(r["z"], 0) + r["density"]
+    assert by_z[4] == by_z[6] == by_z[8] == 400
+
+
+# ---------------------------------------------------------------- kNN
+
+def test_knn_exact_vs_cell_local(spark):
+    rng = np.random.default_rng(5)
+    # clustered points so k-ring locality holds (res 6 cells ~ 0.2 deg)
+    centers = [(36.8, -1.28), (36.9, -1.3), (36.85, -1.2)]
+    pts = []
+    i = 0
+    for cx, cy in centers:
+        for _ in range(40):
+            pts.append((i, cx + rng.normal(0, 0.01), cy + rng.normal(0, 0.01)))
+            i += 1
+    df = spark.createDataFrame(
+        [(int(a), float(b), float(c)) for a, b, c in pts],
+        "id long, lon double, lat double",
+    )
+    exact = {(r["id"], r["rank"]): r["neighbor_id"]
+             for r in knn.knn_exact(df, k=3).collect()}
+    local = {(r["id"], r["rank"]): r["neighbor_id"]
+             for r in knn.knn_cell_local(df, k=3, res=6, rings=1).collect()}
+    assert exact == local
+
+
+def test_knn_deterministic_ties(spark):
+    # four corners equidistant from center: ties broken by neighbor_id asc
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, -1.0, 0.0), (3, 0.0, 1.0), (4, 0.0, -1.0)],
+        "id long, lon double, lat double",
+    )
+    rows = [r for r in knn.knn_exact(df, k=4).collect() if r["id"] == 0]
+    assert [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------- length
+
+def test_way_length_and_construct_geometry(spark):
+    from datetime import datetime
+
+    T = datetime(2021, 8, 5)
+    T2 = datetime(2021, 8, 6)
+    nodes = spark.createDataFrame(
+        [
+            (1, "node", 1, T, 0.0, 0.0),
+            (1, "node", 2, T2, 0.5, 0.5),   # after way ts → ignored (as-of)
+            (2, "node", 1, T, 0.0, 1.0),
+            (3, "node", 1, T, 0.0, 2.0),
+        ],
+        "id long, type string, version long, timestamp timestamp_ntz, lat double, lon double",
+    )
+    ways = spark.createDataFrame(
+        [(10, "way", 1, datetime(2021, 8, 5, 12), [1, 2, 3])],
+        "id long, type string, version long, timestamp timestamp_ntz, nds array<long>",
+    )
+    out = length.way_length_m(ways, nodes).collect()
+    assert len(out) == 1
+    # two 1-degree lon segments at equator = 2 * 111319.49 m
+    assert abs(out[0]["length_m"] - 2 * 111319.4907932264) < 0.01
+
+    geom = length.construct_way_geometry(ways, nodes).collect()[0]
+    assert [list(c) for c in geom["coords"]] == [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]
