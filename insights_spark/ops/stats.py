@@ -1,0 +1,134 @@
+"""Per-changeset conditional-aggregate battery — `all_changesets_stats`.
+
+Reference semantics (changesetStats.py:59-108, SURVEY §2.4 A1/A2): over
+non-delete element-history rows, GROUP BY changeset with ten conditional
+counters plus two geodesic-length sums. The reference drives this as a
+Python loop over 50,000-id chunks issuing one INSERT..SELECT each (and has
+an off-by-one in the 10k repair pass); the engine computes it as ONE
+shuffle — partial aggregation map-side, AQE handles skewed changesets, and
+the optional `salt` two-level aggregation covers mega-changesets explicitly.
+
+Null semantics match Postgres: a predicate over a missing tag value is
+NULL, `(NULL)::int` is NULL, and SUM skips NULLs — Spark's three-valued
+logic and null-skipping SUM behave identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..geo.length import way_length_m
+from .tags import tag_exists, tag_get
+
+# exact 7-value place list (reference changesetStats.py:87-92)
+PLACE_VALUES = (
+    "isolated_dwelling", "hamlet", "village", "neighbourhood",
+    "suburb", "town", "city",
+)
+
+
+def _cnt(pred: Column) -> Column:
+    return F.sum(pred.cast("int"))
+
+
+def changeset_stats(elements: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """elements (element_history rows) → one stats row per changeset.
+
+    `salt_buckets` > 0 enables two-level aggregation: partial agg on
+    (changeset, salt) then final agg on changeset — the explicit skew
+    treatment for mega-changesets (SURVEY §4 X10). With 0 the single
+    groupBy relies on map-side partial agg + AQE, which is correct and
+    usually enough.
+    """
+    e = elements.filter(F.col("action") != "delete")
+    t = F.col("tags")
+    ty = F.col("type")
+    act = F.col("action")
+
+    building = tag_exists(t, "building")
+    amenity = tag_exists(t, "amenity")
+    highway = tag_exists(t, "highway")
+    place_in = tag_get(t, "place").isin(*PLACE_VALUES)
+    way_rel = ty.isin("way", "relation")
+    way_node = ty.isin("way", "node")
+
+    preds = {
+        "added_buildings": building & way_rel & (act == "create"),
+        "modified_buildings": building & way_rel & (act == "modify"),
+        "added_amenity": amenity & way_node & (act == "create"),
+        "modified_amenity": amenity & way_node & (act == "modify"),
+        "added_highway": highway & (act == "create"),
+        "modified_highway": highway & (act == "modify"),
+        "added_places": place_in & way_node & (act == "create"),
+        "modified_places": place_in & way_node & (act == "modify"),
+    }
+    aggs = [_cnt(p).alias(name) for name, p in preds.items()]
+
+    if salt_buckets > 0:
+        salted = e.withColumn(
+            "_salt", F.pmod(F.hash("id", "version", "type"), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy("changeset", "_salt").agg(*aggs)
+        counts = partial.groupBy("changeset").agg(
+            *[F.sum(name).alias(name) for name in preds]
+        )
+    else:
+        counts = e.groupBy("changeset").agg(*aggs)
+    return counts
+
+
+def changeset_stats_with_meters(
+    elements: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
+    """Full battery incl. added/modified_highway_meters (A2).
+
+    The geodesic CASE-sum over ``construct_geometry`` becomes: reconstruct
+    highway way/relation geometries once (way_length_m — one node-history
+    join), then join lengths back by (id, version) and sum per changeset.
+    The reference recomputed the geometry per chunk per run; here the
+    length table is a reusable intermediate.
+    """
+    counts = changeset_stats(elements, salt_buckets)
+
+    hw = elements.filter(
+        (F.col("action") != "delete")
+        & tag_exists(F.col("tags"), "highway")
+        & F.col("type").isin("way", "relation")
+    )
+    nodes = elements.filter(F.col("type") == "node")
+    lengths = way_length_m(
+        hw.select("id", "type", "version", "timestamp", "nds"), nodes
+    )
+    meters = (
+        hw.join(
+            lengths,
+            (hw["id"] == lengths["way_id"]) & (hw["version"] == lengths["way_version"]),
+            "left",
+        )
+        .groupBy("changeset")
+        .agg(
+            F.sum(
+                F.when(F.col("action") == "create", F.coalesce("length_m", F.lit(0.0)))
+                .otherwise(0.0)
+            ).alias("added_highway_meters"),
+            F.sum(
+                F.when(F.col("action") == "modify", F.coalesce("length_m", F.lit(0.0)))
+                .otherwise(0.0)
+            ).alias("modified_highway_meters"),
+        )
+    )
+    return counts.join(meters, "changeset", "left").na.fill(
+        {"added_highway_meters": 0.0, "modified_highway_meters": 0.0}
+    )
+
+
+def missed_changesets(elements: DataFrame, stats: DataFrame) -> DataFrame:
+    """J3 — repair anti-join (reference changesetStats.py:221-243):
+    distinct element changesets LEFT JOIN stats, keep those with no stats
+    row. The reference then loops one INSERT per missed id
+    (changesetStats.py:246-290); the engine recomputes the whole missed
+    set in one set-based pass, which the reference's own comment wishes
+    for (changesetStats.py:287)."""
+    recent = elements.select("changeset").distinct()
+    return recent.join(stats.select("changeset"), "changeset", "left_anti")

@@ -1,0 +1,287 @@
+"""Operator pack unit tests (SURVEY §5 items 1 and 6) — hand-computed
+expectations on small DataFrames, calendar-bucketing goldens."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from insights_spark.ops import country, hashtags, latest, propagate, stats, tags, users
+
+T = datetime(2021, 8, 5, 10, 0, 0)
+
+
+# ------------------------------------------------------------------ tags
+
+def test_tag_exists_vs_isnotnull_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, {"building": "yes"}), (2, {"building": None}), (3, {"x": "1"}), (4, None)],
+        "id long, tags map<string,string>",
+    )
+    got = {r["id"]: r["e"] for r in
+           df.select("id", tags.tag_exists(F.col("tags"), "building").alias("e")).collect()}
+    # P1: present-with-null-value must still be TRUE — the isNotNull rewrite is wrong
+    assert got[1] is True and got[2] is True and got[3] is False
+    assert got[4] is None  # null map → null, never counted
+
+
+def test_hashtag_vocabulary_two_delimiter_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, {"hashtags": "#a;#b.c", "comment": "mapping #d.e in town @#f"}),
+            (2, {"comment": "#a done"}),
+        ],
+        "id long, tags map<string,string>",
+    )
+    vocab = sorted(r["hashtag"] for r in tags.hashtag_vocabulary(df).collect())
+    # hashtags tag splits on [\s,;] → '#b.c' stays whole; comment splits on
+    # [\s;,.@] → '#d.e' breaks into '#d' (and 'e' is dropped), '@#f' → '#f'
+    assert vocab == ["#a", "#b.c", "#d", "#f"]
+
+
+def test_hashtag_match_word_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            (1, {"comment": "#hotosm-project-1 mapping"}),
+            (2, {"comment": "#hotosm-project-11224 mapping"}),
+            (3, {"hashtags": "#hotosm-project-1;#x"}),
+            (4, {"hashtags": "#hotosm-project-1"}),
+            (5, {"comment": "ends with #hotosm-project-1"}),
+        ],
+        "id long, tags map<string,string>",
+    )
+    got = sorted(
+        r["id"] for r in df.filter(tags.hashtag_match(F.col("tags"), "hotosm-project-1")).collect()
+    )
+    # id=2 must NOT match (strict-prefix trap, hashtags.py:69-70 semantics)
+    assert got == [1, 3, 4, 5]
+
+
+# ------------------------------------------------------------------ latest
+
+def _mk_elements(spark):
+    rows = [
+        # (id, type, tags, lat, lon, nds, members, changeset, ts, uid, version, action, country)
+        (1, "node", {"building": "yes"}, 1.0, 1.0, None, None, 100, T, 7, 1, "create", "Kenya"),
+        (1, "node", {"building": "yes"}, 1.1, 1.1, None, None, 101, datetime(2021, 8, 6), 7, 2, "modify", "Kenya"),
+        (1, "node", {"amenity": "school"}, 1.2, 1.2, None, None, 102, datetime(2021, 9, 1), 8, 3, "modify", "Kenya"),
+        (2, "node", {"place": "town"}, 2.0, 2.0, None, None, 100, T, 7, 1, "create", "Kenya"),
+        (1, "way", {"building": "yes"}, None, None, [1, 2], None, 100, T, 7, 1, "create", None),
+        (1, "way", {"building": "yes"}, None, None, [1, 2], None, 103, datetime(2021, 9, 2), 9, 2, "modify", None),
+        (5, "way", {"highway": "primary"}, None, None, [2, 1], None, 101, T, 7, 1, "create", None),
+        (9, "relation", {"type": "multipolygon"}, None, None, None,
+         [Row(ref=1, type="way", role="outer")], 102, T, 8, 1, "create", None),
+        (3, "node", {}, None, None, None, None, 104, T, 7, 2, "delete", None),
+    ]
+    from insights_spark.schemas import ELEMENT_HISTORY
+
+    return spark.createDataFrame(rows, ELEMENT_HISTORY)
+
+
+def test_latest_version_window(spark):
+    e = _mk_elements(spark)
+    l = latest.latest_version(e)
+    got = {(r["type"], r["id"]): r["version"] for r in l.collect()}
+    assert got[("node", 1)] == 3 and got[("way", 1)] == 2
+    # as-of cutoff: strictly before 2021-09-01 → node 1 version 2
+    l2 = latest.latest_version(e, cutoff=F.lit(datetime(2021, 9, 1)))
+    got2 = {(r["type"], r["id"]): r["version"] for r in l2.collect()}
+    assert got2[("node", 1)] == 2 and got2[("way", 1)] == 1
+
+
+def test_scalar_pick_deterministic(spark):
+    df = spark.createDataFrame(
+        [(7, "alice", 100), (7, "bob", 102), (8, "carol", 101)],
+        "uid long, user_name string, cs long",
+    )
+    got = {r["uid"]: r["user_name"]
+           for r in latest.scalar_pick(df, ("uid",), "user_name", "cs").collect()}
+    assert got == {7: "bob", 8: "carol"}  # max changeset id wins (J4 rule)
+
+
+# ------------------------------------------------------------------ stats
+
+def test_changeset_stats_battery(spark):
+    e = _mk_elements(spark)
+    got = {r["changeset"]: r.asDict() for r in stats.changeset_stats(e).collect()}
+    # changeset 100: way(building,create) → added_buildings=1; node1(building,
+    # create) doesn't count (nodes excluded for buildings); node2 place=town
+    # way/node create → added_places=1
+    assert got[100]["added_buildings"] == 1
+    assert got[100]["added_places"] == 1
+    assert got[100]["added_amenity"] == 0
+    # changeset 102: node1 v3 amenity modify → modified_amenity=1; relation
+    # create with no counted tags → zeros
+    assert got[102]["modified_amenity"] == 1
+    # changeset 101: way5 highway create → added_highway=1; node1 v2 building
+    # modify is a NODE → modified_buildings=0
+    assert got[101]["added_highway"] == 1
+    assert got[101]["modified_buildings"] == 0
+    # delete rows excluded entirely
+    assert 104 not in got
+
+
+def test_changeset_stats_salted_equals_unsalted(spark):
+    e = _mk_elements(spark)
+    a = {r["changeset"]: r.asDict() for r in stats.changeset_stats(e).collect()}
+    b = {r["changeset"]: r.asDict() for r in stats.changeset_stats(e, salt_buckets=4).collect()}
+    assert a == b
+
+
+def test_changeset_stats_meters(spark):
+    e = _mk_elements(spark)
+    got = {r["changeset"]: r.asDict()
+           for r in stats.changeset_stats_with_meters(e).collect()}
+    # way 5 (highway, create, cs 101): nds [2,1] → node2(2,2) to node1 —
+    # node1 latest version as-of way ts T is v1 at (1,1)
+    from insights_spark.geo.length import vincenty_m
+
+    want = vincenty_m([2.0], [2.0], [1.0], [1.0])[0]
+    assert abs(got[101]["added_highway_meters"] - want) < 1e-6
+    assert got[100]["added_highway_meters"] == 0.0
+
+
+def test_missed_changesets_antijoin(spark):
+    e = _mk_elements(spark)
+    s = stats.changeset_stats(e).filter(F.col("changeset") != 102)
+    missed = sorted(r["changeset"] for r in stats.missed_changesets(e, s).collect())
+    assert missed == [102, 104]  # 104 only has a delete row → no stats row
+
+
+# ------------------------------------------------------------------ calendar
+
+WEEK_GOLDENS = [
+    # (input ts, expected Friday-noon week start) — incl. year boundary
+    (datetime(2021, 8, 5, 10, 0), datetime(2021, 7, 30, 12, 0)),   # Thursday
+    (datetime(2021, 8, 6, 11, 59), datetime(2021, 7, 30, 12, 0)),  # Friday before noon
+    (datetime(2021, 8, 6, 12, 0), datetime(2021, 8, 6, 12, 0)),    # Friday noon exactly
+    (datetime(2021, 8, 6, 13, 0), datetime(2021, 8, 6, 12, 0)),    # Friday after noon
+    (datetime(2021, 1, 1, 0, 0), datetime(2020, 12, 25, 12, 0)),   # year boundary
+    (datetime(2024, 2, 29, 23, 59), datetime(2024, 2, 23, 12, 0)), # leap day
+]
+
+
+def test_week_start_friday_noon_goldens(spark):
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(WEEK_GOLDENS)],
+                               "id long, ts timestamp_ntz")
+    got = {r["id"]: r["ws"] for r in
+           df.select("id", hashtags.week_start(F.col("ts")).alias("ws")).collect()}
+    for i, (_, want) in enumerate(WEEK_GOLDENS):
+        assert got[i] == want, (i, got[i], want)
+    # python cross-check: reference walk-back loop (hashtags.py:165-177)
+    from datetime import timedelta
+
+    for t, want in WEEK_GOLDENS:
+        d = t - timedelta(hours=12)
+        f = datetime(d.year, d.month, d.day)
+        while f.weekday() != 4:
+            f = f - timedelta(days=1)
+        assert f + timedelta(hours=12) == want
+
+
+def test_period_start_end_mqy(spark):
+    df = spark.createDataFrame([(1, datetime(2021, 8, 15, 7, 30))], "id long, ts timestamp_ntz")
+    for freq, ws, we in [
+        ("m", datetime(2021, 8, 1), datetime(2021, 9, 1)),
+        ("q", datetime(2021, 7, 1), datetime(2021, 10, 1)),
+        ("y", datetime(2021, 1, 1), datetime(2022, 1, 1)),
+    ]:
+        r = df.select(
+            hashtags.period_start(F.col("ts"), freq).alias("s")
+        ).select("s", hashtags.period_end(F.col("s"), freq).alias("e")).collect()[0]
+        assert (r["s"], r["e"]) == (ws, we), freq
+
+
+# ------------------------------------------------------------------ campaign
+
+def test_hashtag_period_stats_end_to_end(spark):
+    cs = spark.createDataFrame(
+        [
+            (100, 7, T, {"comment": "#maplesotho mapping"}),
+            (101, 8, datetime(2021, 8, 6, 13, 0), {"hashtags": "#maplesotho;#other"}),
+            (102, 7, datetime(2021, 8, 20), {"comment": "unrelated"}),
+        ],
+        "id long, user_id long, created_at timestamp_ntz, tags map<string,string>",
+    )
+    st = spark.createDataFrame(
+        [(100, 3, 5.0, 1, 0, 2, 0), (101, 1, 0.0, 0, 1, 0, 3)],
+        "changeset long, added_buildings long, added_highway_meters double,"
+        "added_amenity long, modified_amenity long, added_places long, modified_places long",
+    )
+    reg = spark.createDataFrame([(1, "maplesotho")], "id int, name string")
+    out = hashtags.hashtag_period_stats(cs, st, reg, "w").collect()
+    by_start = {r["start_date"]: r for r in out}
+    # cs100 (Thu Aug 5) → week of Jul 30; cs101 (Fri Aug 6 13:00) → week of Aug 6
+    w1 = by_start[datetime(2021, 7, 30, 12, 0)]
+    w2 = by_start[datetime(2021, 8, 6, 12, 0)]
+    assert w1["total_new_buildings"] == 3 and w1["total_uq_contributors"] == 1
+    assert w2["total_new_buildings"] == 1 and w2["total_uq_contributors"] == 1
+    assert w1["end_date"] == datetime(2021, 8, 6, 12, 0)
+    assert w1["type"] == "w"
+
+
+def test_first_last_used(spark):
+    cs = spark.createDataFrame(
+        [
+            (100, 7, T, {"comment": "#maplesotho go"}),
+            (101, 8, datetime(2021, 9, 1), {"hashtags": "#maplesotho"}),
+        ],
+        "id long, user_id long, created_at timestamp_ntz, tags map<string,string>",
+    )
+    reg = spark.createDataFrame([(1, "maplesotho")], "id int, name string")
+    r = hashtags.first_last_used(cs, reg).collect()[0]
+    assert r["first_used"] == T and r["last_used"] == datetime(2021, 9, 1)
+
+
+# ------------------------------------------------------------------ country
+
+def test_building_counts_asof(spark):
+    e = _mk_elements(spark)
+    # way(1) has country NULL — propagate first (its first nd is node 1 → Kenya)
+    p = propagate.propagate_locations(e)
+    out = country.building_counts_asof(p, datetime(2021, 10, 1))
+    got = {r["country"]: r["building_count"] for r in out.collect()}
+    assert got == {"Kenya": 1}  # way 1 (building) latest v2; node buildings excluded
+
+
+def test_propagate_locations(spark):
+    e = _mk_elements(spark)
+    p = propagate.propagate_locations(e).cache()
+    ways = {r["version"]: r for r in p.filter((F.col("type") == "way") & (F.col("id") == 1)).collect()}
+    # first nd = node 1 → latest node version 3 at (1.2, 1.2), Kenya
+    assert ways[1]["lat"] == 1.2 and ways[1]["country"] == "Kenya"
+    rel = p.filter(F.col("type") == "relation").collect()[0]
+    # relation's first member is way 1 → after way propagation → Kenya
+    assert rel["country"] == "Kenya" and rel["lat"] == 1.2
+
+
+# ------------------------------------------------------------------ users
+
+def test_editors_per_user(spark):
+    cs = spark.createDataFrame(
+        [
+            (1, 7, T, {"created_by": "JOSM/1.5"}),
+            (2, 7, T, {"created_by": "iD 2.20.2"}),
+            (3, 7, T, {"created_by": "JOSM/1.5"}),
+            (4, 8, T, {}),
+        ],
+        "id long, user_id long, created_at timestamp_ntz, tags map<string,string>",
+    )
+    got = {r["user_id"]: r["editors"]
+           for r in users.editors_per_user(cs, datetime(2021, 1, 1), datetime(2022, 1, 1)).collect()}
+    assert got == {7: "JOSM/1.5,iD 2.20.2,"}  # sorted, deduped, trailing comma
+
+
+def test_tasks_per_user(spark):
+    th = spark.createDataFrame(
+        [(1, 11, 7, "MAPPED", T), (2, 11, 7, "MAPPED", T), (3, 12, 7, "MAPPED", T),
+         (4, 11, 8, "VALIDATED", T)],
+        "task_id long, project_id long, user_id long, action_text string, action_date timestamp_ntz",
+    )
+    got = {r["user_id"]: r["task_count"]
+           for r in users.tasks_per_user(th, [11], datetime(2021, 1, 1),
+                                         datetime(2022, 1, 1), "MAPPED").collect()}
+    assert got == {7: 2}
