@@ -1,38 +1,734 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the insights_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps every implemented operator family from SURVEY.md §2 onto
+the driver's testdata tables (region nation customer supplier part orders
+lineitem events documents embeddings); `oracle_sql()` gives the ANSI-SQL
+equivalent DuckDB runs on the same parquet.
+
+Cross-engine exactness rules used throughout (so value-hashes match):
+- integer arithmetic everywhere possible; DuckDB SUM(int) returns HUGEINT,
+  so every oracle sum is CAST(... AS BIGINT).
+- double expressions only where both engines evaluate the identical IEEE
+  expression tree (ratios of ints, squared distances, sequential dot-product
+  folds) — never engine-reassociated SUM(double).
+- every computed column aliased identically on both sides.
+- deterministic tie-breaks (rank by (score, id)) everywhere top-k appears.
+
+Synthetic geo derivation (documented, same formula both sides):
+    lon = mod(key * 7919,  360000) / 1000.0 - 180.0
+    lat = mod(key * 104729, 170000) / 1000.0 - 85.0
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic synthetic lon/lat from an integer key (same math as
+    the SQL oracle; all values are multiples of 0.001 so they never sit on
+    the synthetic polygon edges, which are offset by 0.0005)."""
+    return df.withColumn(
+        "lon", F.pmod(F.col(key) * 7919, F.lit(360000)) / 1000.0 - 180.0
+    ).withColumn("lat", F.pmod(F.col(key) * 104729, F.lit(170000)) / 1000.0 - 85.0)
+
+
+_POINTS_SQL = (
+    "mod({k} * 7919, 360000) / 1000.0 - 180.0 AS lon, "
+    "mod({k} * 104729, 170000) / 1000.0 - 85.0 AS lat"
+)
+
+# Synthetic countries for the PIP operator (lon0, lat0, lon1, lat1).
+# Tie-break order (priority DESC, name ASC): Aztlan, Westland, Eastland, Northia.
+# Aztlan overlaps Eastland — overlap points go to Aztlan (priority).
+_COUNTRIES = [
+    ("Aztlan", True, 60.0005, -10.0005, 100.0005, 30.0005),
+    ("Westland", True, -150.0005, -60.0005, -30.0005, 20.0005),
+    ("Eastland", False, 0.0005, -20.0005, 90.0005, 60.0005),
+    ("Northia", False, -29.9995, 30.0005, -0.0005, 79.9995),
+]
+
+
+def _boundary_rows():
+    rows = []
+    for name, pri, x0, y0, x1, y1 in _COUNTRIES:
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        rows.append(
+            {"name_en": name, "admin_level": 2, "tags": {}, "polygons": [[ring]],
+             "priority": pri}
+        )
+    return rows
+
+
+def _country_case_sql(lon: str = "lon", lat: str = "lat") -> str:
+    """CASE replicating the PIP kernel's deterministic tie-break order."""
+    branches = []
+    for name, _pri, x0, y0, x1, y1 in [
+        _COUNTRIES[0], _COUNTRIES[1], _COUNTRIES[2], _COUNTRIES[3]
+    ]:
+        branches.append(
+            f"WHEN {lon} >= {x0} AND {lon} <= {x1} AND {lat} >= {y0} AND {lat} <= {y1} "
+            f"THEN '{name}'"
+        )
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_flagship_tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: events → synthetic points → broadcast PIP country join →
+    z6 slippy tiles → density rollup (SURVEY §2.11 + J6 + tile math)."""
+    from insights_spark.geo import pip, tiles
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    located = pip.assign_country(pts, _boundary_rows())
+    tiled = tiles.with_tile(located, z=6)
+    return (
+        tiled.groupBy("country", "z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("density"))
+    )
+
+
+def _q_conditional_battery(spark, sf_dir):
+    """A1/P5/P7 — conditional-sum battery, GROUP BY order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_quantity") > 25).cast("int")).alias("qty_gt25"),
+        F.sum((F.col("l_discount") > 0.05).cast("int")).alias("disc_gt5"),
+        F.sum(((F.col("l_tax") > 0.04) & (F.col("l_returnflag") == "R")).cast("int")
+              ).alias("taxed_returns"),
+        F.sum(F.col("l_returnflag").isin("A", "N").cast("int")).alias("flag_an"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_semi_join(spark, sf_dir):
+    """J1 — IN-subquery semi-join lineitem ⋉ filtered orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000)
+    )
+    return (
+        li.join(F.broadcast(o.select(F.col("o_orderkey").alias("l_orderkey"))),
+                "l_orderkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_linenumber").alias("sum_line"))
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    """J3 — left-outer + IS NULL ⇒ anti-join (missed-changeset repair shape)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        o.join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_latest_event(spark, sf_dir):
+    """J5 — latest-version window dedup (latest event per user)."""
+    from insights_spark.ops.latest import latest_version
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_version(
+        ev, keys=("user_id",), version_col="ts", cutoff_col="ts", cutoff=None
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+def _q_latest_event_asof(spark, sf_dir):
+    """J5 as-of — latest event per user strictly before a cutoff."""
+    from datetime import datetime
+
+    from insights_spark.ops.latest import latest_version
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_version(
+        ev, keys=("user_id",), version_col="ts", cutoff_col="ts",
+        cutoff=F.lit(datetime(2024, 1, 15)),
+    ).select("user_id", "event_id", "event_type")
+
+
+def _q_scalar_pick(spark, sf_dir):
+    """J4 — deterministic scalar-subquery replacement (max-key value pick)."""
+    from insights_spark.ops.latest import scalar_pick
+
+    c = _t(spark, sf_dir, "customer")
+    return scalar_pick(c, ("c_nationkey",), "c_name", "c_custkey")
+
+
+def _q_tokenize(spark, sf_dir):
+    """P9/F17/A9 — regexp split → trim → prefix filter → distinct counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .select(F.trim(F.col("tok")).alias("token"))
+        .filter(F.col("token").startswith("s"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_pattern_filter(spark, sf_dir):
+    """P3/P4 — multi-pattern LIKE disjunction with word-boundary anchors."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    m = (
+        t.like("% merge %") | t.like("merge %") | t.like("% merge") | (t == "merge")
+    )
+    return d.filter(m).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_json_props(spark, sf_dir):
+    """P1/P2 — key-exists + typed value access on a map-ish column (the
+    events.props JSON stands in for hstore tags)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def _q_month_rollup(spark, sf_dir):
+    """F7/A3/A5 — calendar month buckets + exact aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("month", F.date_trunc("month", F.col("ts")))
+        .withColumn("quarter", F.date_trunc("quarter", F.col("ts")))
+        .groupBy("month", "quarter", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+    )
+
+
+def _q_friday_weeks(spark, sf_dir):
+    """F6 — Friday-noon week anchoring (NOT date_trunc('week'))."""
+    from insights_spark.ops.hashtags import week_start
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("week_start", week_start(F.col("ts")))
+        .groupBy("week_start")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("users"))
+    )
+
+
+def _q_editors_concat(spark, sf_dir):
+    """U2 — sorted distinct concat with trailing separator."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))), F.lit(",")
+        ).alias("editors")
+    )
+
+
+def _q_knn(spark, sf_dir):
+    """kNN exact — broadcast + window top-k over customer points."""
+    from insights_spark.geo.knn import knn_exact
+
+    pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return knn_exact(pts, k=3, id_col="c_custkey")
+
+
+def _q_pip_countries(spark, sf_dir):
+    """J6 — broadcast R-tree point-in-polygon with deterministic tie-break."""
+    from insights_spark.geo import pip
+
+    pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return pip.assign_country(pts, _boundary_rows()).select(
+        "c_custkey", "country"
+    )
+
+
+def _q_tile_pyramid(spark, sf_dir):
+    """Tile rollup pyramid — z6 base aggregated to z4 (log-depth rollup)."""
+    from insights_spark.geo import tiles
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return tiles.tile_pyramid(pts, [6, 4])
+
+
+def _q_grid_cells(spark, sf_dir):
+    """Grid-cell binning (pure-column spatial index primitive)."""
+    from insights_spark.geo.cells import grid_cell_col
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return (
+        pts.withColumn("cell", grid_cell_col(F.col("lon"), F.col("lat"), 4))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_envelope(spark, sf_dir):
+    """J9 — ST_CoveredBy as pure bbox column math."""
+    pts = _points(_t(spark, sf_dir, "events").select("event_id", "event_type"),
+                  "event_id")
+    inside = (
+        (F.col("lon") >= -10.0) & (F.col("lon") <= 50.0)
+        & (F.col("lat") >= -5.0) & (F.col("lat") <= 45.0)
+    )
+    return pts.filter(inside).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    """Dedup: exact — hash-groupBy on normalized text, min-id representative."""
+    from insights_spark.text.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex count."""
+    from insights_spark.text.quality import bpe_ish_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+def _q_quality(spark, sf_dir):
+    """Quality scoring: stopword/uniq-token/punct ratios (exact ratios)."""
+    from insights_spark.text.quality import quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_scores(d).select(
+        "doc_id", "n_tokens", "stopword_ratio", "uniq_token_ratio", "avg_token_len"
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    """Language id: stopword-density argmax with deterministic ties."""
+    from insights_spark.text.quality import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint(spark, sf_dir):
+    """Document fingerprint: portable polynomial rolling hash."""
+    from insights_spark.text.quality import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_minhash(spark, sf_dir):
+    """MinHash signatures (token-level, 4 portable hash functions)."""
+    from insights_spark.text.dedup import minhash_signature_np
+
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature_np(num_hashes=4, n=1)(F.col("text"))
+    return d.select(
+        "doc_id",
+        sig[0].alias("mh0"), sig[1].alias("mh1"),
+        sig[2].alias("mh2"), sig[3].alias("mh3"),
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Near-dup: word-3-gram Jaccard pairs ≥ 0.5."""
+    from insights_spark.text.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_ann_topk(spark, sf_dir):
+    """Similarity search: exact cosine top-5 (sequential-fold dot product)."""
+    from insights_spark.text.simsearch import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+# ---- non-SQL-expressible (rows-only check: custom kernels) -----------------
+
+def _q_s2_cells(spark, sf_dir):
+    from insights_spark.geo import cells
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return (
+        cells.with_cells(pts)
+        .groupBy("s2_l12")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_hex_cells(spark, sf_dir):
+    from insights_spark.geo import cells
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return pts.groupBy(
+        cells.hex_udf(6)(F.col("lon"), F.col("lat")).alias("h3_r6")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_knn_cell_local(spark, sf_dir):
+    from insights_spark.geo.knn import knn_cell_local
+
+    pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=1)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from insights_spark.text.simsearch import cosine_topk_bucketed
+
+    return cosine_topk_bucketed(_t(spark, sf_dir, "embeddings"), k=5, nprobe=3)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from insights_spark.text.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from insights_spark.text.dedup import minhash_near_dups
+
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_multimodal(spark, sf_dir):
+    from insights_spark.text.multimodal import image_features, synth_media
+
+    return image_features(synth_media(spark, n=120))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_flagship_tile_density(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_tile_density": _q_flagship_tile_density,
+        "conditional_battery": _q_conditional_battery,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "latest_event": _q_latest_event,
+        "latest_event_asof": _q_latest_event_asof,
+        "scalar_pick": _q_scalar_pick,
+        "tokenize": _q_tokenize,
+        "pattern_filter": _q_pattern_filter,
+        "json_props": _q_json_props,
+        "month_rollup": _q_month_rollup,
+        "friday_weeks": _q_friday_weeks,
+        "editors_concat": _q_editors_concat,
+        "knn": _q_knn,
+        "pip_countries": _q_pip_countries,
+        "tile_pyramid": _q_tile_pyramid,
+        "grid_cells": _q_grid_cells,
+        "envelope": _q_envelope,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "minhash": _q_minhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        # custom kernels — rows-only checks
+        "s2_cells": _q_s2_cells,
+        "hex_cells": _q_hex_cells,
+        "knn_cell_local": _q_knn_cell_local,
+        "ann_ivf": _q_ann_ivf,
+        "simhash_pairs": _q_simhash_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_EV_PTS = f"SELECT event_id, event_type, {_POINTS_SQL.format(k='event_id')} FROM events"
+_CUST_PTS = f"SELECT c_custkey, {_POINTS_SQL.format(k='c_custkey')} FROM customer"
+
+_TILE_XY = """
+    greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS INT), {nm1})) AS x,
+    greatest(0, least(CAST(floor((1.0 - ln(tan(radians(greatest(-85.05112878,
+        least(lat, 85.05112878)))) + 1.0 / cos(radians(greatest(-85.05112878,
+        least(lat, 85.05112878))))) / pi()) / 2.0 * {n}.0) AS INT), {nm1})) AS y
+"""
+
+_POLY_HASH = (
+    "list_reduce(list_prepend(7::BIGINT, list_transform(string_split({s}, ''), "
+    "c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n6, n4 = 64, 16
+    tile6 = _TILE_XY.format(n=n6, nm1=n6 - 1)
+    case_country = _country_case_sql()
+
+    stopwords_en = "('the','a','and','of','to','in','is','it','that','for')"
+    langs = {
+        "en": stopwords_en,
+        "de": "('der','die','das','und','ist','zu','den','nicht','von','mit')",
+        "fr": "('le','la','les','et','est','un','une','des','que','pour')",
+        "sw": "('na','ya','wa','kwa','ni','za','katika','hii','kuwa','la')",
+    }
+    lang_scores = ", ".join(
+        f"CASE WHEN len({_TOKENS}) > 0 THEN len(list_filter({_TOKENS}, "
+        f"t -> t IN {sw}))::DOUBLE / len({_TOKENS}) ELSE 0.0 END AS r_{lang}"
+        for lang, sw in langs.items()
+    )
+
+    norm_text = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    fp_expr = _POLY_HASH.format(s=norm_text)
+
+    mh = []
+    for k in range(4):
+        a = 2 * k + 1
+        b = 7919 * (k + 1)
+        mh.append(
+            f"coalesce(list_min(list_transform(list_distinct({_TOKENS}), "
+            f"t -> ({_POLY_HASH.format(s='t')} * {a} + {b}) % 1000000007)), "
+            f"1000000007) AS mh{k}"
+        )
+
+    return {
+        "flagship_tile_density": f"""
+            WITH pts AS ({_EV_PTS})
+            SELECT {case_country} AS country, 6 AS z, {tile6}, CAST(count(*) AS BIGINT) AS density
+            FROM pts GROUP BY 1, 2, 3, 4
+        """,
+        "conditional_battery": """
+            SELECT l_orderkey,
+                   CAST(sum((l_quantity > 25)::int) AS BIGINT) AS qty_gt25,
+                   CAST(sum((l_discount > 0.05)::int) AS BIGINT) AS disc_gt5,
+                   CAST(sum((l_tax > 0.04 AND l_returnflag = 'R')::int) AS BIGINT) AS taxed_returns,
+                   CAST(sum((l_returnflag IN ('A','N'))::int) AS BIGINT) AS flag_an,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "semi_join": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(l_linenumber) AS BIGINT) AS sum_line
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'O' AND o_totalprice > 1000)
+            GROUP BY l_returnflag
+        """,
+        "anti_join": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+            FROM orders o
+            LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49) l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_orderkey IS NULL
+            GROUP BY o_orderstatus
+        """,
+        "latest_event": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "latest_event_asof": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC) AS rn
+              FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
+        """,
+        "scalar_pick": """
+            SELECT c_nationkey, c_name FROM (
+              SELECT c_nationkey, c_name,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_custkey DESC) AS rn
+              FROM customer) WHERE rn = 1
+        """,
+        "tokenize": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT trim(unnest(string_split_regex(lower(text), '\\s+'))) AS token
+              FROM documents)
+            WHERE token LIKE 's%' GROUP BY token
+        """,
+        "pattern_filter": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+            WHERE lower(text) LIKE '% merge %' OR lower(text) LIKE 'merge %'
+               OR lower(text) LIKE '% merge' OR lower(text) = 'merge'
+            GROUP BY lang
+        """,
+        "json_props": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            GROUP BY event_type
+        """,
+        "month_rollup": """
+            SELECT date_trunc('month', ts)::TIMESTAMP AS month,
+                   date_trunc('quarter', ts)::TIMESTAMP AS quarter,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+                   max(value) AS max_value, min(value) AS min_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "friday_weeks": """
+            WITH s AS (SELECT *, (ts - INTERVAL 12 HOURS)::DATE AS d FROM events),
+            w AS (SELECT *, d - CAST(mod(dayofweek(d) - 5 + 7, 7) AS INT) AS friday FROM s)
+            SELECT friday::TIMESTAMP + INTERVAL 12 HOURS AS week_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS users
+            FROM w GROUP BY 1
+        """,
+        "editors_concat": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) || ',' AS editors
+            FROM events GROUP BY user_id
+        """,
+        "knn": f"""
+            WITH pts AS ({_CUST_PTS})
+            SELECT id, neighbor_id, dist2, CAST(rank AS INT) AS rank FROM (
+              SELECT a.c_custkey AS id, b.c_custkey AS neighbor_id,
+                     (a.lon - b.lon) * (a.lon - b.lon)
+                     + (a.lat - b.lat) * (a.lat - b.lat) AS dist2,
+                     row_number() OVER (PARTITION BY a.c_custkey
+                                        ORDER BY (a.lon - b.lon) * (a.lon - b.lon)
+                                        + (a.lat - b.lat) * (a.lat - b.lat) ASC,
+                                        b.c_custkey ASC) AS rank
+              FROM pts a JOIN pts b ON a.c_custkey != b.c_custkey)
+            WHERE rank <= 3
+        """,
+        "pip_countries": f"""
+            WITH pts AS ({_CUST_PTS})
+            SELECT c_custkey, {case_country} AS country FROM pts
+        """,
+        "tile_pyramid": f"""
+            WITH pts AS ({_EV_PTS}),
+            z6 AS (SELECT 6 AS z, {tile6}, CAST(count(*) AS BIGINT) AS density
+                   FROM pts GROUP BY 1, 2, 3)
+            SELECT z, x, y, density FROM z6
+            UNION ALL
+            SELECT 4 AS z, CAST(floor(x / 4) AS INT) AS x, CAST(floor(y / 4) AS INT) AS y,
+                   CAST(sum(density) AS BIGINT) AS density
+            FROM z6 GROUP BY 2, 3
+        """,
+        "grid_cells": f"""
+            WITH pts AS ({_EV_PTS})
+            SELECT CAST(floor((lon + 180.0) * 4) * 4294967296
+                        + floor((lat + 90.0) * 4) AS BIGINT) AS cell,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pts GROUP BY 1
+        """,
+        "envelope": f"""
+            WITH pts AS ({_EV_PTS})
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM pts
+            WHERE lon >= -10.0 AND lon <= 50.0 AND lat >= -5.0 AND lat <= 45.0
+            GROUP BY event_type
+        """,
+        "exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+                  FROM documents)
+            GROUP BY norm
+        """,
+        "token_stats": f"""
+            SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+                   CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_bpe
+            FROM documents
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                     len(list_filter({_TOKENS}, t -> t IN {stopwords_en}))::DOUBLE
+                     / len({_TOKENS}) ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                     len(list_distinct({_TOKENS}))::DOUBLE / len({_TOKENS})
+                     ELSE 0.0 END AS uniq_token_ratio,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                     length(regexp_replace(lower(text), '\\s+', '', 'g'))::DOUBLE
+                     / len({_TOKENS}) ELSE 0.0 END AS avg_token_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scored AS (SELECT doc_id, {lang_scores} FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(r_en, r_de, r_fr, r_sw) <= 0 THEN NULL
+                        WHEN r_de >= r_en AND r_de >= r_fr AND r_de >= r_sw THEN 'de'
+                        WHEN r_en >= r_fr AND r_en >= r_sw THEN 'en'
+                        WHEN r_fr >= r_sw THEN 'fr'
+                        ELSE 'sw' END AS lang_pred
+            FROM scored
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {fp_expr} AS fp
+            FROM documents
+        """,
+        "minhash": f"""
+            SELECT doc_id, {', '.join(mh)} FROM documents
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(tok) - 1),
+                       i -> array_to_string(tok[i:i+2], ' ')))) AS gram
+              FROM toks WHERE len(tok) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+                      FROM grams g1 JOIN grams g2 USING (gram)
+                      WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2)
+            SELECT a, b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                       JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "ann_topk": """
+            SELECT id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
+              SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                       AS score,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                       DESC, b.vec_id ASC) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+            WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,99 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>,
+     "throughput_rows_per_sec": <flagship rows/sec>, "cpus": N}
+
+Each query is forced with a noop sink (full execution, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from insights_spark.session import get_spark  # noqa: E402
+
+# Headline = the SCALE-path variants (cell-local kNN, IVF ANN, LSH near-dup);
+# the exact O(n²) baselines (knn, ann_topk) exist for the correctness gate
+# at sf0.01 and would dominate wall time at sf0.1 without telling us
+# anything about the 100 TB plan shape.
+HEADLINE = [
+    "flagship_tile_density",
+    "conditional_battery",
+    "semi_join",
+    "latest_event",
+    "month_rollup",
+    "friday_weeks",
+    "pip_countries",
+    "knn_cell_local",
+    "tile_pyramid",
+    "s2_cells",
+    "exact_dedup",
+    "quality",
+    "lang_id",
+    "minhash",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "ann_ivf",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("insights-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    force(qs["semi_join"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+
+    # flagship throughput: events rows processed per second end-to-end
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    t0 = time.perf_counter()
+    force(qs["flagship_tile_density"](spark, sf_dir))
+    flagship_sec = time.perf_counter() - t0
+    rows_per_sec = round(n_events / flagship_sec, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (PIP+tiles+knn+dedup+ann)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "throughput_rows_per_sec": rows_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,72 @@ def extract_elements(pages: DataFrame) -> DataFrame:
     return src.mapInPandas(gen, ELEMENT_HISTORY)
 
 
+def extract_elements_enriched(pages: DataFrame, boundary_rows: list[dict]) -> DataFrame:
+    """Fused ingest kernel: parse + country PIP + S2/hex cells in ONE
+    JVM↔Python crossing.
+
+    Running extraction, PIP and cell encoding as separate UDF stages moves
+    every element row across the Arrow boundary three times; at 100 TB the
+    exchange dominates the (cheap, numpy) enrichment math. This kernel
+    parses each Arrow batch and immediately enriches it with the broadcast
+    polygon index and the vectorized cell encoders before yielding — one
+    crossing, same results as extract_elements → assign_country →
+    with_cells (pinned by tests).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .geo.cells import hex_cell_id, s2_cell_id
+    from .geo.pip import PolygonIndex
+
+    bc = pages.sparkSession.sparkContext.broadcast(PolygonIndex(boundary_rows))
+    schema = StructType(
+        ELEMENT_HISTORY.fields
+        + [StructField("s2_l12", LongType(), True), StructField("h3_r8", LongType(), True)]
+    )
+    cols = [f.name for f in schema.fields]
+    src = pages.filter(
+        F.col("url").contains("/element-history/") | F.col("url").contains("/osc-diff/")
+    ).select("url", "html")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index: PolygonIndex = bc.value
+        for pdf in batches:
+            rows = []
+            for _url, rec in _batch_extract(pdf):
+                for r in rec["elements"]:
+                    r = dict(r)
+                    r["members"] = [
+                        (m["ref"], m["type"], m["role"]) for m in r["members"]
+                    ]
+                    rows.append(r)
+            out = pd.DataFrame(rows, columns=[f.name for f in ELEMENT_HISTORY.fields])
+            if len(out):
+                lon = pd.to_numeric(out["lon"], errors="coerce").to_numpy(
+                    np.float64, na_value=np.nan
+                )
+                lat = pd.to_numeric(out["lat"], errors="coerce").to_numpy(
+                    np.float64, na_value=np.nan
+                )
+                out["country"] = index.locate(lon, lat)
+                ok = np.isfinite(lon) & np.isfinite(lat)
+                s2 = np.zeros(len(out), dtype=object)
+                hx = np.zeros(len(out), dtype=object)
+                s2[:] = None
+                hx[:] = None
+                if ok.any():
+                    s2[ok] = s2_cell_id(lon[ok], lat[ok], 12)
+                    hx[ok] = hex_cell_id(lon[ok], lat[ok], 8)
+                out["s2_l12"] = s2
+                out["h3_r8"] = hx
+            else:
+                out["s2_l12"] = pd.Series(dtype=object)
+                out["h3_r8"] = pd.Series(dtype=object)
+            yield out[cols]
+
+    return src.mapInPandas(gen, schema)
+
+
 def extract_text(pages: DataFrame) -> DataFrame:
     """pages → (url, extracted_text): the byte-identical per-url invariant."""
     src = pages.select("url", "html")

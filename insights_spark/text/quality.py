@@ -1,0 +1,112 @@
+"""Text quality / token / language-id operators over a documents table.
+
+All hot-path operators are pure Spark column expressions (JVM, codegen,
+ANSI-SQL-reproducible for the DuckDB oracle). These are the stages a
+100 TB training-data pipeline runs on every document, so no Python is
+allowed anywhere here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish subword regex: word pieces, numbers, punctuation runs
+BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "zu", "den", "nicht", "von", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "hii", "kuwa", "la"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty tokens removed)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Subword-level count via the BPE-ish regex (regexp_count is
+    SQL-reproducible; proxies tokenizer cost for budget estimates)."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_ISH))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach standard quality columns:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    uniq_token_ratio — the usual web-text quality gates (length bounds,
+    symbol load, stopword density, repetition).
+    """
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_tok = F.size(tok)
+    punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return (
+        df.withColumn("n_chars", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tok > 0,
+                   (F.length(F.regexp_replace(F.lower(t), r"\s+", "")) / n_tok)
+                   ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0,
+                   F.size(F.filter(tok, lambda x: F.array_contains(sw, x))) / n_tok
+                   ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_tok > 0, F.size(F.array_distinct(tok)) / n_tok).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-density language id (deterministic argmax, ties by language
+    code ascending). A heuristic, not a model — the Spark shape (pure
+    column scoring, no UDF) is the point."""
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))
+        scores.append(
+            F.struct(
+                # negated score so ascending sort = (score desc, lang asc)
+                (-F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0))).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.sort_array(F.array(*scores))[0]
+    return df.withColumn(out_col, F.when(best["neg"] < 0, best["lang"]))
+
+
+def doc_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31,
+                    seed: int = 7) -> Column:
+    """Polynomial rolling hash of the normalized text — the document
+    fingerprint primitive. Pure fold over characters (JVM-side aggregate);
+    identical arithmetic is expressible in the DuckDB oracle, so the
+    fingerprint is engine-portable by construction."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    chars = F.split(norm, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(seed).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod),
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline and
+  the oracle-matchable path. Dot products are computed as a SEQUENTIAL
+  double fold (F.aggregate over zip_with), which is bit-identical to the
+  DuckDB oracle's list_dot_product on DOUBLE[] — exact FP parity, no
+  tolerance games.
+- ``cosine_topk_bucketed``: the scale path — IVF-style coarse quantization:
+  assign each vector to the nearest of √N sampled centroids (one broadcast
+  pass), probe the query's `nprobe` nearest centroid buckets only. Shuffle
+  key = centroid id; exactness is traded for bucket recall exactly like a
+  production IVF index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double fold — deterministic, oracle-reproducible."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the vector set.
+
+    Output: (id, neighbor_id, score, rank); self-pairs excluded; ties broken
+    by neighbor_id asc. The vector side is broadcast (embedding dims ×
+    float ≪ memory); the query side streams — no shuffle of either.
+    """
+    vs = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    qs = (queries or vectors).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_q")
+    )
+    joined = qs.join(F.broadcast(vs), F.col("id") != F.col("neighbor_id"))
+    score = dot(F.col("_q"), F.col("_v")) / (norm(F.col("_q")) * norm(F.col("_v")))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_topk_bucketed(
+    vectors: DataFrame,
+    k: int = 5,
+    num_centroids: int | None = None,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate self-top-k.
+
+    Centroids = deterministic sample of the vectors themselves (no
+    iterative k-means — one pass, reproducible). Every vector lands in its
+    nearest centroid bucket; each query probes its `nprobe` nearest
+    buckets. applyInPandas per bucket computes the local top-k with numpy;
+    a final window merges probe results.
+    """
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    n_total = vectors.count()
+    if num_centroids is None:
+        num_centroids = max(1, int(np.sqrt(n_total)))
+
+    cents = [
+        (int(r[0]), np.asarray(r[1], dtype=np.float64))
+        for r in vectors.select(id_col, vec_col)
+        .orderBy(F.pmod(F.col(id_col) * 2654435761 + seed, F.lit(n_total * 2 + 1)))
+        .limit(num_centroids)
+        .collect()
+    ]
+    C = np.stack([c[1] for c in cents])
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = vectors.sparkSession.sparkContext.broadcast(C)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def nearest_buckets(vecs: pd.Series) -> pd.Series:
+        Cm = bc.value
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            x = x / max(np.linalg.norm(x), 1e-12)
+            sims = Cm @ x
+            out.append(np.argsort(-sims)[:nprobe].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    tagged = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        nearest_buckets(F.col(vec_col)).alias("probes"),
+    )
+    # members: bucket = nearest centroid (probes[0]); queries probe all nprobe
+    members = tagged.select(
+        F.col("probes")[0].alias("bucket"), F.col("id").alias("mid"), F.col("v").alias("mv")
+    )
+    probes = tagged.select("id", "v", F.explode("probes").alias("bucket"))
+
+    out_schema = StructType([
+        StructField("id", LongType()), StructField("neighbor_id", LongType()),
+        StructField("score", DoubleType()), StructField("rank", IntegerType()),
+    ])
+
+    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["id"].notna()]
+        m = pdf[pdf["mid"].notna()]
+        if q.empty or m.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in q["v"]])
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in m["mv"]])
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Qn @ Mn.T
+        qid = q["id"].to_numpy(np.int64)
+        mid = m["mid"].to_numpy(np.int64)
+        S[qid[:, None] == mid[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        rows = []
+        for r in range(S.shape[0]):
+            order = np.lexsort((mid, -S[r]))[:kk]
+            for rank, j in enumerate(order, 1):
+                if S[r, j] == -np.inf:
+                    break
+                rows.append((qid[r], mid[j], float(S[r, j]), rank))
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    qq = probes.select("bucket", "id", "v").withColumn("mid", F.lit(None).cast("long")) \
+        .withColumn("mv", F.lit(None).cast("array<float>"))
+    mm = members.select("bucket", F.lit(None).cast("long").alias("id"),
+                        F.lit(None).cast("array<float>").alias("v"), "mid", "mv")
+    local = qq.unionByName(mm).groupBy("bucket").applyInPandas(solve, out_schema)
+    # merge probe results: global top-k per query
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        local.dropDuplicates(["id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

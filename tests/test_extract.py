@@ -85,6 +85,28 @@ def test_element_action_rules(spark, pages):
     assert max(c.values()) >= 3
 
 
+def test_fused_enriched_matches_staged_pipeline(spark, pages):
+    """extract_elements_enriched (one Python crossing) must equal the staged
+    extract → assign_country → with_cells pipeline row-for-row."""
+    from insights_spark import synth
+    from insights_spark.geo import cells, pip
+
+    rows_b = synth.gen_boundaries()
+    staged = cells.with_cells(
+        pip.assign_country(extract.extract_elements(pages), rows_b)
+    )
+    fused = extract.extract_elements_enriched(pages, rows_b)
+
+    def key(r):
+        return (r["type"], r["id"], r["version"])
+
+    a = {key(r): (r["country"], r["s2_l12"], r["h3_r8"], r["lat"], r["changeset"])
+         for r in staged.collect()}
+    b = {key(r): (r["country"], r["s2_l12"], r["h3_r8"], r["lat"], r["changeset"])
+         for r in fused.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_unique_key_id_version_type(spark, pages):
     df = extract.extract_elements(pages)
     n = df.count()

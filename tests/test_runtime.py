@@ -1,0 +1,109 @@
+"""Runtime tests: checkpoint/resume idempotence (SURVEY §5 item 5),
+lineage row counts, salted aggregation equivalence, full pipeline run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insights_spark import synth
+from insights_spark.jobs import pipeline
+from insights_spark.runtime.checkpoint import CheckpointStore, incremental_filter
+from insights_spark.runtime.lineage import LineageLog
+from insights_spark.runtime.skew import salted_agg, top_keys, with_salt
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    ck = CheckpointStore(spark, str(tmp_path / "ck"))
+    assert ck.last_sequence("p", "s") is None
+    ck.commit("p", "s", 100)
+    ck.commit("p", "s", 200)
+    ck.commit("p", "other", 999)
+    assert ck.last_sequence("p", "s") == 200
+    assert ck.last_sequence("p", "other") == 999
+    assert ck.last_sequence("p", "missing") is None
+
+
+def test_incremental_filter(spark):
+    df = spark.range(10).withColumnRenamed("id", "seq")
+    assert incremental_filter(df, "seq", None).count() == 10
+    assert incremental_filter(df, "seq", 6).count() == 3  # strictly after
+
+
+def test_lineage_records_partition_counts(spark, tmp_path):
+    lin = LineageLog(spark, str(tmp_path / "lin"))
+    df = spark.range(1000).repartition(4)
+    lin.record("stage1", df, df, sequence=1)
+    rows = lin.read().collect()
+    assert sum(r["rows_out"] for r in rows) == 1000
+    assert {r["stage"] for r in rows} == {"stage1"}
+    assert all(r["run_id"] == lin.run_id for r in rows)
+    rep = lin.skew_report("stage1").collect()[0]
+    assert rep["partitions"] == 4
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v"), "id"
+    )
+    plain = {r["k"]: (r["s"], r["c"]) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()}
+    salted = {r["k"]: (r["s"], r["c"]) for r in
+              salted_agg(df, ["k"],
+                         {"s": F.sum("v"), "c": F.count(F.lit(1))},
+                         ["id"], buckets=8).collect()}
+    assert plain == salted
+
+
+def test_top_keys(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 100 + [(2,)] * 5 + [(3,)] * 3, "k int"
+    )
+    hot = [r["k"] for r in top_keys(df, ["k"], 50).collect()]
+    assert hot == [1]
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    out = str(tmp_path / "wh")
+    pages = synth.pages_df(spark, n_pages=12)
+
+    tables = pipeline.run(spark, pages, out)
+    assert set(tables) >= {"changesets", "element_history", "all_changesets_stats",
+                           "tile_density", "all_osm_hashtags"}
+    cs1 = spark.read.parquet(tables["changesets"]).count()
+    el1 = spark.read.parquet(tables["element_history"]).count()
+    assert cs1 > 0 and el1 > 0
+
+    # resume with NO new pages → no-op, tables unchanged
+    again = pipeline.run(spark, pages, out, resume=True)
+    assert again == {}
+    assert spark.read.parquet(tables["changesets"]).count() == cs1
+
+    # resume with new pages → only the delta appended
+    more = synth.pages_df(spark, n_pages=18)  # first 12 identical (same seed)
+    t2 = pipeline.run(spark, more, out, resume=True)
+    assert t2
+    cs2 = spark.read.parquet(tables["changesets"]).count()
+    el2 = spark.read.parquet(tables["element_history"]).count()
+    assert cs2 > cs1 and el2 > el1
+    # idempotence: changeset ids unique after resume (no replays)
+    dup = (
+        spark.read.parquet(tables["changesets"])
+        .groupBy("id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # lineage + checkpoints exist
+    lin = spark.read.parquet(f"{out}/_lineage")
+    assert lin.filter(F.col("stage") == "extract").count() > 0
+    ck = CheckpointStore(spark, f"{out}/_checkpoints")
+    assert ck.last_sequence(pipeline.PIPELINE, "extract") is not None
+
+
+def test_pipeline_element_history_layout(spark, tmp_path):
+    """The physical design claim: element_history is partitioned by type."""
+    out = str(tmp_path / "wh2")
+    tables = pipeline.run(spark, synth.pages_df(spark, n_pages=9), out)
+    import os
+
+    entries = os.listdir(tables["element_history"])
+    assert any(e.startswith("type=") for e in entries)
