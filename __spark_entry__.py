@@ -372,6 +372,74 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def _q_union_distinct(spark, sf_dir):
+    """U1/A9 — distinct union of two differently-tokenized sources (the
+    hashtag-vocabulary shape: two delimiter classes → union → dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.explode(F.split(F.lower("text"), r"[\s,;]")).alias("token"))
+    b = d.select(F.explode(F.split(F.lower("text"), r"[\s;,.@]")).alias("token"))
+    return (
+        a.union(b)
+        .select(F.trim("token").alias("token"))
+        .filter(F.col("token").startswith("t"))
+        .distinct()
+    )
+
+
+def _q_topk(spark, sf_dir):
+    """O1-O4 — deterministic top-k: rank by (totalprice desc, key asc)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def _q_bbox_area(spark, sf_dir):
+    """F13/F14 — bbox centroid + equal-area km² with lat clamping; the
+    mega-changeset filter count per bucket. Doubles rounded to 4 dp (cos()
+    may differ by 1 ulp between JVM and DuckDB libm)."""
+    from insights_spark.geo import bbox
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    b = (
+        o.withColumn("min_lon", F.pmod(F.col("o_orderkey") * 7919, F.lit(340000)) / 1000.0 - 170.0)
+        .withColumn("min_lat", F.pmod(F.col("o_orderkey") * 104729, F.lit(160000)) / 1000.0 - 80.0)
+    ).withColumn("max_lon", F.col("min_lon") + 0.5).withColumn(
+        "max_lat", F.col("min_lat") + 0.25
+    )
+    return b.select(
+        "o_orderkey",
+        F.round(
+            bbox.bbox_area_km2(F.col("min_lon"), F.col("min_lat"),
+                               F.col("max_lon"), F.col("max_lat")), 4
+        ).alias("area_km2"),
+        F.round(bbox.centroid_lat(F.col("min_lat"), F.col("max_lat")), 6).alias("c_lat"),
+        (
+            bbox.bbox_area_km2(F.col("min_lon"), F.col("min_lat"),
+                               F.col("max_lon"), F.col("max_lat"))
+            < F.lit(bbox.MEGA_CHANGESET_KM2)
+        ).alias("is_small"),
+    )
+
+
+def _q_explode_map(spark, sf_dir):
+    """P8 — each(tags): explode a map column into (key, value) rows."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return (
+        d.select(F.explode(m).alias("key", "value"))
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---- non-SQL-expressible (rows-only check: custom kernels) -----------------
 
 def _q_s2_cells(spark, sf_dir):
@@ -458,6 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
+        "union_distinct": _q_union_distinct,
+        "topk": _q_topk,
+        "bbox_area": _q_bbox_area,
+        "explode_map": _q_explode_map,
         # custom kernels — rows-only checks
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
@@ -715,6 +787,54 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "union_distinct": """
+            SELECT DISTINCT trim(token) AS token FROM (
+              SELECT unnest(string_split_regex(lower(text), '[\\s,;]')) AS token
+              FROM documents
+              UNION ALL
+              SELECT unnest(string_split_regex(lower(text), '[\\s;,.@]')) AS token
+              FROM documents)
+            WHERE trim(token) LIKE 't%'
+        """,
+        "topk": """
+            SELECT CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC,
+                                        o_orderkey ASC) AS rank
+              FROM orders) WHERE rank <= 10
+        """,
+        "bbox_area": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     mod(o_orderkey * 7919, 340000) / 1000.0 - 170.0 AS min_lon,
+                     mod(o_orderkey * 104729, 160000) / 1000.0 - 80.0 AS min_lat
+              FROM orders),
+            bb AS (SELECT o_orderkey, min_lon, min_lat,
+                          min_lon + 0.5 AS max_lon, min_lat + 0.25 AS max_lat
+                   FROM b),
+            a AS (SELECT o_orderkey,
+                         abs((max_lon - min_lon)
+                             * cos(radians((greatest(-90.0, least(min_lat, 90.0))
+                                   + greatest(-90.0, least(max_lat, 90.0))) / 2.0))
+                             * 111.19492664455873
+                             * (greatest(-90.0, least(max_lat, 90.0))
+                                - greatest(-90.0, least(min_lat, 90.0)))
+                             * 111.19492664455873) AS area,
+                         (greatest(-90.0, least(min_lat, 90.0))
+                          + greatest(-90.0, least(max_lat, 90.0))) / 2.0 AS c_lat_raw
+                  FROM bb)
+            SELECT o_orderkey, round(area, 4) AS area_km2,
+                   round(c_lat_raw, 6) AS c_lat,
+                   area < 225.0 AS is_small
+            FROM a
+        """,
+        "explode_map": """
+            SELECT key, value, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT 'lang' AS key, lang AS value FROM documents
+              UNION ALL
+              SELECT 'source' AS key, source AS value FROM documents)
+            GROUP BY key, value
         """,
         "ann_topk": """
             SELECT id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (

@@ -47,7 +47,13 @@ class PolygonIndex:
         self.bboxes: list[tuple[float, float, float, float]] = []
         for r in rows:
             for poly in r["polygons"]:
-                rings = [np.asarray(ring, dtype=np.float64) for ring in poly]
+                rings = [
+                    np.asarray(ring, dtype=np.float64)
+                    for ring in poly
+                    if len(ring) >= 4  # a closed ring needs ≥3 distinct points
+                ]
+                if not rings:
+                    continue
                 xs = np.concatenate([g[:, 0] for g in rings])
                 ys = np.concatenate([g[:, 1] for g in rings])
                 self.names.append(r["name_en"])

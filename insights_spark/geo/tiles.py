@@ -72,17 +72,28 @@ def density_rollup(
 
 
 def tile_pyramid(df: DataFrame, zooms: list[int], lon_col: str = "lon",
-                 lat_col: str = "lat") -> DataFrame:
+                 lat_col: str = "lat", persist: bool = True) -> DataFrame:
     """Multi-zoom pyramid: per-z rollups unioned; base computed once.
 
     The base-z rollup is aggregated first, then coarser zooms derive from it
     by integer-halving tile coordinates — each level aggregates the previous
     one instead of rescanning the fact table (log-depth rollup, the Spark
     answer to the reference's per-period loop pattern, hashtags.py:162-349).
+
+    `persist` pins the base rollup (MEMORY_AND_DISK): without it Spark's
+    union recomputes the fact scan once per level — AQE exchange reuse does
+    NOT kick in here because each level's subtree canonicalizes differently.
+    The base rollup is tiny (≤4^base_z tile rows), so persisting is safe at
+    any scale; on a real pipeline the base level is written to a table and
+    coarser levels derive from the read-back.
     """
     zooms = sorted(set(zooms), reverse=True)
     base_z = zooms[0]
     base = density_rollup(df, base_z, lon_col, lat_col)
+    if persist and len(zooms) > 1:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     out = base
     prev, prev_z = base, base_z
     for z in zooms[1:]:

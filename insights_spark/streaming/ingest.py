@@ -1,0 +1,100 @@
+"""Streaming ingestion of pages (SURVEY §2.9 ST1-ST6, stream-ified).
+
+The reference's replication is a pull-based micro-batch loop (fetch diff
+file → parse → upsert → advance checkpoint, changesetmd.py:185-245,
+osmh.py:554-613). Structured Streaming gives the same semantics natively:
+
+- source: `readStream` over the pages directory (file source = the diff
+  sequence; new files = new replication batches, processed in order).
+- extraction: the SAME fused Arrow kernel as batch (exactly-once per batch).
+- sink: `foreachBatch` appending idempotently (dedup on natural keys before
+  write — replay-safe like the reference's ON CONFLICT DO NOTHING, ST3).
+- checkpoint: Spark's streaming checkpoint directory replaces the
+  `*_state` tables (resume = automatic, ST1).
+- late data: watermark on `warc_ts` bounds state for windowed aggregates
+  (the reference's daily anti-join repair covers the same gap in batch).
+
+`edit_density_stream` shows the stateful path: sliding windowed counts of
+edits per tile with a watermark — the streaming twin of the batch tile
+rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import PAGES
+from ..geo import tiles
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a pages parquet directory (ordered batches)."""
+    return (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def stream_extract_elements(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    boundary_rows: list[dict] | None = None,
+):
+    """Stream pages → enriched element rows, idempotent parquet sink.
+
+    foreachBatch dedups on (id, version, type) within the batch and appends;
+    replayed batches (restart after crash) rewrite the same keys — consumers
+    read through the latest-version window (J5), so replays are invisible,
+    mirroring the reference's ON CONFLICT DO NOTHING posture.
+    """
+    from .. import extract, synth
+
+    rows_b = boundary_rows or synth.gen_boundaries()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = extract.extract_elements_enriched(batch_df, rows_b)
+        (
+            enriched.dropDuplicates(["id", "version", "type"])
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def edit_density_stream(
+    elements_stream: DataFrame,
+    z: int = 6,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stateful windowed edit density per tile with late-data watermark.
+
+    Input: a stream of element rows carrying `timestamp`, `lat`, `lon`.
+    Output: (window, z, x, y, edits) — append-mode compatible once the
+    watermark passes, bounded state (the watermark is the engine's answer
+    to the reference's unbounded repair scans, ST4).
+    """
+    pts = (
+        elements_stream.filter(F.col("lat").isNotNull())
+        .withColumn("x", tiles.tile_x(F.col("lon"), z))
+        .withColumn("y", tiles.tile_y(F.col("lat"), z))
+        # watermarks require TIMESTAMP (ltz); session tz is UTC so the cast
+        # from the engine's TIMESTAMP_NTZ columns is value-preserving
+        .withColumn("_event_ts", F.col("timestamp").cast("timestamp"))
+    )
+    return (
+        pts.withWatermark("_event_ts", watermark)
+        .groupBy(F.window("_event_ts", window).alias("window"), "x", "y")
+        .agg(F.count(F.lit(1)).alias("edits"))
+        .select("window", F.lit(z).alias("z"), "x", "y", "edits")
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming tests: incremental file-source ingestion with
+exactly-once-per-batch extraction, restart/resume, windowed tile density."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from insights_spark import synth
+from insights_spark.geo import tiles
+from insights_spark.streaming import ingest
+
+
+def _write_pages_chunk(spark, rows, path):
+    from insights_spark.schemas import PAGES
+
+    spark.createDataFrame(rows, PAGES).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_extract_and_resume(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "elements")
+    ckpt = str(tmp_path / "ckpt")
+    all_rows = synth.gen_pages(18)
+
+    # batch 1: first 9 pages
+    _write_pages_chunk(spark, all_rows[:9], pages_dir)
+    q = ingest.stream_extract_elements(
+        ingest.read_pages_stream(spark, pages_dir), out_dir, ckpt
+    ).start()
+    q.awaitTermination()
+
+    el1 = spark.read.parquet(out_dir)
+    n1 = el1.count()
+    assert n1 > 0
+    assert el1.select("id", "version", "type").distinct().count() == n1
+
+    # batch 2: 9 more pages → restart picks up ONLY the new files
+    _write_pages_chunk(spark, all_rows[9:], pages_dir)
+    q2 = ingest.stream_extract_elements(
+        ingest.read_pages_stream(spark, pages_dir), out_dir, ckpt
+    ).start()
+    q2.awaitTermination()
+
+    el2 = spark.read.parquet(out_dir)
+    n2 = el2.count()
+    assert n2 > n1
+    # no replays: natural keys still unique across the whole sink
+    assert el2.select("id", "version", "type").distinct().count() == n2
+    # enrichment happened in-stream (fused kernel)
+    assert "s2_l12" in el2.columns and "country" in el2.columns
+
+    # third run with nothing new → no-op
+    q3 = ingest.stream_extract_elements(
+        ingest.read_pages_stream(spark, pages_dir), out_dir, ckpt
+    ).start()
+    q3.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == n2
+
+
+def test_edit_density_stream_windows(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    _write_pages_chunk(spark, synth.gen_pages(12), pages_dir)
+    from insights_spark import extract
+
+    # batch-compute the expected density for the same tiles
+    batch_el = extract.extract_elements(spark.read.parquet(pages_dir)).filter(
+        F.col("lat").isNotNull()
+    )
+    stream_el = ingest.read_pages_stream(spark, pages_dir)
+    # reuse the extraction kernel inside the stream via transform-on-batch:
+    # here we stream the *element* rows directly by pre-extracting to parquet
+    el_dir = str(tmp_path / "el")
+    batch_el.write.parquet(el_dir)
+    el_stream = spark.readStream.schema(batch_el.schema).parquet(el_dir)
+
+    dens = ingest.edit_density_stream(el_stream, z=6, window="60 minutes")
+    q = (
+        dens.writeStream.format("memory")
+        .queryName("dens_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["x"], r["y"]): r["edits"] for r in spark.sql(
+        "SELECT x, y, sum(edits) AS edits FROM dens_test GROUP BY x, y").collect()}
+    want = {(r["x"], r["y"]): r["n"] for r in
+            batch_el.withColumn("x", tiles.tile_x(F.col("lon"), 6))
+            .withColumn("y", tiles.tile_y(F.col("lat"), 6))
+            .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(got) > 0
