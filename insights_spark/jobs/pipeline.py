@@ -83,25 +83,38 @@ def run(
         return path
 
     # 1. extract ----------------------------------------------------------
+    from ..runtime import sinks as sink_ops
+
     changesets = extract.extract_changesets(batch)
     comments = extract.extract_comments(batch)
-    elements = extract.extract_elements(batch)
-    sink(changesets, "changesets")
-    sink(comments, "changeset_comments")
+    # S12 delete-then-insert semantics: replayed changesets take the NEW row
+    sink_ops.merge_parquet(changesets, os.path.join(out_dir, "changesets"),
+                           keys=["id"], mode="keep_last")
+    out["changesets"] = os.path.join(out_dir, "changesets")
+    sink_ops.append_dedup(
+        comments, os.path.join(out_dir, "changeset_comments"),
+        keys=["comment_changeset_id", "comment_user_id", "comment_date"],
+    )
+    out["changeset_comments"] = os.path.join(out_dir, "changeset_comments")
     lin.record("extract", batch.select("url"), changesets, sequence)
 
     # 2.+3. enrich + propagate ---------------------------------------------
-    enriched = cells.with_cells(pip.assign_country(elements, boundary_rows))
+    # fused kernel: parse + PIP + cells in one JVM↔Python crossing
+    enriched = extract.extract_elements_enriched(batch, boundary_rows)
     propagated = prop.propagate_locations(enriched)
     # physical design: partition by element type, cluster by the former
-    # "index" columns (X3) — replaces btree/GIN/GIST
-    sink(
+    # "index" columns (X3) — replaces btree/GIN/GIST; S10 ON CONFLICT DO
+    # NOTHING semantics on the natural key
+    el_path = os.path.join(out_dir, "element_history")
+    sink_ops.append_dedup(
         propagated.repartition("type").sortWithinPartitions(
             "country", "h3_r8", "changeset"
         ),
-        "element_history",
+        el_path,
+        keys=["id", "version", "type"],
         partition_by=["type"],
     )
+    out["element_history"] = el_path
     lin.record("enrich", None, propagated, sequence)
 
     # 4. stats --------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Idempotent sink semantics — the reference's upsert triad, table-ified.
+
+Reference sinks (SURVEY §2.1 S10-S12):
+- S10 ``ON CONFLICT DO NOTHING`` on (id,version,type)   → merge keep_first
+- S11 ``ON CONFLICT ... DO UPDATE SET ...``              → merge keep_last
+- S12 delete-then-insert replay (changesets)             → merge keep_last
+
+On Iceberg these are one ``MERGE INTO`` each; this sandbox has no catalog,
+so the parquet fallback models MERGE as read-existing → key-dedup → atomic
+directory swap. The rewrite is O(table) here; the docstring contract is the
+MERGE semantics, and the pipeline's write pattern (natural keys + dedup
+preference) ports to Iceberg unchanged. Replay safety (ST3): re-applying
+any batch, or an OLDER batch, converges to the same table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_parquet(
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    mode: str = "keep_last",
+    order_col: str | None = None,
+) -> None:
+    """MERGE new_df into the parquet table at `path` on `keys`.
+
+    mode='keep_first': existing rows win (ON CONFLICT DO NOTHING, S10).
+    mode='keep_last' : new rows win (DO UPDATE / delete-then-insert, S11/S12).
+    `order_col` (optional): instead of old/new precedence, keep the max
+    order_col row per key — makes the merge commutative across batch replay
+    order (ST5: safe to apply older diffs, README.md:59).
+    """
+    spark = new_df.sparkSession
+    exists = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+    )
+    if not exists:
+        new_df.write.mode("overwrite").parquet(path)
+        return
+
+    old = spark.read.parquet(path)
+    tagged = old.withColumn("_gen", F.lit(0)).unionByName(
+        new_df.withColumn("_gen", F.lit(1))
+    )
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_gen"))
+    elif mode == "keep_first":
+        w = Window.partitionBy(*keys).orderBy(F.asc("_gen"))
+    else:
+        w = Window.partitionBy(*keys).orderBy(F.desc("_gen"))
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
+
+    # atomic publish: write beside, swap directories (Iceberg gets this from
+    # snapshot commits; plain parquet needs the tmp-and-rename dance)
+    tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def append_dedup(new_df: DataFrame, path: str, keys: list[str],
+                 partition_by: list[str] | None = None) -> None:
+    """Cheap S10 for append-mostly tables: drop batch rows whose keys are
+    already present, then append (no table rewrite). Exactly the
+    reference's ON CONFLICT DO NOTHING cost profile."""
+    spark = new_df.sparkSession
+    exists = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+    )
+    batch = new_df.dropDuplicates(keys)
+    if exists:
+        existing = spark.read.parquet(path).select(*keys)
+        batch = batch.join(existing, keys, "left_anti")
+    w = batch.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
