@@ -137,15 +137,17 @@ def poly_hash_np(strings: list[str], mod: int = MOD, base: int = BASE,
     if not strings:
         return np.zeros(0, dtype=np.int64)
     arr = np.array(strings, dtype="U")
-    maxlen = arr.dtype.itemsize // 4
-    codes = arr.view(np.uint32).reshape(len(arr), maxlen).astype(np.int64)
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    maxlen = max(arr.dtype.itemsize // 4, 1)
+    codes = arr.view(np.uint32).reshape(len(arr), -1).astype(np.int64)
     h = np.full(len(arr), seed, dtype=np.int64)
-    for j in range(maxlen):
-        c = codes[:, j]
-        live = c > 0
+    # mask by true length, not by code>0: strings may contain NUL, which is
+    # indistinguishable from numpy's fixed-width padding otherwise
+    for j in range(min(maxlen, codes.shape[1])):
+        live = lengths > j
         if not live.any():
             break
-        h = np.where(live, (h * base + c) % mod, h)
+        h = np.where(live, (h * base + codes[:, j]) % mod, h)
     return h
 
 
