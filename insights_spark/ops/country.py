@@ -51,6 +51,30 @@ def building_counts_asof(
     return out.withColumn("by_month", F.lit(by_month).cast("timestamp_ntz"))
 
 
+def country_insights(
+    elements: DataFrame,
+    months: list,
+    hot_changeset_ids: DataFrame | None = None,
+) -> DataFrame:
+    """The full country_insights table: one row per (country, by_month).
+
+    The reference runs one correlated UPDATE per country per year
+    (advanced-queries.md:130-155); the engine unions one as-of snapshot per
+    month-end — each snapshot is a single shuffle, and months are
+    independent jobs a scheduler can run in parallel. (A single-DAG variant
+    would explode elements × months before the window; at 100 TB the
+    per-month loop is the cheaper plan because the as-of filter prunes the
+    scan to timestamp < month, which Parquet skips on.)
+    """
+    if not months:
+        raise ValueError("country_insights requires at least one month-end")
+    out = None
+    for m in months:
+        snap = building_counts_asof(elements, m, hot_changeset_ids)
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
 def mapathon_tag_action_report(
     elements: DataFrame, changeset_ids: DataFrame
 ) -> DataFrame:

@@ -142,6 +142,44 @@ def hashtag_period_stats(
     )
 
 
+def update_first_last_used(
+    changesets: DataFrame, registry: DataFrame
+) -> DataFrame:
+    """A6 incremental — refresh the registry's first/last_used columns.
+
+    Reference (hashtags.py:60-111): hashtags with no first_used get a full
+    min/max scan; hashtags that already have one only recompute last_used
+    over ``created_at >= last_used`` (the watermark). The engine computes
+    BOTH cases in one pass: the full min/max per hashtag is cheap once the
+    matched set is built, and the merge picks
+        first_used = coalesce(old.first_used, new.first)
+        last_used  = greatest(old.last_used, new.last).
+    Returns the registry with refreshed columns (same schema).
+    """
+    fresh = first_last_used(changesets, registry).select(
+        F.col("hashtag_id").alias("id"),
+        F.to_date("first_used").alias("_new_first"),
+        F.to_date("last_used").alias("_new_last"),
+    )
+    merged = registry.join(fresh, "id", "left")
+    return merged.select(
+        *[c for c in registry.columns if c not in ("first_used", "last_used")],
+        F.coalesce("first_used", "_new_first").alias("first_used"),
+        F.greatest("last_used", "_new_last").alias("last_used"),
+    )
+
+
+def pending_periods(
+    stats_out: DataFrame, committed: DataFrame
+) -> DataFrame:
+    """X7 — the checkIfExists idempotence probe (hashtags.py:40-59), set-
+    based: anti-join freshly computed period rows against already-committed
+    (hashtag_id, type, start_date, end_date) keys; only the remainder is
+    written. Replaces one existence probe per (hashtag × period)."""
+    keys = ["hashtag_id", "type", "start_date", "end_date"]
+    return stats_out.join(committed.select(*keys), keys, "left_anti")
+
+
 def hot_changesets(changesets: DataFrame) -> DataFrame:
     """X6 — the `hot_changeset` materialized view
     (reference advanced-queries.md:235-261): changesets whose comment or

@@ -236,6 +236,56 @@ def test_first_last_used(spark):
     assert r["first_used"] == T and r["last_used"] == datetime(2021, 9, 1)
 
 
+def test_update_first_last_used_incremental(spark):
+    cs = spark.createDataFrame(
+        [
+            (100, 7, T, {"comment": "#maplesotho go"}),
+            (101, 8, datetime(2021, 9, 1), {"hashtags": "#maplesotho"}),
+            (102, 8, datetime(2021, 7, 1), {"comment": "#osmke x"}),
+        ],
+        "id long, user_id long, created_at timestamp_ntz, tags map<string,string>",
+    )
+    from datetime import date
+
+    reg = spark.createDataFrame(
+        [(1, "maplesotho", T, False, date(2021, 1, 1), date(2021, 2, 1)),
+         (2, "osmke", T, False, None, None),
+         (3, "ghost", T, False, None, None)],
+        "id int, name string, created_at timestamp_ntz, is_tm_project boolean,"
+        "first_used date, last_used date",
+    )
+    out = {r["id"]: (r["first_used"], r["last_used"])
+           for r in hashtags.update_first_last_used(cs, reg).collect()}
+    # existing first_used preserved, last_used advanced
+    assert out[1] == (date(2021, 1, 1), date(2021, 9, 1))
+    # fresh hashtag gets both from scratch
+    assert out[2] == (date(2021, 7, 1), date(2021, 7, 1))
+    # unmatched hashtag keeps NULLs
+    assert out[3] == (None, None)
+
+
+def test_pending_periods_idempotence_probe(spark):
+    fresh = spark.createDataFrame(
+        [(1, "w", T, datetime(2021, 8, 12), 5), (1, "w", datetime(2021, 8, 12),
+                                                 datetime(2021, 8, 19), 7)],
+        "hashtag_id int, type string, start_date timestamp_ntz,"
+        "end_date timestamp_ntz, total_new_buildings long",
+    )
+    committed = fresh.limit(1)
+    rest = hashtags.pending_periods(fresh, committed).collect()
+    assert len(rest) == 1 and rest[0]["total_new_buildings"] == 7
+
+
+def test_country_insights_multi_month(spark):
+    e = _mk_elements(spark)
+    p = propagate.propagate_locations(e)
+    months = [datetime(2021, 9, 1), datetime(2021, 10, 1)]
+    out = {(r["country"], r["by_month"]): r["building_count"]
+           for r in country.country_insights(p, months).collect()}
+    assert out[("Kenya", datetime(2021, 9, 1))] == 1
+    assert out[("Kenya", datetime(2021, 10, 1))] == 1
+
+
 # ------------------------------------------------------------------ country
 
 def test_building_counts_asof(spark):
