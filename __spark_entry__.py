@@ -158,14 +158,14 @@ def _q_latest_event(spark, sf_dir):
 
 def _q_latest_event_asof(spark, sf_dir):
     """J5 as-of — latest event per user strictly before a cutoff."""
-    from datetime import datetime
-
     from insights_spark.ops.latest import latest_version
 
     ev = _t(spark, sf_dir, "events")
+    # NTZ literal: a naive-datetime lit would be TIMESTAMP_LTZ and shift
+    # under a non-UTC driver session timezone
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     return latest_version(
-        ev, keys=("user_id",), version_col="ts", cutoff_col="ts",
-        cutoff=F.lit(datetime(2024, 1, 15)),
+        ev, keys=("user_id",), version_col="ts", cutoff_col="ts", cutoff=cutoff
     ).select("user_id", "event_id", "event_type")
 
 
@@ -216,8 +216,10 @@ def _q_month_rollup(spark, sf_dir):
     """F7/A3/A5 — calendar month buckets + exact aggregates."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.withColumn("month", F.date_trunc("month", F.col("ts")))
-        .withColumn("quarter", F.date_trunc("quarter", F.col("ts")))
+        # cast back to NTZ: date_trunc yields LTZ, which would shift values
+        # under a non-UTC driver session timezone
+        ev.withColumn("month", F.date_trunc("month", F.col("ts")).cast("timestamp_ntz"))
+        .withColumn("quarter", F.date_trunc("quarter", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("month", "quarter", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -42,7 +42,9 @@ def period_start(ts: Column, freq: str) -> Column:
     if freq == "w":
         return week_start(ts)
     trunc = {"m": "month", "q": "quarter", "y": "year"}[freq]
-    return F.date_trunc(trunc, ts)
+    # date_trunc returns TIMESTAMP (ltz) even for NTZ input; cast back so
+    # bucket boundaries are wall-clock-stable under any session timezone
+    return F.date_trunc(trunc, ts).cast("timestamp_ntz")
 
 
 def period_end(start: Column, freq: str) -> Column:
