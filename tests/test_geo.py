@@ -147,6 +147,30 @@ def test_knn_exact_vs_cell_local(spark):
     assert exact == local
 
 
+def test_knn_escalation_covers_sparse_points(spark):
+    """Two far-apart clusters + one isolated point: the isolated point finds
+    nothing at fine res, but the escalation pass at a coarse res recovers
+    its true neighbors (matching exact kNN)."""
+    pts = [(0, 0.0, 0.0)]  # isolated
+    pts += [(i, 35.0 + i * 0.001, 10.0) for i in range(1, 6)]
+    pts += [(i, -40.0 + i * 0.001, -30.0) for i in range(6, 11)]
+    df = spark.createDataFrame([(int(a), float(b), float(c)) for a, b, c in pts],
+                               "id long, lon double, lat double")
+    fine = knn.knn_cell_local(df, k=2, res=6, rings=1)
+    assert fine.filter(F.col("id") == 0).count() == 0  # isolated finds nothing
+    esc = knn.knn_cell_local(df, k=2, res=6, rings=1, escalate_res=0)
+    exact = {(r["id"], r["rank"]): r["neighbor_id"]
+             for r in knn.knn_exact(df, k=2).collect()}
+    got = {(r["id"], r["rank"]): r["neighbor_id"]
+           for r in esc.filter(F.col("id") == 0).collect()}
+    assert got and all(exact[k_] == v for k_, v in got.items())
+    # dense points keep their fine-pass results unchanged
+    f = {(r["id"], r["rank"]): r["neighbor_id"] for r in fine.collect()}
+    e = {(r["id"], r["rank"]): r["neighbor_id"]
+         for r in esc.filter(F.col("id") != 0).collect()}
+    assert all(e[k_] == f[k_] for k_ in f)
+
+
 def test_knn_deterministic_ties(spark):
     # four corners equidistant from center: ties broken by neighbor_id asc
     df = spark.createDataFrame(
