@@ -495,6 +495,216 @@ def _q_multimodal(spark, sf_dir):
     return image_features(synth_media(spark, n=120))
 
 
+def _q_country_insights(spark, sf_dir):
+    """A10 — per-country building counts as-of a cutoff: latest version per
+    (type, id) strictly before the month (J5 as-of), THEN the building/type/
+    country predicates, count distinct ids (ops.country.building_counts_asof)."""
+    from insights_spark.ops.country import building_counts_asof
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    els = li.select(
+        k.alias("id"),
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        # fold partkey/suppkey in so the latest-version pick is deterministic
+        (
+            F.col("l_linenumber").cast("long") * F.lit(1000000000000)
+            + F.col("l_partkey") * F.lit(1000000)
+            + F.col("l_suppkey")
+        ).alias("version"),
+        F.when(F.pmod(k, F.lit(4)) == 0, F.lit("node"))
+        .when(F.pmod(k, F.lit(4)) == 1, F.lit("relation"))
+        .otherwise(F.lit("way"))
+        .alias("type"),
+        F.col("l_shipdate").alias("timestamp"),
+        F.when(
+            F.pmod(F.col("l_partkey"), F.lit(3)) == 0,
+            F.create_map(F.lit("building"), F.lit("yes")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+        F.when(F.pmod(F.col("l_suppkey"), F.lit(5)) == 4, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("C"), F.pmod(F.col("l_suppkey"), F.lit(5)).cast("string"))
+        )
+        .alias("country"),
+    )
+    return building_counts_asof(els, "1997-01-01 00:00:00")
+
+
+def _q_propagate_ways(spark, sf_dir):
+    """J7 — way location propagation: latest-version node dim (two node
+    versions; even ids get a v2 at shifted coordinates) joined on nds[0];
+    empty-nds ways stay NULL; a way's own non-NULL country wins (coalesce)."""
+    from insights_spark.ops.propagate import propagate_way_locations
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    n1 = _points(cust, "c_custkey").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("node").alias("type"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("lat"),
+        F.col("lon"),
+        F.concat(
+            F.lit("N"), F.pmod(F.col("c_custkey"), F.lit(5)).cast("string")
+        ).alias("country"),
+        F.lit(None).cast("array<bigint>").alias("nds"),
+    )
+    c2 = cust.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 0).withColumn(
+        "k2", F.col("c_custkey") + F.lit(1000000)
+    )
+    n2 = _points(c2, "k2").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("node").alias("type"),
+        F.lit(2).cast("long").alias("version"),
+        F.col("lat"),
+        F.col("lon"),
+        F.concat(
+            F.lit("M"), F.pmod(F.col("c_custkey"), F.lit(5)).cast("string")
+        ).alias("country"),
+        F.lit(None).cast("array<bigint>").alias("nds"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    ways = o.select(
+        ok.alias("id"),
+        F.lit("way").alias("type"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.when(F.pmod(ok, F.lit(7)) == 0, F.lit("OWN"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("country"),
+        F.when(F.pmod(ok, F.lit(50)) == 0, F.array().cast("array<bigint>"))
+        .otherwise(F.array(F.col("o_custkey")))
+        .alias("nds"),
+    )
+    els = n1.unionByName(n2).unionByName(ways)
+    return (
+        propagate_way_locations(els)
+        .filter(F.col("type") == "way")
+        .select("id", "lon", "lat", "country")
+    )
+
+
+def _q_campaign_rollup(spark, sf_dir):
+    """A7/J2/P4/F7 — one-pass hashtag campaign rollup for monthly periods:
+    broadcast registry theta-join on the 4-pattern match, left join to the
+    per-changeset stats battery (some changesets lack stats → coalesce 0),
+    groupBy(hashtag, month) (ops.hashtags.hashtag_period_stats)."""
+    from insights_spark.ops.hashtags import hashtag_period_stats
+
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    changesets = o.select(
+        ok.alias("id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("created_at"),
+        F.create_map(
+            F.lit("comment"),
+            F.concat(
+                F.lit("fix #camp"),
+                F.pmod(ok, F.lit(4)).cast("string"),
+                # exercise both comment patterns: '%#h %' and trailing '%#h'
+                F.when(F.pmod(ok, F.lit(3)) == 0, F.lit(" work")).otherwise(F.lit("")),
+            ),
+        ).alias("tags"),
+    )
+    reg = spark.createDataFrame(
+        [(1, "camp0"), (2, "camp1"), (3, "camp2")], "id long, name string"
+    )
+    stats = o.filter(F.pmod(ok, F.lit(11)) != 0).select(
+        ok.alias("changeset"),
+        F.pmod(ok, F.lit(10)).cast("int").alias("added_buildings"),
+        F.pmod(ok, F.lit(7)).cast("double").alias("added_highway_meters"),
+        F.pmod(ok, F.lit(5)).cast("int").alias("added_amenity"),
+        F.pmod(ok, F.lit(4)).cast("int").alias("modified_amenity"),
+        F.pmod(ok, F.lit(3)).cast("int").alias("added_places"),
+        F.pmod(ok, F.lit(2)).cast("int").alias("modified_places"),
+    )
+    return hashtag_period_stats(changesets, stats, reg, "m")
+
+
+def _q_mapathon_report(spark, sf_dir):
+    """J1/P8/A4 — mapathon tag/action report: semi-join elements against the
+    filtered changeset set, explode the tag map, countDistinct features per
+    (key, action) (ops.country.mapathon_tag_action_report)."""
+    from insights_spark.ops.country import mapathon_tag_action_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    els = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("changeset"),
+        F.when(F.pmod(F.col("l_linenumber"), F.lit(3)) == 0, F.lit("create"))
+        .when(F.pmod(F.col("l_linenumber"), F.lit(3)) == 1, F.lit("modify"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+        F.map_filter(
+            F.create_map(
+                F.lit("building"),
+                F.when(F.pmod(F.col("l_partkey"), F.lit(3)) == 0, F.lit("yes")),
+                F.lit("highway"),
+                F.when(
+                    F.pmod(F.col("l_partkey"), F.lit(5)) == 0, F.lit("residential")
+                ),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    ids = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        .select(F.col("o_orderkey").alias("id"))
+    )
+    return mapathon_tag_action_report(els, ids)
+
+
+def _q_tasks_per_user(spark, sf_dir):
+    """J10/U1 — tasks_per_user modeled on a local task_history fixture:
+    project/window/action filter → per-user count (ops.users.tasks_per_user)."""
+    from insights_spark.ops.users import tasks_per_user
+
+    th = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("project_id"),
+        F.col("ts").alias("action_date"),
+        F.col("event_type").alias("action_text"),
+    )
+    return tasks_per_user(
+        th, [1, 2, 3], "2024-01-01 00:00:00", "2024-01-15 00:00:00", "click"
+    )
+
+
+def _q_way_meters(spark, sf_dir):
+    """A2/U3/F15 — construct_way_geometry (explode nds → as-of node join →
+    ordered collect) + geodesic length. Vincenty has no ANSI-SQL equivalent →
+    rows-only check; exactness is covered by tests against known WGS84 arcs."""
+    from insights_spark.geo.length import way_length_m
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    nodes = _points(cust, "c_custkey").select(
+        F.col("c_custkey").alias("id"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("timestamp"),
+        "lat",
+        "lon",
+    )
+    o = _t(spark, sf_dir, "orders")
+    ways = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("o_orderdate").alias("timestamp"),
+        F.array(
+            F.col("o_custkey"),
+            F.pmod(F.col("o_custkey") * 31, F.lit(100)),
+            F.pmod(F.col("o_custkey") * 7, F.lit(100)),
+        ).alias("nds"),
+    )
+    return way_length_m(ways, nodes).select(
+        "way_id", "way_version", F.round(F.col("length_m"), 3).alias("length_m")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_flagship_tile_density(spark, SF_DEFAULT)
@@ -532,6 +742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
         "explode_map": _q_explode_map,
+        "country_insights": _q_country_insights,
+        "propagate_ways": _q_propagate_ways,
+        "campaign_rollup": _q_campaign_rollup,
+        "mapathon_report": _q_mapathon_report,
+        "tasks_per_user": _q_tasks_per_user,
         # custom kernels — rows-only checks
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
@@ -540,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "multimodal_features": _q_multimodal,
+        "way_meters": _q_way_meters,
     }
 
 
@@ -837,6 +1053,118 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'source' AS key, source AS value FROM documents)
             GROUP BY key, value
+        """,
+        "country_insights": """
+            WITH el AS (
+              SELECT l_orderkey AS id,
+                     l_linenumber::BIGINT * 1000000000000
+                       + l_partkey * 1000000 + l_suppkey AS version,
+                     CASE WHEN mod(l_orderkey, 4) = 0 THEN 'node'
+                          WHEN mod(l_orderkey, 4) = 1 THEN 'relation'
+                          ELSE 'way' END AS type,
+                     l_shipdate AS ts,
+                     mod(l_partkey, 3) = 0 AS has_building,
+                     CASE WHEN mod(l_suppkey, 5) = 4 THEN NULL
+                          ELSE 'C' || mod(l_suppkey, 5)::VARCHAR END AS country
+              FROM lineitem),
+            latest AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY type, id
+                           ORDER BY version DESC) AS rn
+                FROM el WHERE ts < TIMESTAMP '1997-01-01') WHERE rn = 1)
+            SELECT country,
+                   CAST(count(DISTINCT id) AS BIGINT) AS building_count,
+                   TIMESTAMP '1997-01-01 00:00:00' AS by_month
+            FROM latest
+            WHERE has_building AND type IN ('way', 'relation')
+              AND country IS NOT NULL
+            GROUP BY country
+        """,
+        "propagate_ways": """
+            WITH nd AS (
+              SELECT c_custkey AS id,
+                CASE WHEN mod(c_custkey, 2) = 0
+                     THEN mod((c_custkey + 1000000) * 7919, 360000) / 1000.0 - 180.0
+                     ELSE mod(c_custkey * 7919, 360000) / 1000.0 - 180.0 END AS lon,
+                CASE WHEN mod(c_custkey, 2) = 0
+                     THEN mod((c_custkey + 1000000) * 104729, 170000) / 1000.0 - 85.0
+                     ELSE mod(c_custkey * 104729, 170000) / 1000.0 - 85.0 END AS lat,
+                CASE WHEN mod(c_custkey, 2) = 0
+                     THEN 'M' || mod(c_custkey, 5)::VARCHAR
+                     ELSE 'N' || mod(c_custkey, 5)::VARCHAR END AS country
+              FROM customer)
+            SELECT o_orderkey AS id,
+                   CASE WHEN mod(o_orderkey, 50) = 0 THEN NULL ELSE nd.lon END AS lon,
+                   CASE WHEN mod(o_orderkey, 50) = 0 THEN NULL ELSE nd.lat END AS lat,
+                   CASE WHEN mod(o_orderkey, 7) = 0 THEN 'OWN'
+                        WHEN mod(o_orderkey, 50) = 0 THEN NULL
+                        ELSE nd.country END AS country
+            FROM orders LEFT JOIN nd ON o_custkey = nd.id
+        """,
+        "campaign_rollup": """
+            WITH cs AS (
+              SELECT o_orderkey AS id, o_custkey AS user_id,
+                     o_orderdate AS created_at,
+                     'fix #camp' || mod(o_orderkey, 4)::VARCHAR ||
+                     CASE WHEN mod(o_orderkey, 3) = 0 THEN ' work' ELSE '' END
+                       AS comment
+              FROM orders),
+            reg AS (SELECT * FROM (VALUES (1, 'camp0'), (2, 'camp1'), (3, 'camp2'))
+                    t(hashtag_id, hashtag_name)),
+            m AS (SELECT hashtag_id, cs.id AS cs_id, user_id,
+                         date_trunc('month', created_at)::TIMESTAMP AS start_date
+                  FROM cs JOIN reg
+                    ON lower(comment) LIKE '%#' || hashtag_name || ' %'
+                    OR lower(comment) LIKE '%#' || hashtag_name),
+            st AS (SELECT o_orderkey AS changeset,
+                          mod(o_orderkey, 10) AS added_buildings,
+                          mod(o_orderkey, 7)::DOUBLE AS added_highway_meters,
+                          mod(o_orderkey, 5) AS added_amenity,
+                          mod(o_orderkey, 4) AS modified_amenity,
+                          mod(o_orderkey, 3) AS added_places,
+                          mod(o_orderkey, 2) AS modified_places
+                   FROM orders WHERE mod(o_orderkey, 11) != 0)
+            SELECT CAST(hashtag_id AS BIGINT) AS hashtag_id, 'm' AS type,
+                   start_date,
+                   start_date + INTERVAL 1 MONTH AS end_date,
+                   CAST(coalesce(sum(added_buildings), 0) AS BIGINT) AS total_new_buildings,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS total_uq_contributors,
+                   coalesce(sum(added_highway_meters), 0.0) AS total_new_road_meters,
+                   CAST(coalesce(sum(added_amenity), 0) AS BIGINT) AS total_new_amenity,
+                   CAST(coalesce(sum(modified_amenity), 0) AS BIGINT) AS total_modified_amenity,
+                   CAST(coalesce(sum(added_places), 0) AS BIGINT) AS total_new_places,
+                   CAST(coalesce(sum(modified_places), 0) AS BIGINT) AS total_modified_places
+            FROM m LEFT JOIN st ON m.cs_id = st.changeset
+            GROUP BY hashtag_id, start_date
+        """,
+        "mapathon_report": """
+            WITH ids AS (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F' AND o_totalprice > 150000),
+            el AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+                          CASE WHEN mod(l_linenumber, 3) = 0 THEN 'create'
+                               WHEN mod(l_linenumber, 3) = 1 THEN 'modify'
+                               ELSE 'delete' END AS action,
+                          l_partkey
+                   FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM ids)),
+            kv AS (SELECT id, action, 'building' AS key FROM el
+                   WHERE mod(l_partkey, 3) = 0
+                   UNION ALL
+                   SELECT id, action, 'highway' AS key FROM el
+                   WHERE mod(l_partkey, 5) = 0)
+            SELECT key, action, CAST(count(DISTINCT id) AS BIGINT) AS features
+            FROM kv GROUP BY key, action
+        """,
+        "tasks_per_user": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS task_count
+            FROM (SELECT user_id, mod(event_id, 20) AS project_id,
+                         ts AS action_date, event_type AS action_text
+                  FROM events)
+            WHERE project_id IN (1, 2, 3)
+              AND action_date >= TIMESTAMP '2024-01-01 00:00:00'
+              AND action_date <= TIMESTAMP '2024-01-15 00:00:00'
+              AND action_text = 'click'
+            GROUP BY user_id
         """,
         "ann_topk": """
             SELECT id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (
