@@ -659,6 +659,33 @@ def _q_mapathon_report(spark, sf_dir):
     return mapathon_tag_action_report(els, ids)
 
 
+def _q_hot_changesets(spark, sf_dir):
+    """J8/X6 — hot_changeset materialized view: '%hotosm%' filter, then
+    country by centroid-in-polygon (geo.bbox.hot_changesets_with_country).
+    Bbox widths (1.0, 0.25) keep centroids off the synthetic polygon edges;
+    centroid = (min+max)/2 written identically in the oracle so both engines
+    evaluate the same IEEE expression tree."""
+    from insights_spark.geo.bbox import hot_changesets_with_country
+
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    cs = (
+        o.select(
+            ok.alias("id"),
+            F.create_map(
+                F.lit("comment"),
+                F.when(F.pmod(ok, F.lit(3)) == 0, F.lit("#hotosm-project fix"))
+                .otherwise(F.lit("routine edit")),
+            ).alias("tags"),
+            (F.pmod(ok * 7919, F.lit(340000)) / 1000.0 - 170.0).alias("min_lon"),
+            (F.pmod(ok * 104729, F.lit(160000)) / 1000.0 - 80.0).alias("min_lat"),
+        )
+        .withColumn("max_lon", F.col("min_lon") + 1.0)
+        .withColumn("max_lat", F.col("min_lat") + 0.25)
+    )
+    return hot_changesets_with_country(cs, _boundary_rows()).select("id", "country")
+
+
 def _q_tasks_per_user(spark, sf_dir):
     """J10/U1 — tasks_per_user modeled on a local task_history fixture:
     project/window/action filter → per-user count (ops.users.tasks_per_user)."""
@@ -747,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "campaign_rollup": _q_campaign_rollup,
         "mapathon_report": _q_mapathon_report,
         "tasks_per_user": _q_tasks_per_user,
+        "hot_changesets": _q_hot_changesets,
         # custom kernels — rows-only checks
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
@@ -1154,6 +1182,21 @@ def oracle_sql() -> dict[str, str]:
                    WHERE mod(l_partkey, 5) = 0)
             SELECT key, action, CAST(count(DISTINCT id) AS BIGINT) AS features
             FROM kv GROUP BY key, action
+        """,
+        "hot_changesets": f"""
+            WITH cs AS (
+              SELECT o_orderkey AS id,
+                     CASE WHEN mod(o_orderkey, 3) = 0 THEN '#hotosm-project fix'
+                          ELSE 'routine edit' END AS comment,
+                     mod(o_orderkey * 7919, 340000) / 1000.0 - 170.0 AS min_lon,
+                     mod(o_orderkey * 104729, 160000) / 1000.0 - 80.0 AS min_lat
+              FROM orders),
+            c AS (SELECT id, comment,
+                         (min_lon + (min_lon + 1.0)) / 2.0 AS lon,
+                         (min_lat + (min_lat + 0.25)) / 2.0 AS lat
+                  FROM cs)
+            SELECT id, {_country_case_sql()} AS country
+            FROM c WHERE lower(comment) LIKE '%hotosm%'
         """,
         "tasks_per_user": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS task_count

@@ -65,6 +65,25 @@ def _batch_extract(pdf: pd.DataFrame) -> list[dict]:
     return out
 
 
+def _batch_extract_changesets(pdf: pd.DataFrame) -> tuple[list[dict], list[dict]]:
+    """Records-only changeset parse of one Arrow batch (no canonical text)."""
+    import xml.etree.ElementTree as ET
+
+    changesets: list[dict] = []
+    comments: list[dict] = []
+    for _url, html in zip(pdf["url"], pdf["html"]):
+        payload = payload_of(bytes(html))
+        if not payload:
+            continue
+        try:
+            cs, cm = ref_parser.parse_changeset_page(payload)
+        except ET.ParseError:
+            continue
+        changesets.extend(cs)
+        comments.extend(cm)
+    return changesets, comments
+
+
 def extract_changesets(pages: DataFrame) -> DataFrame:
     """pages → changesets rows (reference table osm_changeset, queries.py:6-20)."""
     src = pages.filter(F.col("url").contains("/changeset-dump/")).select("url", "html")
@@ -72,10 +91,7 @@ def extract_changesets(pages: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CHANGESETS.fields]
         for pdf in batches:
-            rows = []
-            for _url, rec in _batch_extract(pdf):
-                rows.extend(rec["changesets"])
-            yield pd.DataFrame(rows, columns=cols)
+            yield _columnar(_batch_extract_changesets(pdf)[0], cols)
 
     return src.mapInPandas(gen, CHANGESETS)
 
@@ -87,12 +103,39 @@ def extract_comments(pages: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CHANGESET_COMMENTS.fields]
         for pdf in batches:
-            rows = []
-            for _url, rec in _batch_extract(pdf):
-                rows.extend(rec["comments"])
-            yield pd.DataFrame(rows, columns=cols)
+            yield _columnar(_batch_extract_changesets(pdf)[1], cols)
 
     return src.mapInPandas(gen, CHANGESET_COMMENTS)
+
+
+def _batch_extract_elements(pdf: pd.DataFrame) -> list[dict]:
+    """Records-only element parse of one Arrow batch (no canonical text).
+
+    The ingest hot path needs element rows, not the byte-identical canonical
+    text — reconstructing that text (extract_text's invariant) costs ~40% of
+    the batch and would be thrown away here. Same skip-bad-payloads posture
+    as _batch_extract.
+    """
+    import xml.etree.ElementTree as ET
+
+    rows: list[dict] = []
+    for _url, html in zip(pdf["url"], pdf["html"]):
+        payload = payload_of(bytes(html))
+        if not payload:
+            continue
+        try:
+            rows.extend(ref_parser.parse_element_page(payload))
+        except ET.ParseError:
+            continue
+    return rows
+
+
+def _columnar(rows: list[dict], cols: list[str]) -> pd.DataFrame:
+    """list-of-dicts → DataFrame via column lists (skips pandas' much slower
+    per-dict nested_data_to_arrays path)."""
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame({c: [r[c] for r in rows] for c in cols}, columns=cols)
 
 
 def extract_elements(pages: DataFrame) -> DataFrame:
@@ -105,15 +148,7 @@ def extract_elements(pages: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in ELEMENT_HISTORY.fields]
         for pdf in batches:
-            rows = []
-            for _url, rec in _batch_extract(pdf):
-                for r in rec["elements"]:
-                    r = dict(r)
-                    r["members"] = [
-                        (m["ref"], m["type"], m["role"]) for m in r["members"]
-                    ]
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=cols)
+            yield _columnar(_batch_extract_elements(pdf), cols)
 
     return src.mapInPandas(gen, ELEMENT_HISTORY)
 
@@ -148,16 +183,9 @@ def extract_elements_enriched(pages: DataFrame, boundary_rows: list[dict]) -> Da
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index: PolygonIndex = bc.value
+        base_cols = [f.name for f in ELEMENT_HISTORY.fields]
         for pdf in batches:
-            rows = []
-            for _url, rec in _batch_extract(pdf):
-                for r in rec["elements"]:
-                    r = dict(r)
-                    r["members"] = [
-                        (m["ref"], m["type"], m["role"]) for m in r["members"]
-                    ]
-                    rows.append(r)
-            out = pd.DataFrame(rows, columns=[f.name for f in ELEMENT_HISTORY.fields])
+            out = _columnar(_batch_extract_elements(pdf), base_cols)
             if len(out):
                 lon = pd.to_numeric(out["lon"], errors="coerce").to_numpy(
                     np.float64, na_value=np.nan

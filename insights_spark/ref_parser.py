@@ -124,11 +124,11 @@ def _element_row(kind: str, elem, wrapper_action: str | None) -> dict:
             nds.append(int(child.attrib["ref"]))
         elif child.tag == "member":
             members.append(
-                {
-                    "ref": _int(child.attrib.get("ref")),
-                    "type": child.attrib.get("type"),
-                    "role": child.attrib.get("role"),
-                }
+                (
+                    _int(child.attrib.get("ref")),
+                    child.attrib.get("type"),
+                    child.attrib.get("role"),
+                )
             )
     action = wrapper_action or _derive_action(kind, a, tags, nds, members)
     return {
@@ -151,6 +151,25 @@ def _element_row(kind: str, elem, wrapper_action: str | None) -> dict:
 _ELEMENT_KINDS = ("node", "way", "relation")
 _WRAPPER_KINDS = ("create", "modify", "delete")
 
+# Above this size, parse with iterparse + elem.clear() streaming discipline
+# (mega-payload safety); below it, one fromstring tree walk — same rows in the
+# same document order, without the per-event generator machinery that
+# dominates small-payload parse time.
+_STREAM_PARSE_BYTES = 8 * 1024 * 1024
+
+
+def _walk_elements(elem, wrapper: str | None, rows: list[dict]) -> None:
+    for child in elem:
+        tag = child.tag
+        if tag in _ELEMENT_KINDS:
+            rows.append(_element_row(tag, child, wrapper))
+        elif tag in _WRAPPER_KINDS:
+            _walk_elements(child, tag, rows)
+        else:
+            # unknown container: keep scanning (iterparse parity — it yields
+            # element end-events at any nesting depth)
+            _walk_elements(child, wrapper, rows)
+
 
 def parse_element_page(payload: bytes) -> list[dict]:
     """Parse an element-history or .osc-diff payload into element rows.
@@ -160,6 +179,9 @@ def parse_element_page(payload: bytes) -> list[dict]:
     (osmh.py:448-461).
     """
     rows: list[dict] = []
+    if len(payload) <= _STREAM_PARSE_BYTES:
+        _walk_elements(ET.fromstring(payload), None, rows)
+        return rows
     stack: list[str] = []
     for event, elem in ET.iterparse(BytesIO(payload), events=("start", "end")):
         if event == "start":
@@ -226,8 +248,7 @@ def canonical_text_elements(rows: list[dict]) -> str:
     for r in rows:
         nds = ",".join(str(n) for n in r["nds"])
         members = ",".join(
-            f"{_fmt(m['ref'])}:{_fmt(m['type'])}:{_fmt(m['role'])}"
-            for m in r["members"]
+            f"{_fmt(m[0])}:{_fmt(m[1])}:{_fmt(m[2])}" for m in r["members"]
         )
         lines.append(
             "element|" + "|".join(

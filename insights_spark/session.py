@@ -5,6 +5,14 @@ job would set on a 1000-executor cluster — AQE on (runtime re-plan + skew-join
 splitting), adaptive partition coalescing, Arrow for all pandas-UDF exchange,
 and a shuffle-partition count sized to cores locally (on a real cluster:
 ~2-3x total cores, or leave to AQE initialPartitionNum).
+
+Oversubscription note (measured, see BENCH.md §3): when concurrent Python
+UDF workers exceed the *effective* core count (vCPUs minus SMT/steal — ~22
+of 32 on this sandbox VM), throughput collapses 5-15x (scheduler/lock-holder
+preemption, worker sys-time > user-time). The fix is the same knob a real
+cluster uses for CPU-heavy Python stages: cap task concurrency with
+``spark.task.cpus=2`` (local[32] + task.cpus=2 == local[16] throughput,
+measured identical), rather than shrinking executors.
 """
 
 from __future__ import annotations
