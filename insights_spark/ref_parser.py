@@ -113,36 +113,48 @@ def _derive_action(kind: str, a: dict, tags: dict, nds: list, members: list) -> 
 
 
 def _element_row(kind: str, elem, wrapper_action: str | None) -> dict:
+    # hot path (~15-25 elements per page at web scale): conversions inlined
+    # rather than routed through the _int/_num/_ts helpers — semantics are
+    # identical (``.get(k, None)`` defaulting per changesetmd.py:134-141)
     a = elem.attrib
     tags: dict[str, str] = {}
     nds: list[int] = []
-    members: list[dict] = []
+    members: list[tuple] = []
     for child in elem:
-        if child.tag == "tag":
-            tags[child.attrib["k"]] = child.attrib["v"]
-        elif child.tag == "nd":
-            nds.append(int(child.attrib["ref"]))
-        elif child.tag == "member":
+        t = child.tag
+        ca = child.attrib
+        if t == "tag":
+            tags[ca["k"]] = ca["v"]
+        elif t == "nd":
+            nds.append(int(ca["ref"]))
+        elif t == "member":
+            r = ca.get("ref")
             members.append(
-                (
-                    _int(child.attrib.get("ref")),
-                    child.attrib.get("type"),
-                    child.attrib.get("role"),
-                )
+                (int(r) if r is not None else None, ca.get("type"), ca.get("role"))
             )
-    action = wrapper_action or _derive_action(kind, a, tags, nds, members)
+    version = a.get("version")
+    if wrapper_action:
+        action = wrapper_action
+    else:
+        action = _derive_action(kind, a, tags, nds, members)
+    v = a.get("id")
+    lat = a.get("lat")
+    lon = a.get("lon")
+    cs = a.get("changeset")
+    ts = a.get("timestamp")
+    uid = a.get("uid")
     return {
-        "id": _int(a.get("id")),
+        "id": int(v) if v is not None else None,
         "type": kind,
         "tags": tags,
-        "lat": _num(a.get("lat")),
-        "lon": _num(a.get("lon")),
+        "lat": float(lat) if lat is not None else None,
+        "lon": float(lon) if lon is not None else None,
         "nds": nds,
         "members": members,
-        "changeset": _int(a.get("changeset")),
-        "timestamp": _ts(a.get("timestamp")),
-        "uid": _int(a.get("uid")),
-        "version": _int(a.get("version")),
+        "changeset": int(cs) if cs is not None else None,
+        "timestamp": datetime.fromisoformat(ts.rstrip("Z")) if ts is not None else None,
+        "uid": int(uid) if uid is not None else None,
+        "version": int(version) if version is not None else None,
         "action": action,
         "country": None,
     }
