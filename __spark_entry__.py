@@ -842,6 +842,19 @@ def oracle_sql() -> dict[str, str]:
             f"1000000007) AS mh{k}"
         )
 
+    # full MinHash-LSH near-dup oracle: 16-hash signature over word-3-gram
+    # poly hashes, 4 bands of 4, band-bucket join, exact-Jaccard verify —
+    # the same algebra as text.dedup.minhash_near_dups.
+    sig16 = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> (h * {2 * k + 1} + {7919 * (k + 1)})"
+        f" % 1000000007)), 1000000007)"
+        for k in range(16)
+    )
+    lsh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, sig[{bi * 4 + 1}:{bi * 4 + 4}] AS key FROM sig"
+        for bi in range(4)
+    )
+
     return {
         "flagship_tile_density": f"""
             WITH pts AS ({_EV_PTS})
@@ -1033,6 +1046,31 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(tok) >= 3 THEN list_distinct(list_transform(
+                       range(1, len(tok) - 1), i -> array_to_string(tok[i:i+2], ' ')))
+                     ELSE [] END AS gs
+              FROM toks),
+            gh AS (SELECT doc_id, gs,
+                          list_transform(gs, g -> {_POLY_HASH.format(s='g')}) AS hs
+                   FROM grams),
+            sig AS (SELECT doc_id, gs, [{sig16}] AS sig FROM gh),
+            banded AS ({lsh_bands}),
+            cand AS (SELECT b1.doc_id AS a, b2.doc_id AS b
+                     FROM banded b1 JOIN banded b2 USING (band, key)
+                     WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2),
+            v AS (SELECT cand.a, cand.b,
+                         len(list_intersect(sa.gs, sb.gs)) AS i,
+                         len(list_distinct(list_concat(sa.gs, sb.gs))) AS u
+                  FROM cand JOIN sig sa ON cand.a = sa.doc_id
+                            JOIN sig sb ON cand.b = sb.doc_id)
+            SELECT a, b,
+                   CASE WHEN u > 0 THEN i::DOUBLE / u ELSE 0.0 END AS jaccard
+            FROM v WHERE CASE WHEN u > 0 THEN i::DOUBLE / u ELSE 0.0 END >= 0.5
         """,
         "union_distinct": """
             SELECT DISTINCT trim(token) AS token FROM (
