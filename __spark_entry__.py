@@ -855,6 +855,30 @@ def oracle_sql() -> dict[str, str]:
         for bi in range(4)
     )
 
+    # portable simhash oracle: bit_k = majority vote of
+    # (poly(tok)*A_k + B_k) mod P < P//2 over the (non-distinct) token list;
+    # value assembled as two's-complement BIGINT (bit 63 contributes -2^63).
+    sh_bits = " + ".join(
+        (
+            f"CASE WHEN 2 * len(list_filter(hs, h -> "
+            f"(h * {(2654435761 * (k + 1)) % 1000000007} "
+            f"+ {(40503 * (k + 1) * 104729) % 1000000007})"
+            f" % 1000000007 < 500000003)) > n THEN "
+            + (str(1 << k) if k < 63 else "-9223372036854775808")
+            + " ELSE 0 END"
+        )
+        for k in range(64)
+    )
+    sh_uns = (
+        "CASE WHEN simhash < 0 THEN simhash::HUGEINT + 18446744073709551616 "
+        "ELSE simhash::HUGEINT END"
+    )
+    sh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(({sh_uns}) // {1 << (16 * bi)}) % 65536 AS key FROM sh"
+        for bi in range(4)
+    )
+
     return {
         "flagship_tile_density": f"""
             WITH pts AS ({_EV_PTS})
@@ -1046,6 +1070,20 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            gh AS (SELECT doc_id, len(tok) AS n,
+                          list_transform(tok, t -> {_POLY_HASH.format(s='t')}) AS hs
+                   FROM toks),
+            sh AS (SELECT doc_id, CAST({sh_bits} AS BIGINT) AS simhash FROM gh),
+            banded AS ({sh_bands}),
+            pairs AS (SELECT b1.doc_id AS a, b2.doc_id AS b,
+                             first(b1.simhash) AS sa, first(b2.simhash) AS sb
+                      FROM banded b1 JOIN banded b2 USING (band, key)
+                      WHERE b1.doc_id < b2.doc_id GROUP BY 1, 2)
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 10
         """,
         "minhash_lsh_pairs": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),

@@ -280,32 +280,40 @@ def minhash_near_dups(
 
 # --------------------------------------------------------------- simhash
 
+# 64 independent affine transforms of the portable poly hash; bit k votes +1
+# when (poly(tok) * A_k + B_k) mod P falls below P/2 (random-threshold
+# construction). Plain integer arithmetic → bit-identical in ANY SQL engine,
+# unlike the usual blake2b/xxhash token hashing. A_k must be well-mixed
+# ~30-bit constants: small odd multipliers (1,3,5,…) leave neighbouring
+# bits correlated per token and collapse the signature's effective entropy
+# (measured: hamming≤10 pair count exploded 100× before the Knuth-style
+# multiplicative spread below).
+_SIM_A = np.array([(2654435761 * (k + 1)) % MOD for k in range(64)], dtype=np.int64)
+_SIM_B = np.array([(40503 * (k + 1) * 104729) % MOD for k in range(64)], dtype=np.int64)
+_SIM_HALF = MOD // 2
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit simhash per text: sign-sum of token-hash bit vectors.
+    """64-bit simhash per text: majority vote over portable token-hash bits.
 
-    Token hash = blake2b-8byte (stdlib, stable across runs/processes —
-    unlike Python's salted hash()). numpy bit unpacking, vectorized per doc.
+    bit_k = 1 iff strictly more tokens satisfy (poly(tok)*A_k+B_k) mod P <
+    P//2 than not (frequency-weighted: repeated tokens vote repeatedly).
+    The value is the two's-complement int64 of the 64-bit word.
     """
-    import hashlib
-
     out = np.zeros(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
         if not t:
             continue
         toks = str(t).lower().split()
         if not toks:
             continue
-        hs = np.frombuffer(
-            b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for b in range(64):
-            if v[b] > 0:
-                sh |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sh.view(np.int64) if hasattr(sh, "view") else sh)
+        gh = poly_hash_np(toks)
+        hk = (gh[:, None] * _SIM_A[None, :] + _SIM_B[None, :]) % MOD
+        pos = (hk < _SIM_HALF).sum(axis=0)
+        bits = (2 * pos > len(toks)).astype(np.uint64)
+        val = int((bits << shifts).sum(dtype=np.uint64))
+        out[i] = val - (1 << 64) if val >= (1 << 63) else val
     return pd.Series(out)
 
 
