@@ -812,6 +812,13 @@ _TOKENS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from insights_spark.geo import cells as _cells
+
+    # exact float constants from the hex kernel (repr round-trips doubles)
+    hx_c1 = repr(_cells._SQRT3 / 3.0)
+    hx_c2 = repr(2.0 / 3.0)
+    hx_size = repr(_cells.hex_edge_deg(6))
+
     n6, n4 = 64, 16
     tile6 = _TILE_XY.format(n=n6, nm1=n6 - 1)
     case_country = _country_case_sql()
@@ -1070,6 +1077,33 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "hex_cells": f"""
+            WITH pts AS ({_EV_PTS}),
+            hx AS (SELECT event_id,
+                          ({hx_c1} * lon - lat / 3.0) / {hx_size} AS qf,
+                          ({hx_c2} * lat) / {hx_size} AS rf
+                   FROM pts),
+            cr AS (SELECT event_id, qf, rf,
+                          floor(qf + 0.5) AS rx0,
+                          floor(-qf - rf + 0.5) AS ry0,
+                          floor(rf + 0.5) AS rz0
+                   FROM hx),
+            fx AS (SELECT event_id, rx0, ry0, rz0,
+                          abs(rx0 - qf) AS dx,
+                          abs(ry0 - (-qf - rf)) AS dy,
+                          abs(rz0 - rf) AS dz
+                   FROM cr),
+            qr AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0
+                               ELSE rx0 END AS BIGINT) AS q,
+                          CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                               THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS r
+                   FROM fx)
+            SELECT 6 * 72057594037927936
+                        + (q + 67108864) * 268435456
+                        + (r + 67108864) AS h3_r6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM qr GROUP BY 1
         """,
         "simhash_pairs": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),

@@ -139,10 +139,12 @@ def hex_cell_id(lon: np.ndarray, lat: np.ndarray, res: int = 8) -> np.ndarray:
     size = hex_edge_deg(res)
     qf = (_SQRT3 / 3.0 * lon - lat / 3.0) / size
     rf = (2.0 / 3.0 * lat) / size
-    # cube rounding
+    # cube rounding; half-up (floor(x+0.5)) not np.round's half-to-even, so
+    # the binning is reproducible in ANSI SQL (the hex_cells oracle) — every
+    # engine agrees on floor, none on banker's rounding
     xf, zf = qf, rf
     yf = -xf - zf
-    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    rx, ry, rz = np.floor(xf + 0.5), np.floor(yf + 0.5), np.floor(zf + 0.5)
     dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
     fix_x = (dx > dy) & (dx > dz)
     fix_z = ~fix_x & (dz > dy)
