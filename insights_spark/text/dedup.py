@@ -102,11 +102,15 @@ def ngram_jaccard_pairs(
     pairs never materialize unless they share a gram. At 100 TB this runs
     on LSH-candidate pairs only (see minhash_lsh_candidates).
     """
-    g = df.select(
-        F.col(id_col).alias("a"),
-        F.explode(word_ngrams_np(n)(F.col(text_col))).alias("gram"),
-    )
-    sizes = g.groupBy("a").agg(F.count("*").alias("size_a"))
+    # one UDF pass, persisted: the gram arrays feed three consumers (both
+    # self-join sides + sizes) and would otherwise re-run the gram kernel
+    # per branch — locally a persist, at cluster scale a materialized
+    # grams table. sizes via F.size (no extra shuffle).
+    ga = df.select(
+        F.col(id_col).alias("a"), word_ngrams_np(n)(F.col(text_col)).alias("_grams")
+    ).persist()
+    g = ga.select("a", F.explode("_grams").alias("gram"))
+    sizes = ga.select("a", F.size("_grams").alias("size_a"))
     g2 = g.select(F.col("a").alias("b"), F.col("gram"))
     inter = (
         g.join(g2, "gram")
@@ -259,12 +263,61 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
-    g = df.select(
-        F.col(id_col).alias("_gid"),
-        word_ngrams_np(n)(F.col(text_col)).alias("_grams"),
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+
+    Grams + signatures come from ONE fused pandas-UDF pass, persisted: the
+    banding branch needs the signature and the verify branch needs the gram
+    arrays — separate UDF stages would tokenize every document twice (and
+    Spark would recompute the shared subtree per branch anyway). Locally a
+    persist; at cluster scale this is the materialized (id, grams, sig)
+    table a production dedup pipeline writes once per corpus snapshot.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    a_k = np.array([2 * k + 1 for k in range(num_hashes)], dtype=np.int64)
+    b_k = np.array([7919 * (k + 1) for k in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf("struct<grams: array<string>, sig: array<long>>")
+    def _gs(texts: pd.Series) -> pd.DataFrame:
+        grams_out, sig_out = [], []
+        for t in texts:
+            grams = _word_ngrams_py(t, n) if t is not None else []
+            grams_out.append(grams)
+            if not grams:
+                sig_out.append([MOD] * num_hashes)
+                continue
+            gh = poly_hash_np(grams)
+            hk = (gh[:, None] * a_k[None, :] + b_k[None, :]) % MOD
+            sig_out.append(hk.min(axis=0).tolist())
+        return pd.DataFrame({"grams": grams_out, "sig": sig_out})
+
+    base = (
+        df.select(F.col(id_col).alias("_id"), _gs(F.col(text_col)).alias("_gs"))
+        .select("_id", F.col("_gs.grams").alias("_grams"), F.col("_gs.sig").alias("_sig"))
+        .persist()
     )
+
+    rows_per_band = num_hashes // bands
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.slice("_sig", bi * rows_per_band + 1, rows_per_band).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.join(banded.select(F.col("_id").alias("_id2"), "band", "key"),
+                    ["band", "key"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(F.col("_id").alias("a"), F.col("_id2").alias("b"))
+        .distinct()
+    )
+    g = base.select(F.col("_id").alias("_gid"), F.col("_grams"))
     j = (
         cand.join(g.withColumnRenamed("_gid", "a").withColumnRenamed("_grams", "ga"), "a")
         .join(g.withColumnRenamed("_gid", "b").withColumnRenamed("_grams", "gb"), "b")
