@@ -113,10 +113,14 @@ def cosine_topk_bucketed(
             out.append(np.argsort(-sims)[:nprobe].astype(np.int32).tolist())
         return pd.Series(out)
 
+    # persisted: both the members and probes branches consume this UDF stage
+    # (Spark recomputes shared subtrees per branch — the bucket assignment
+    # would otherwise run twice over every vector). At cluster scale this is
+    # the materialized IVF assignment table an index build writes once.
     tagged = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         nearest_buckets(F.col(vec_col)).alias("probes"),
-    )
+    ).persist()
     # members: bucket = nearest centroid (probes[0]); queries probe all nprobe
     members = tagged.select(
         F.col("probes")[0].alias("bucket"), F.col("id").alias("mid"), F.col("v").alias("mv")
