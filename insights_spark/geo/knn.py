@@ -70,9 +70,15 @@ def _cell_pairs(queries, candidates, res: int, rings: int):
     def ring_udf(col: pd.Series) -> pd.Series:
         return col.map(lambda c: cells.hex_ring_ids(int(c), rings) if pd.notna(c) else [])
 
-    cand_cells = candidates.withColumn(
-        "home_cell", cells.hex_udf(res)(F.col("lon"), F.col("lat"))
-    )
+    if candidates is queries:
+        # self-kNN: encode once, persist — the query and candidate branches
+        # would otherwise each run the cell UDF over every point
+        q = q.persist()
+        cand_cells = q.withColumn("home_cell", F.col("cell"))
+    else:
+        cand_cells = candidates.withColumn(
+            "home_cell", cells.hex_udf(res)(F.col("lon"), F.col("lat"))
+        )
     cand = cand_cells.select(
         F.explode(ring_udf(F.col("home_cell").cast("long"))).alias("cell"),
         F.col("id").alias("neighbor_id"),
@@ -122,6 +128,9 @@ def knn_cell_local(
     pairs = _cell_pairs(pts, pts, res, rings)
 
     if escalate_res is not None:
+        # pairs feeds the shortfall probe AND the union — persist, or the
+        # whole first-pass join runs twice
+        pairs = pairs.persist()
         found = pairs.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
         short = (
             pts.join(found, "id", "left")
