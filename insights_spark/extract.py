@@ -138,6 +138,39 @@ def _columnar(rows: list[dict], cols: list[str]) -> pd.DataFrame:
     return pd.DataFrame({c: [r[c] for r in rows] for c in cols}, columns=cols)
 
 
+def extract_changeset_bundles(pages: DataFrame) -> DataFrame:
+    """One parse pass over changeset-dump pages yielding BOTH outputs as
+    array columns: (changesets: array<struct>, comments: array<struct>).
+
+    extract_changesets + extract_comments each parse every changeset page;
+    a pipeline that sinks both tables pays the parse twice. Callers persist
+    this bundle and explode each array — one parse, two tables.
+    """
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("changesets", ArrayType(CHANGESETS), True),
+            StructField("comments", ArrayType(CHANGESET_COMMENTS), True),
+        ]
+    )
+    cs_cols = [f.name for f in CHANGESETS.fields]
+    cm_cols = [f.name for f in CHANGESET_COMMENTS.fields]
+    src = pages.filter(F.col("url").contains("/changeset-dump/")).select("url", "html")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cs, cm = _batch_extract_changesets(pdf)
+            yield pd.DataFrame(
+                {
+                    "changesets": [[tuple(r[c] for c in cs_cols) for r in cs]],
+                    "comments": [[tuple(r[c] for c in cm_cols) for r in cm]],
+                }
+            )
+
+    return src.mapInPandas(gen, schema)
+
+
 def extract_elements(pages: DataFrame) -> DataFrame:
     """pages → element_history rows (queries.py:34-51) with the derived-action
     rules of osmh.py:448-461 / .osc wrapper actions of osmh.py:324-380."""

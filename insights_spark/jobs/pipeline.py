@@ -85,8 +85,10 @@ def run(
     # 1. extract ----------------------------------------------------------
     from ..runtime import sinks as sink_ops
 
-    changesets = extract.extract_changesets(batch)
-    comments = extract.extract_comments(batch)
+    # one parse pass for both changeset outputs (persisted bundle)
+    bundles = extract.extract_changeset_bundles(batch).persist()
+    changesets = bundles.select(F.explode("changesets").alias("c")).select("c.*")
+    comments = bundles.select(F.explode("comments").alias("m")).select("m.*")
     # S12 delete-then-insert semantics: replayed changesets take the NEW row
     sink_ops.merge_parquet(changesets, os.path.join(out_dir, "changesets"),
                            keys=["id"], mode="keep_last")
@@ -99,20 +101,25 @@ def run(
     lin.record("extract", batch.select("url"), changesets, sequence)
 
     # 2.+3. enrich + propagate ---------------------------------------------
-    # fused kernel: parse + PIP + cells in one JVM↔Python crossing
+    # fused kernel: parse + PIP + cells in one JVM↔Python crossing.
+    # propagated is persisted: the sink AND the lineage count both consume
+    # it — lineage would otherwise re-execute the propagation joins.
     enriched = extract.extract_elements_enriched(batch, boundary_rows)
-    propagated = prop.propagate_locations(enriched)
+    propagated = prop.propagate_locations(enriched).persist()
     # physical design: partition by element type, cluster by the former
     # "index" columns (X3) — replaces btree/GIN/GIST; S10 ON CONFLICT DO
     # NOTHING semantics on the natural key
     el_path = os.path.join(out_dir, "element_history")
     sink_ops.append_dedup(
-        propagated.repartition("type").sortWithinPartitions(
-            "country", "h3_r8", "changeset"
-        ),
+        propagated,
         el_path,
         keys=["id", "version", "type"],
         partition_by=["type"],
+        # clustering happens inside the sink AFTER the dedup shuffle, on the
+        # full composite — repartition("type") alone would collapse the
+        # write to 3 tasks (one per element type)
+        cluster_by=["type", "country", "h3_r8"],
+        sort_by=["country", "h3_r8", "changeset"],
     )
     out["element_history"] = el_path
     lin.record("enrich", None, propagated, sequence)
@@ -123,14 +130,17 @@ def run(
     ])  # read back: stats sees ALL history, not just this batch
     st = stats_ops.changeset_stats_with_meters(el)
     sink(st, "all_changesets_stats", mode="overwrite")
-    lin.record("stats", None, st, sequence)
+    # lineage from the read-back (overwrite table == this batch): counting
+    # the plan itself would re-execute the whole stats computation
+    lin.record("stats", None, spark.read.parquet(out["all_changesets_stats"]),
+               sequence)
 
     # 5. tiles ----------------------------------------------------------------
     pyramid = tiles.tile_pyramid(
         el.filter(F.col("lat").isNotNull()), list(zooms)
     )
     sink(pyramid, "tile_density", mode="overwrite")
-    lin.record("tiles", None, pyramid, sequence)
+    lin.record("tiles", None, spark.read.parquet(out["tile_density"]), sequence)
 
     # 6. hashtag vocabulary ----------------------------------------------------
     vocab = tags_ops.hashtag_vocabulary(spark.read.parquet(out["changesets"]))

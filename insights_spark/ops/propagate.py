@@ -23,8 +23,15 @@ _PROPAGATED = ("lat", "lon", "country")
 
 def propagate_way_locations(elements: DataFrame) -> DataFrame:
     """Fill way lat/lon/country from the latest version of nds[0]'s node."""
+    # project the dim to its 5 narrow columns BEFORE the window: the
+    # latest-version shuffle otherwise carries the full element width
+    # (tags map, nds/members arrays) only to drop it afterwards
     nodes_dim = (
-        latest_version(elements.filter(F.col("type") == "node"), ("id",))
+        latest_version(
+            elements.filter(F.col("type") == "node")
+            .select("id", "version", *_PROPAGATED),
+            ("id",),
+        )
         .select(
             F.col("id").alias("_nid"),
             *[F.col(c).alias(f"_n_{c}") for c in _PROPAGATED],
@@ -58,7 +65,9 @@ def propagate_relation_locations(elements: DataFrame) -> DataFrame:
     first — run propagate_way_locations before this)."""
     dim = (
         latest_version(
-            elements.filter(F.col("type").isin("node", "way")), ("type", "id")
+            elements.filter(F.col("type").isin("node", "way"))
+            .select("type", "id", "version", *_PROPAGATED),
+            ("type", "id"),
         )
         .select(
             F.col("type").alias("_mtype"),
@@ -91,5 +100,17 @@ def propagate_relation_locations(elements: DataFrame) -> DataFrame:
 
 
 def propagate_locations(elements: DataFrame) -> DataFrame:
-    """Full propagation pass: ways from nodes, then relations from both."""
-    return propagate_relation_locations(propagate_way_locations(elements))
+    """Full propagation pass: ways from nodes, then relations from both.
+
+    Both passes consume their input three times (dimension build, the
+    filtered fact side, and the pass-through union branch); without
+    pinning, Spark re-executes the upstream plan per branch — for the
+    ingest pipeline that means re-parsing every page up to 9×. Persisting
+    input and intermediate is the local analogue of the reference's
+    load-then-UPDATE staging (element_history lands first, propagation
+    reads it back)."""
+    from pyspark import StorageLevel
+
+    elements = elements.persist(StorageLevel.MEMORY_AND_DISK)
+    mid = propagate_way_locations(elements).persist(StorageLevel.MEMORY_AND_DISK)
+    return propagate_relation_locations(mid)

@@ -74,10 +74,18 @@ def merge_parquet(
 
 
 def append_dedup(new_df: DataFrame, path: str, keys: list[str],
-                 partition_by: list[str] | None = None) -> None:
+                 partition_by: list[str] | None = None,
+                 cluster_by: list[str] | None = None,
+                 sort_by: list[str] | None = None) -> None:
     """Cheap S10 for append-mostly tables: drop batch rows whose keys are
     already present, then append (no table rewrite). Exactly the
-    reference's ON CONFLICT DO NOTHING cost profile."""
+    reference's ON CONFLICT DO NOTHING cost profile.
+
+    `cluster_by`/`sort_by` implement the physical layout (X3) HERE, after
+    the dedup shuffle: clustering before the call is futile (dropDuplicates
+    re-shuffles), and repartitioning on a low-cardinality column alone
+    (e.g. `type`: 3 values) collapses the write to 3 tasks — cluster on the
+    full composite so all shuffle partitions stay busy."""
     spark = new_df.sparkSession
     exists = os.path.isdir(path) and any(
         f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
@@ -86,6 +94,10 @@ def append_dedup(new_df: DataFrame, path: str, keys: list[str],
     if exists:
         existing = spark.read.parquet(path).select(*keys)
         batch = batch.join(existing, keys, "left_anti")
+    if cluster_by:
+        batch = batch.repartition(*[F.col(c) for c in cluster_by])
+    if sort_by:
+        batch = batch.sortWithinPartitions(*sort_by)
     w = batch.write.mode("append")
     if partition_by:
         w = w.partitionBy(*partition_by)
