@@ -490,9 +490,23 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    from insights_spark.text.multimodal import image_features, synth_media
+    """Multimodal plumbing: documents → binary media payloads → mapInPandas
+    decode (deterministic payload-byte fake; PIL absent here) → per-bin
+    histogram rows. Output is all-scalar columns (bin exploded) so the
+    driver canonicalizer can hash it, and the fake decode is payload-derived
+    byte bucketing, so DuckDB reproduces it from the text column."""
+    from insights_spark.text.multimodal import image_features, media_from_docs
 
-    return image_features(synth_media(spark, n=120))
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("hist").alias("bin", "n_in_bin"),
+    ).select(
+        "media_id", "n_bytes", "bin", "n_in_bin",
+        (F.col("n_in_bin") / F.lit(768.0)).alias("share"),
+    )
 
 
 def _q_country_insights(spark, sf_dir):
@@ -1318,6 +1332,19 @@ def oracle_sql() -> dict[str, str]:
               AND action_date <= TIMESTAMP '2024-01-15 00:00:00'
               AND action_text = 'click'
             GROUP BY user_id
+        """,
+        "multimodal_features": """
+            WITH img AS (
+              SELECT doc_id AS media_id,
+                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, 'x') AS s
+              FROM documents WHERE mod(doc_id, 3) = 0 AND text IS NOT NULL),
+            e AS (SELECT media_id, s, unnest(range(8)) AS bin FROM img)
+            SELECT media_id, CAST(768 AS BIGINT) AS n_bytes, CAST(bin AS INT) AS bin,
+                   CAST(len(list_filter(string_split(s, ''),
+                        c -> ascii(c) // 32 = bin)) AS INT) AS n_in_bin,
+                   len(list_filter(string_split(s, ''),
+                        c -> ascii(c) // 32 = bin)) / 768.0 AS share
+            FROM e
         """,
         "ann_topk": """
             SELECT id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (

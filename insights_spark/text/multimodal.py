@@ -44,48 +44,91 @@ IMAGE_FEATURES = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("n_bytes", LongType(), True),
+        StructField("hist", ArrayType(IntegerType()), True),
         StructField("feature", ArrayType(FloatType()), True),
     ]
 )
 
+_FAKE_PIXELS = 16 * 16 * 3  # fake decode target: 16x16 RGB = 768 bytes
+
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode → HxWx3 uint8. Real codec when PIL exists; otherwise a
-    DETERMINISTIC FAKE (byte-seeded) so downstream shapes are exercised."""
+    DETERMINISTIC FAKE: the payload bytes themselves, cycled/truncated to
+    exactly 768 bytes and viewed as a 16x16 RGB image. Payload-derived (not
+    RNG-seeded) so the feature histogram is plain byte-bucket counting any
+    SQL engine can reproduce — which is what makes the driver oracle for
+    `multimodal_features` possible."""
     if _PIL is not None:  # pragma: no cover
         import io
 
         return np.asarray(_PIL.open(io.BytesIO(payload)).convert("RGB"))
-    # deterministic fake: seed from payload bytes, fixed 16x16 RGB
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    arr = np.resize(np.frombuffer(payload, dtype=np.uint8), _FAKE_PIXELS)
+    return arr.reshape(16, 16, 3)
 
 
 def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
-    """Decode + feature-extract images: mean-pooled channel histogram.
+    """Decode + feature-extract images: channel-value histogram.
+
+    Output per image: exact integer bin counts (`hist`, bins of width
+    256/feat_dim) plus the normalized float feature vector (`feature` =
+    hist / n_pixels — the realistic embedding-ish column).
 
     Plan shape: filter kind='image' (pushed to scan) → mapInPandas; each
     Arrow batch decodes independently, so executor memory bounds batch
     size (spark.sql.execution.arrow.maxRecordsPerBatch), not file count.
     """
     src = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    shift = 8 - (feat_dim - 1).bit_length()  # 8 bins → >>5
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    rows.append((int(mid), None, None))
+                    rows.append((int(mid), None, None, None))
                     continue
                 b = bytes(payload)
                 img = _decode_image(b)
-                hist = np.histogram(img, bins=feat_dim, range=(0, 256))[0]
+                hist = np.bincount(img.reshape(-1) >> shift, minlength=feat_dim)
                 feat = (hist / max(img.size, 1)).astype(np.float32)
-                rows.append((int(mid), len(b), feat.tolist()))
-            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "feature"])
+                rows.append((int(mid), len(b), hist.astype(np.int32).tolist(),
+                             feat.tolist()))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "n_bytes", "hist", "feature"])
 
     return src.mapInPandas(gen, IMAGE_FEATURES)
+
+
+def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from a documents table.
+
+    Every third doc becomes an image whose payload is the doc's text,
+    stripped to printable ASCII and right-padded/truncated to exactly 768
+    bytes — so the fake decode (payload == pixel bytes) and therefore the
+    feature histogram are reproducible from the text column alone in ANSI
+    SQL. The other docs become audio/video rows (payload-free stages)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    ascii_text = F.rpad(
+        F.regexp_replace(F.col(text_col), "[^ -~]", ""), _FAKE_PIXELS, "x"
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.when(kind == "image", F.encode(ascii_text, "UTF-8")).alias("payload"),
+        F.when(kind == "image", F.lit("image/png"))
+        .when(kind == "audio", F.lit("audio/ogg"))
+        .otherwise(F.lit("video/mp4")).alias("mime"),
+        F.when(kind == "image", F.lit(16)).cast("int").alias("width"),
+        F.when(kind == "image", F.lit(16)).cast("int").alias("height"),
+        F.when(kind != "image",
+               (F.lit(3000) + F.pmod(F.col(id_col), F.lit(7)) * 500)
+               ).cast("int").alias("duration_ms"),
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

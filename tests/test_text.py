@@ -171,6 +171,8 @@ def test_multimodal_plumbing(spark):
     for r in feats:
         assert r["n_bytes"] > 0 and len(r["feature"]) == 8
         assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalized
+        assert sum(r["hist"]) == 768  # fake decode: 16x16x3 payload bytes
+        assert all(c >= 0 for c in r["hist"])
     frames = multimodal.frame_sample(media, every_ms=1000)
     rows = frames.collect()
     assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
