@@ -361,10 +361,15 @@ def _q_minhash(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    """Near-dup: word-3-gram Jaccard pairs ≥ 0.5."""
+    """Near-dup: word-3-gram Jaccard pairs ≥ 0.5 with the df-cap guard
+    (grams in > 50 docs excluded from both intersection and sizes — the
+    hot-gram quadratic-blowup protection; the oracle applies the identical
+    cap)."""
     from insights_spark.text.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_gram_df=50
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -465,16 +470,46 @@ def _q_hex_cells(spark, sf_dir):
 
 
 def _q_knn_cell_local(spark, sf_dir):
+    """Cell-local kNN in certified-exact mode: first pass is the hex-cell
+    ring join; queries whose k-th distance can't be certified inside the
+    ring-coverage radius re-run exactly. Output therefore equals knn_exact
+    and shares the `knn` oracle SQL."""
     from insights_spark.geo.knn import knn_cell_local
 
     pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
-    return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=1)
+    return knn_cell_local(pts, k=3, id_col="c_custkey", res=1, rings=1)
 
 
 def _q_ann_ivf(spark, sf_dir):
-    from insights_spark.text.simsearch import cosine_topk_bucketed
+    """IVF ANN with a built-in recall gate: the bucketed approximate top-k
+    runs over all vectors; a deterministic 1/16 sample of queries is also
+    answered exactly, and the query emits whether IVF recall on that sample
+    clears a floor. The floor (0.12) is calibrated to the synthetic
+    embeddings, which are RANDOM vectors — the IVF worst case (no cluster
+    structure, recall ≈ probed fraction; measured 0.24-0.44 across SFs) —
+    so it catches structural regressions (garbage buckets → recall ≈ k/n)
+    without over-fitting one fixture. Exact-search correctness itself is
+    oracle-checked by `ann_topk`."""
+    from insights_spark.text.simsearch import cosine_topk, cosine_topk_bucketed
 
-    return cosine_topk_bucketed(_t(spark, sf_dir, "embeddings"), k=5, nprobe=3)
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = cosine_topk_bucketed(emb, k=5, nprobe=3)
+    sample = emb.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 0)
+    exact = cosine_topk(emb, queries=sample, k=5)
+    hit = exact.join(
+        approx.select("id", "neighbor_id").withColumn("_h", F.lit(1)),
+        ["id", "neighbor_id"], "left",
+    )
+    stats = hit.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.coalesce("_h", F.lit(0))).alias("_nh"),
+    )
+    totals = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return totals.crossJoin(stats).select(
+        "n_vectors",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (F.col("_nh") / F.col("n_pairs") >= 0.12).alias("recall_ok"),
+    )
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -718,9 +753,16 @@ def _q_tasks_per_user(spark, sf_dir):
 
 def _q_way_meters(spark, sf_dir):
     """A2/U3/F15 — construct_way_geometry (explode nds → as-of node join →
-    ordered collect) + geodesic length. Vincenty has no ANSI-SQL equivalent →
-    rows-only check; exactness is covered by tests against known WGS84 arcs."""
-    from insights_spark.geo.length import way_length_m
+    ordered collect) + geodesic length. Vincenty itself has no ANSI-SQL
+    equivalent, so the oracle checks what SQL CAN express exactly: the
+    resolved vertex count per way, plus a haversine BAND on the geodesic
+    length — an independent Spark-column great-circle length must bracket
+    the Vincenty meters within ±1% (WGS84 vs mean-radius sphere differ by
+    at most ~0.56%). The oracle emits the same row set with len_ok=TRUE, so
+    a regression that returns garbage meters (or NaN) flips len_ok and
+    fails the hash. Exact arc values are pinned by pytest against known
+    WGS84 distances (tests/test_geo.py)."""
+    from insights_spark.geo.length import construct_way_geometry, linestring_length_udf
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     nodes = _points(cust, "c_custkey").select(
@@ -741,8 +783,35 @@ def _q_way_meters(spark, sf_dir):
             F.pmod(F.col("o_custkey") * 7, F.lit(100)),
         ).alias("nds"),
     )
-    return way_length_m(ways, nodes).select(
-        "way_id", "way_version", F.round(F.col("length_m"), 3).alias("length_m")
+    geom = construct_way_geometry(ways, nodes)
+
+    R = 6371008.8  # mean-radius sphere (same R as the Vincenty fallback)
+    def _hav_seg(p1, p2):
+        phi1, phi2 = F.radians(p1[1]), F.radians(p2[1])
+        dphi, dlam = phi2 - phi1, F.radians(p2[0] - p1[0])
+        h = F.sin(dphi / 2) ** 2 + F.cos(phi1) * F.cos(phi2) * F.sin(dlam / 2) ** 2
+        return 2 * R * F.asin(F.sqrt(h))
+
+    c = F.col("coords")
+    hav = F.when(
+        F.size(c) >= 2,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - 1),
+                lambda i: _hav_seg(F.element_at(c, i), F.element_at(c, i + 1)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    ).otherwise(F.lit(0.0))
+    vinc = linestring_length_udf()(c)
+    return geom.select(
+        "way_id",
+        "way_version",
+        F.size(c).alias("n_pts"),
+        F.when(hav == 0.0, vinc == 0.0)
+        .otherwise((vinc >= hav * 0.99) & (vinc <= hav * 1.01))
+        .alias("len_ok"),
     )
 
 
@@ -900,7 +969,25 @@ def oracle_sql() -> dict[str, str]:
         for bi in range(4)
     )
 
+    # shared by `knn` (brute force) and `knn_cell_local` (certified-exact
+    # cell-ring path): both engines produce the identical exact result
+    knn_sql = f"""
+        WITH pts AS ({_CUST_PTS})
+        SELECT id, neighbor_id, dist2, CAST(rank AS INT) AS rank FROM (
+          SELECT a.c_custkey AS id, b.c_custkey AS neighbor_id,
+                 (a.lon - b.lon) * (a.lon - b.lon)
+                 + (a.lat - b.lat) * (a.lat - b.lat) AS dist2,
+                 row_number() OVER (PARTITION BY a.c_custkey
+                                    ORDER BY (a.lon - b.lon) * (a.lon - b.lon)
+                                    + (a.lat - b.lat) * (a.lat - b.lat) ASC,
+                                    b.c_custkey ASC) AS rank
+          FROM pts a JOIN pts b ON a.c_custkey != b.c_custkey)
+        WHERE rank <= 3
+    """
+
     return {
+        "knn": knn_sql,
+        "knn_cell_local": knn_sql,
         "flagship_tile_density": f"""
             WITH pts AS ({_EV_PTS})
             SELECT {case_country} AS country, 6 AS z, {tile6}, CAST(count(*) AS BIGINT) AS density
@@ -991,19 +1078,6 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT event_type, ',' ORDER BY event_type) || ',' AS editors
             FROM events GROUP BY user_id
         """,
-        "knn": f"""
-            WITH pts AS ({_CUST_PTS})
-            SELECT id, neighbor_id, dist2, CAST(rank AS INT) AS rank FROM (
-              SELECT a.c_custkey AS id, b.c_custkey AS neighbor_id,
-                     (a.lon - b.lon) * (a.lon - b.lon)
-                     + (a.lat - b.lat) * (a.lat - b.lat) AS dist2,
-                     row_number() OVER (PARTITION BY a.c_custkey
-                                        ORDER BY (a.lon - b.lon) * (a.lon - b.lon)
-                                        + (a.lat - b.lat) * (a.lat - b.lat) ASC,
-                                        b.c_custkey ASC) AS rank
-              FROM pts a JOIN pts b ON a.c_custkey != b.c_custkey)
-            WHERE rank <= 3
-        """,
         "pip_countries": f"""
             WITH pts AS ({_CUST_PTS})
             SELECT c_custkey, {case_country} AS country FROM pts
@@ -1078,11 +1152,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
-            grams AS (
+            grams0 AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
                        range(1, len(tok) - 1),
                        i -> array_to_string(tok[i:i+2], ' ')))) AS gram
               FROM toks WHERE len(tok) >= 3),
+            keep AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 50),
+            grams AS (SELECT grams0.doc_id, grams0.gram
+                      FROM grams0 JOIN keep USING (gram)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
             inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
                       FROM grams g1 JOIN grams g2 USING (gram)
@@ -1123,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
             gh AS (SELECT doc_id, len(tok) AS n,
                           list_transform(tok, t -> {_POLY_HASH.format(s='t')}) AS hs
-                   FROM toks),
+                   FROM toks WHERE len(tok) > 0),
             sh AS (SELECT doc_id, CAST({sh_bits} AS BIGINT) AS simhash FROM gh),
             banded AS ({sh_bands}),
             pairs AS (SELECT b1.doc_id AS a, b2.doc_id AS b,
@@ -1332,6 +1409,22 @@ def oracle_sql() -> dict[str, str]:
               AND action_date <= TIMESTAMP '2024-01-15 00:00:00'
               AND action_text = 'click'
             GROUP BY user_id
+        """,
+        "way_meters": """
+            SELECT o_orderkey AS way_id, CAST(1 AS BIGINT) AS way_version,
+                   CAST(1
+                        + (mod(o_custkey * 31, 100) <=
+                           (SELECT max(c_custkey) FROM customer))::int
+                        + (mod(o_custkey * 7, 100) <=
+                           (SELECT max(c_custkey) FROM customer))::int AS INT) AS n_pts,
+                   TRUE AS len_ok
+            FROM orders
+        """,
+        "ann_ivf": """
+            SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+                   CAST(5 * (SELECT count(*) FROM embeddings
+                             WHERE mod(vec_id, 16) = 0) AS BIGINT) AS n_pairs,
+                   TRUE AS recall_ok
         """,
         "multimodal_features": """
             WITH img AS (

@@ -9,11 +9,11 @@ North-rule operator (SURVEY §2.11). Two physical strategies:
   fully deterministic, identical arithmetic in ANSI SQL.
 
 - ``knn_cell_local``: the 100 TB path — points are hex-cell keyed, each
-  cell + its k-ring neighborhood is processed locally with numpy
-  (`applyInPandas` per cell group). One shuffle on cell id; no O(n²)
-  blow-up. Exact whenever the true k neighbors lie within `rings` hex
-  rings of the query point (ring radius is chosen from k and point
-  density; the pytest suite cross-checks against brute force).
+  cell + its k-ring neighborhood is joined cell-locally (pure JVM after
+  the cell encode). One shuffle on cell id; no O(n²) blow-up. With
+  ``exact=True`` results are CERTIFIED equal to brute force: queries whose
+  k-th candidate distance exceeds the ring-coverage guarantee fall back to
+  an exact pass over just those queries (small side broadcast).
 """
 
 from __future__ import annotations
@@ -92,6 +92,20 @@ def _cell_pairs(queries, candidates, res: int, rings: int):
     return joined.withColumn("dist2", d2).select("id", "neighbor_id", "dist2")
 
 
+def cert_radius_deg(res: int, rings: int) -> float:
+    """Certification radius of a ring search at hex resolution `res`.
+
+    Geometry: adjacent-cell centers on the axial lattice are ≥ 1.5·s apart
+    per unit of hex grid distance (worst case along the (k,k) diagonal;
+    axis-aligned is √3·s), and any point sits ≤ s (circumradius) from its
+    cell center. So every point within D = s·(1.5·rings − 0.5) of a query
+    is GUARANTEED to live in a cell within `rings` rings of the query's
+    cell, i.e. inside the candidate set of `knn_cell_local`'s first pass.
+    """
+    s = cells.hex_edge_deg(res)
+    return s * (1.5 * rings - 0.5)
+
+
 def knn_cell_local(
     points: DataFrame,
     k: int,
@@ -100,8 +114,7 @@ def knn_cell_local(
     lat_col: str = "lat",
     res: int = 6,
     rings: int = 1,
-    escalate_res: int | None = None,
-    escalate_rings: int | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Cell-local kNN: hex-bin points, replicate candidates into their
     k-ring, equi-join queries to candidates on cell id, window top-k.
@@ -109,14 +122,25 @@ def knn_cell_local(
     Pure JVM after the cell/ring encoding (one Arrow-batch pass) — no
     per-group Python, so sparse cells cost nothing and dense cells are a
     plain shuffle key AQE can split. Pair count = Σ_cell q_c × cand_c
-    (ring-bounded), never all-pairs. Exact whenever the true k neighbors
-    lie within `rings` hex rings.
+    (ring-bounded), never all-pairs.
 
-    `escalate_res`: optional coarser resolution for the SECOND pass —
-    queries that found fewer than k neighbors in the first pass re-run
-    against the coarse-cell neighborhood (sparse-region completeness). The
-    second pass only carries the short queries, so dense regions pay
-    nothing; results merge and re-rank deterministically.
+    ``exact=True`` (default) makes the result PROVABLY equal to
+    ``knn_exact``: a first-pass query is *certified* iff it found ≥ k
+    candidates and its k-th distance is strictly inside
+    ``cert_radius_deg(res, rings)`` — then every true neighbor is already
+    in its candidate set (see cert_radius_deg). Uncertified queries
+    (sparse regions, ring-edge ties) re-run as a brute-force pass with the
+    SMALL query side broadcast against all candidates. Dense regions pay
+    one cell-keyed shuffle; the fallback carries only the sparse tail, so
+    at scale its broadcast stays bounded when (res, rings) are chosen for
+    the corpus density. With ``exact=False`` only the first pass runs
+    (ring-bounded recall, cheapest possible).
+
+    Intermediates are persisted for the duration of the returned plan
+    (shared subtrees would re-run the cell encode + join per branch);
+    blocks are reclaimed by Spark's ContextCleaner when the DataFrame goes
+    out of scope, or immediately via spark.catalog.clearCache() in a
+    long-lived session.
     """
     from pyspark.sql.window import Window
 
@@ -126,24 +150,41 @@ def knn_cell_local(
         F.col(lat_col).cast("double").alias("lat"),
     )
     pairs = _cell_pairs(pts, pts, res, rings)
-
-    if escalate_res is not None:
-        # pairs feeds the shortfall probe AND the union — persist, or the
-        # whole first-pass join runs twice
-        pairs = pairs.persist()
-        found = pairs.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
-        short = (
-            pts.join(found, "id", "left")
-            .filter(F.col("_n").isNull() | (F.col("_n") < k))
-            .select("id", "lon", "lat")
-        )
-        extra = _cell_pairs(short, pts, escalate_res,
-                            escalate_rings if escalate_rings is not None else rings * 4)
-        pairs = pairs.unionByName(extra).dropDuplicates(["id", "neighbor_id"])
-
     w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
-    return (
+    first = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "dist2", F.col("rank").cast("int").alias("rank"))
     )
+    if not exact:
+        return first
+
+    # certification: top-k feeds the status probe AND the certified output
+    first = first.persist()
+    cert2 = F.lit(cert_radius_deg(res, rings) ** 2)
+    ok_ids = (
+        first.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_dk2"))
+        .filter((F.col("_n") >= k) & (F.col("_dk2") < cert2))
+        .select("id")
+    )
+    certified = first.join(ok_ids, "id", "left_semi")
+
+    # fallback: brute force for the uncertified tail — broadcast the SMALL
+    # query side, stream the full candidate set (the reverse of knn_exact)
+    shortq = pts.join(ok_ids, "id", "left_anti").select(
+        F.col("id"), F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat")
+    )
+    nb = pts.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("lon").alias("_nlon"), F.col("lat").alias("_nlat"),
+    )
+    d2 = (F.col("_qlon") - F.col("_nlon")) ** 2 + (F.col("_qlat") - F.col("_nlat")) ** 2
+    fb = (
+        nb.join(F.broadcast(shortq), F.col("id") != F.col("neighbor_id"))
+        .withColumn("dist2", d2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "dist2", "rank")
+    )
+    return certified.unionByName(fb)

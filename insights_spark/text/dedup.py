@@ -95,22 +95,43 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 gram.
 
     (a, b, jaccard) with a < b, jaccard ≥ threshold. Shuffle key = gram;
-    pairs never materialize unless they share a gram. At 100 TB this runs
-    on LSH-candidate pairs only (see minhash_lsh_candidates).
+    pairs never materialize unless they share a gram.
+
+    ``max_gram_df`` is the 100 TB guard: grams occurring in more than that
+    many documents ("stop-grams") are dropped from BOTH the intersection
+    and the per-doc sizes — i.e. Jaccard is computed over the df-capped
+    gram sets, the standard df-capping semantics of production dedup
+    (a single gram shared by 10^6 docs would otherwise materialize 10^12
+    join pairs). With None (default) the similarity is exact over all
+    grams; at scale either set the cap or run on LSH-candidate pairs only
+    (see minhash_lsh_candidates).
     """
     # one UDF pass, persisted: the gram arrays feed three consumers (both
     # self-join sides + sizes) and would otherwise re-run the gram kernel
     # per branch — locally a persist, at cluster scale a materialized
-    # grams table. sizes via F.size (no extra shuffle).
+    # grams table. sizes via F.size (no extra shuffle) in the uncapped path.
     ga = df.select(
         F.col(id_col).alias("a"), word_ngrams_np(n)(F.col(text_col)).alias("_grams")
     ).persist()
     g = ga.select("a", F.explode("_grams").alias("gram"))
-    sizes = ga.select("a", F.size("_grams").alias("size_a"))
+    if max_gram_df is not None:
+        hot = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        # anti-join against the (tiny) hot-gram set; persisted because the
+        # filtered grams feed both self-join sides and the size recount
+        g = g.join(hot, "gram", "left_anti").persist()
+        sizes = g.groupBy("a").agg(F.count(F.lit(1)).alias("size_a"))
+    else:
+        sizes = ga.select("a", F.size("_grams").alias("size_a"))
     g2 = g.select(F.col("a").alias("b"), F.col("gram"))
     inter = (
         g.join(g2, "gram")
@@ -231,6 +252,10 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("_id"),
         minhash_signature_np(num_hashes, n)(F.col(text_col)).alias("_sig"),
     )
+    # docs with no n-grams share the all-sentinel signature [MOD]*k: every
+    # such doc would match every other in every band (O(empty²) candidate
+    # blowup) and then always fail verification — drop them up front
+    sig = sig.filter(F.element_at("_sig", 1) != MOD)
     banded = sig.select(
         "_id",
         F.explode(
@@ -298,7 +323,11 @@ def minhash_near_dups(
     )
 
     rows_per_band = num_hashes // bands
-    banded = base.select(
+    # empty-gram docs all share the sentinel signature → they'd bucket with
+    # each other in every band (quadratic candidates) and never verify;
+    # exclude them from banding (the verify side keeps them — joins on
+    # candidate ids only, so output is unchanged)
+    banded = base.filter(F.size("_grams") > 0).select(
         "_id",
         F.explode(
             F.array(*[
@@ -393,8 +422,24 @@ def simhash_near_dups(
     Banding (pigeonhole): distance ≤ bands-1 implies one of `bands` 16-bit
     slices matches exactly → candidates join on (band, slice), verified by
     exact popcount. Never all-pairs.
+
+    RECALL CONTRACT: every emitted pair truly has hamming ≤ max_hamming
+    (precision is exact), but candidate recall is only GUARANTEED for
+    distance ≤ bands-1 (pigeonhole). With the default bands=4 and
+    max_hamming > 3 this is banding-limited recall — the standard simhash
+    trade (Manku et al.'s table-based scheme makes the same one): a true
+    pair whose four 16-bit slices all differ is not surfaced. For
+    guaranteed-complete output at a given threshold, set
+    ``bands = max_hamming + 1`` (64 must be divisible by bands, so in
+    practice 8, 16, 32) and pay the proportionally larger band join.
+
+    Tokenless docs (simhash 0) are excluded up front: they'd pairwise match
+    at hamming 0 (O(empty²) output) while sharing no content at all.
     """
-    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    src = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    sh = with_simhash(src, text_col).select(F.col(id_col).alias("_id"), "simhash")
     width = 64 // bands
     slices = [
         F.struct(

@@ -64,6 +64,38 @@ def cosine_topk(
     )
 
 
+def sample_centroids(
+    vectors: DataFrame,
+    n_total: int,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """The `num_centroids` vectors with the SMALLEST deterministic hash,
+    L2-normalized, as a (num_centroids × dim) matrix.
+
+    Selected WITHOUT ordering the full table: a hash-threshold filter keeps
+    ~4× the needed rows (binomial concentration makes a shortfall
+    astronomically unlikely; the loop widens the threshold if it happens),
+    then only that sliver is top-k'd. No Sort/Exchange ever touches the
+    full vector table — at 10^10 vectors the filter is a map-side scan and
+    the driver collects √N rows, exactly the cost profile of a production
+    IVF index build's reservoir step.
+    """
+    M = n_total * 2 + 1
+    hash_col = F.pmod(F.col(id_col) * 2654435761 + seed, F.lit(M))
+    t = max(1, (M * num_centroids * 4) // max(n_total, 1))
+    while True:
+        sliver = vectors.select(id_col, vec_col).filter(hash_col < t)
+        rows = sliver.orderBy(hash_col, F.col(id_col)).limit(num_centroids).collect()
+        if len(rows) >= min(num_centroids, n_total) or t >= M:
+            break
+        t *= 4
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
 def cosine_topk_bucketed(
     vectors: DataFrame,
     k: int = 5,
@@ -89,29 +121,22 @@ def cosine_topk_bucketed(
     if num_centroids is None:
         num_centroids = max(1, int(np.sqrt(n_total)))
 
-    cents = [
-        (int(r[0]), np.asarray(r[1], dtype=np.float64))
-        for r in vectors.select(id_col, vec_col)
-        .orderBy(F.pmod(F.col(id_col) * 2654435761 + seed, F.lit(n_total * 2 + 1)))
-        .limit(num_centroids)
-        .collect()
-    ]
-    C = np.stack([c[1] for c in cents])
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    C = sample_centroids(vectors, n_total, num_centroids, id_col, vec_col, seed)
     bc = vectors.sparkSession.sparkContext.broadcast(C)
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def nearest_buckets(vecs: pd.Series) -> pd.Series:
+        # one batched matmul per Arrow batch, not a per-row Python loop
         Cm = bc.value
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            x = x / max(np.linalg.norm(x), 1e-12)
-            sims = Cm @ x
-            out.append(np.argsort(-sims)[:nprobe].astype(np.int32).tolist())
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = X @ Cm.T
+        order = np.argsort(-S, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order.tolist()))
 
     # persisted: both the members and probes branches consume this UDF stage
     # (Spark recomputes shared subtrees per branch — the bucket assignment

@@ -147,28 +147,43 @@ def test_knn_exact_vs_cell_local(spark):
     assert exact == local
 
 
-def test_knn_escalation_covers_sparse_points(spark):
+def test_knn_certified_exact_covers_sparse_points(spark):
     """Two far-apart clusters + one isolated point: the isolated point finds
-    nothing at fine res, but the escalation pass at a coarse res recovers
-    its true neighbors (matching exact kNN)."""
+    nothing in the ring-bounded pass (exact=False), but certified-exact mode
+    recovers the full brute-force answer — for EVERY point, not just dense
+    ones — via the broadcast fallback over uncertified queries."""
     pts = [(0, 0.0, 0.0)]  # isolated
     pts += [(i, 35.0 + i * 0.001, 10.0) for i in range(1, 6)]
     pts += [(i, -40.0 + i * 0.001, -30.0) for i in range(6, 11)]
     df = spark.createDataFrame([(int(a), float(b), float(c)) for a, b, c in pts],
                                "id long, lon double, lat double")
-    fine = knn.knn_cell_local(df, k=2, res=6, rings=1)
+    fine = knn.knn_cell_local(df, k=2, res=6, rings=1, exact=False)
     assert fine.filter(F.col("id") == 0).count() == 0  # isolated finds nothing
-    esc = knn.knn_cell_local(df, k=2, res=6, rings=1, escalate_res=0)
+    cert = knn.knn_cell_local(df, k=2, res=6, rings=1)
     exact = {(r["id"], r["rank"]): r["neighbor_id"]
              for r in knn.knn_exact(df, k=2).collect()}
-    got = {(r["id"], r["rank"]): r["neighbor_id"]
-           for r in esc.filter(F.col("id") == 0).collect()}
-    assert got and all(exact[k_] == v for k_, v in got.items())
-    # dense points keep their fine-pass results unchanged
-    f = {(r["id"], r["rank"]): r["neighbor_id"] for r in fine.collect()}
-    e = {(r["id"], r["rank"]): r["neighbor_id"]
-         for r in esc.filter(F.col("id") != 0).collect()}
-    assert all(e[k_] == f[k_] for k_ in f)
+    got = {(r["id"], r["rank"]): r["neighbor_id"] for r in cert.collect()}
+    assert got == exact
+
+
+def test_knn_cert_radius_geometry():
+    """cert_radius(res, 1) must be ≤ the true minimal distance from a cell
+    point to outside its 1-ring: verified empirically by sampling — no point
+    within the radius of a query may land outside the query cell's ring."""
+    res = 4
+    s = cells.hex_edge_deg(res)
+    rad = knn.cert_radius_deg(res, 1)
+    rng = np.random.default_rng(11)
+    qs = rng.uniform([-50, -40], [50, 40], size=(300, 2))
+    for qlon, qlat in qs:
+        qcell = cells.hex_cell_id(np.array([qlon]), np.array([qlat]), res)[0]
+        ring = set(cells.hex_ring_ids(int(qcell), 1))
+        # sample points on a circle of radius slightly under cert
+        ang = rng.uniform(0, 2 * np.pi, 24)
+        plon = qlon + np.cos(ang) * rad * 0.999
+        plat = qlat + np.sin(ang) * rad * 0.999
+        pcells = cells.hex_cell_id(plon, plat, res)
+        assert all(int(c) in ring for c in pcells), (qlon, qlat, s)
 
 
 def test_knn_deterministic_ties(spark):

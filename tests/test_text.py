@@ -164,6 +164,69 @@ def test_cosine_topk_bucketed_recall(spark):
     assert agree / len(exact) > 0.9
 
 
+def test_ngram_df_cap_bounds_hot_gram_pairs(spark):
+    """40 docs sharing one stop-gram: uncapped, the gram equi-join
+    materializes C(40,2)=780 pairs through that single gram; with the df
+    cap the hot gram is dropped, so those docs produce NO pairs at all
+    (threshold=0 makes the pair count directly observable), while a true
+    near-dup pair through low-df grams is retained with identical jaccard."""
+    rows = [(i, f"common stop gram u{i} v{i} w{i} x{i}") for i in range(40)]
+    rows += [(100, "aa bb cc dd ee"), (101, "aa bb cc dd ee ff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_gram_df=10)
+    hot = (F.col("a") < 40) & (F.col("b") < 40)
+    assert uncapped.filter(hot).count() == 780
+    assert capped.filter(hot).count() == 0
+    nd = capped.filter(F.col("a") == 100).collect()
+    assert len(nd) == 1 and nd[0]["b"] == 101 and abs(nd[0]["jaccard"] - 0.75) < 1e-12
+
+
+def test_empty_doc_banding_filters(spark):
+    """Empty/whitespace docs must not bucket-join with each other: minhash
+    sentinel signatures and simhash-0 rows are excluded from banding, and
+    (for minhash) the final output is provably unchanged since such pairs
+    can never pass verification."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight")]
+    rows += [(10 + i, "   " if i % 2 else "") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.minhash_near_dups(df, threshold=0.3).collect()
+    assert {(r["a"], r["b"]) for r in mh} == {(1, 2)}
+    sh = dedup.simhash_near_dups(df, max_hamming=10).collect()
+    assert all(r["a"] not in range(10, 16) and r["b"] not in range(10, 16)
+               for r in sh)
+    cand = dedup.minhash_lsh_candidates(df).collect()
+    assert {(r["a"], r["b"]) for r in cand} == {(1, 2)}
+
+
+def test_centroid_sampling_matches_global_sort(spark):
+    """Hash-threshold centroid selection must equal the naive full-table
+    sort-limit selection (same ordering key) — the scale fix may not change
+    which vectors become centroids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n, c, seed = 200, 14, 42
+    got = simsearch.sample_centroids(df, n, c, seed=seed)
+    M = n * 2 + 1
+    naive = [
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in df.orderBy(
+            F.pmod(F.col("vec_id") * 2654435761 + seed, F.lit(M)), F.col("vec_id")
+        ).limit(c).collect()
+    ]
+    naive = np.stack(naive)
+    naive = naive / np.maximum(np.linalg.norm(naive, axis=1, keepdims=True), 1e-12)
+    assert np.array_equal(got, naive)
+    # degenerate: more centroids than vectors still terminates
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<float>")
+    assert simsearch.sample_centroids(tiny, 3, 10).shape[0] == 3
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=30)
     feats = multimodal.image_features(media).collect()
