@@ -708,6 +708,120 @@ def _q_mapathon_report(spark, sf_dir):
     return mapathon_tag_action_report(els, ids)
 
 
+def _q_mapathon_user_report(spark, sf_dir):
+    """Reference advanced-queries.md:53-75 — detailed per-user mapathon
+    report uid|username|key|action|features: the A4 rollup grouped by uid,
+    with the correlated LIMIT-1 username lookup replaced by the
+    deterministic J4 scalar pick (username on the user's max changeset id)."""
+    from insights_spark.ops.country import mapathon_user_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    els = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("changeset"),
+        F.pmod(F.col("l_suppkey"), F.lit(23)).alias("uid"),
+        F.when(F.pmod(F.col("l_linenumber"), F.lit(3)) == 0, F.lit("create"))
+        .when(F.pmod(F.col("l_linenumber"), F.lit(3)) == 1, F.lit("modify"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+        F.map_filter(
+            F.create_map(
+                F.lit("building"),
+                F.when(F.pmod(F.col("l_partkey"), F.lit(3)) == 0, F.lit("yes")),
+                F.lit("highway"),
+                F.when(
+                    F.pmod(F.col("l_partkey"), F.lit(5)) == 0, F.lit("residential")
+                ),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    changesets = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.pmod(F.col("o_orderkey"), F.lit(23)).alias("user_id"),
+        F.concat(
+            F.lit("user_"), F.pmod(F.col("o_orderkey"), F.lit(23)).cast("string"),
+            F.lit("_"), F.col("o_orderkey").cast("string"),
+        ).alias("user_name"),
+    )
+    ids = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    ).select(F.col("o_orderkey").alias("id"))
+    return mapathon_user_report(els, changesets, ids)
+
+
+def _q_propagate_relations(spark, sf_dir):
+    """J7 two-hop — relation location propagation from the first member
+    (reference advanced-queries.md:203-230): node members resolve directly;
+    way members resolve through the way's OWN propagated location (ways
+    first, then relations); empty-member relations stay NULL; a relation's
+    own non-NULL country wins (coalesce)."""
+    from insights_spark.ops.propagate import (
+        propagate_relation_locations, propagate_way_locations,
+    )
+
+    member_t = "array<struct<type:string,ref:bigint>>"
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    nodes = _points(cust, "c_custkey").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("node").alias("type"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("lat"), F.col("lon"),
+        F.concat(F.lit("N"), F.pmod(F.col("c_custkey"), F.lit(5)).cast("string"))
+        .alias("country"),
+        F.lit(None).cast("array<bigint>").alias("nds"),
+        F.lit(None).cast(member_t).alias("members"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    ways = o.select(
+        ok.alias("id"),
+        F.lit("way").alias("type"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.when(F.pmod(ok, F.lit(7)) == 0, F.lit("OWN"))
+        .otherwise(F.lit(None).cast("string")).alias("country"),
+        F.array(F.col("o_custkey")).cast("array<bigint>").alias("nds"),
+        F.lit(None).cast(member_t).alias("members"),
+    )
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    rels = p.select(
+        pk.alias("id"),
+        F.lit("relation").alias("type"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.when(F.pmod(pk, F.lit(11)) == 0, F.lit("ROWN"))
+        .otherwise(F.lit(None).cast("string")).alias("country"),
+        F.lit(None).cast("array<bigint>").alias("nds"),
+        F.when(
+            F.pmod(pk, F.lit(3)) == 0,
+            F.array(F.struct(
+                F.lit("node").alias("type"),
+                F.pmod(pk, F.lit(100)).cast("bigint").alias("ref"),
+            )),
+        )
+        .when(
+            F.pmod(pk, F.lit(3)) == 1,
+            F.array(F.struct(
+                F.lit("way").alias("type"),
+                F.pmod(pk, F.lit(200)).cast("bigint").alias("ref"),
+            )),
+        )
+        .otherwise(F.array().cast(member_t))
+        .alias("members"),
+    )
+    els = nodes.unionByName(ways).unionByName(rels)
+    out = propagate_relation_locations(propagate_way_locations(els))
+    return (
+        out.filter(F.col("type") == "relation")
+        .select("id", "lon", "lat", "country")
+    )
+
+
 def _q_hot_changesets(spark, sf_dir):
     """J8/X6 — hot_changeset materialized view: '%hotosm%' filter, then
     country by centroid-in-polygon (geo.bbox.hot_changesets_with_country).
@@ -858,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapathon_report": _q_mapathon_report,
         "tasks_per_user": _q_tasks_per_user,
         "hot_changesets": _q_hot_changesets,
+        "mapathon_user_report": _q_mapathon_user_report,
+        "propagate_relations": _q_propagate_relations,
         # custom kernels — rows-only checks
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
@@ -1383,6 +1499,61 @@ def oracle_sql() -> dict[str, str]:
                    WHERE mod(l_partkey, 5) = 0)
             SELECT key, action, CAST(count(DISTINCT id) AS BIGINT) AS features
             FROM kv GROUP BY key, action
+        """,
+        "mapathon_user_report": """
+            WITH ids AS (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F' AND o_totalprice > 150000),
+            el AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+                          mod(l_suppkey, 23) AS uid,
+                          CASE WHEN mod(l_linenumber, 3) = 0 THEN 'create'
+                               WHEN mod(l_linenumber, 3) = 1 THEN 'modify'
+                               ELSE 'delete' END AS action,
+                          l_partkey
+                   FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM ids)),
+            kv AS (SELECT id, uid, action, 'building' AS key FROM el
+                   WHERE mod(l_partkey, 3) = 0
+                   UNION ALL
+                   SELECT id, uid, action, 'highway' AS key FROM el
+                   WHERE mod(l_partkey, 5) = 0),
+            names AS (SELECT uid, user_name AS username FROM (
+                        SELECT mod(o_orderkey, 23) AS uid,
+                               'user_' || mod(o_orderkey, 23)::VARCHAR || '_'
+                                 || o_orderkey::VARCHAR AS user_name,
+                               row_number() OVER (PARTITION BY mod(o_orderkey, 23)
+                                                  ORDER BY o_orderkey DESC) AS rn
+                        FROM orders) WHERE rn = 1)
+            SELECT kv.uid, username, key, action,
+                   CAST(count(DISTINCT id) AS BIGINT) AS features
+            FROM kv LEFT JOIN names ON kv.uid = names.uid
+            GROUP BY 1, 2, 3, 4
+        """,
+        "propagate_relations": """
+            WITH nd AS (
+              SELECT c_custkey AS id,
+                     mod(c_custkey * 7919, 360000) / 1000.0 - 180.0 AS lon,
+                     mod(c_custkey * 104729, 170000) / 1000.0 - 85.0 AS lat,
+                     'N' || mod(c_custkey, 5)::VARCHAR AS country
+              FROM customer),
+            wy AS (
+              SELECT o_orderkey AS id, nd.lon, nd.lat,
+                     CASE WHEN mod(o_orderkey, 7) = 0 THEN 'OWN'
+                          ELSE nd.country END AS country
+              FROM orders LEFT JOIN nd ON o_custkey = nd.id)
+            SELECT p_partkey AS id,
+                   CASE WHEN mod(p_partkey, 3) = 0 THEN n2.lon
+                        WHEN mod(p_partkey, 3) = 1 THEN w2.lon
+                        ELSE NULL END AS lon,
+                   CASE WHEN mod(p_partkey, 3) = 0 THEN n2.lat
+                        WHEN mod(p_partkey, 3) = 1 THEN w2.lat
+                        ELSE NULL END AS lat,
+                   CASE WHEN mod(p_partkey, 11) = 0 THEN 'ROWN'
+                        WHEN mod(p_partkey, 3) = 0 THEN n2.country
+                        WHEN mod(p_partkey, 3) = 1 THEN w2.country
+                        ELSE NULL END AS country
+            FROM part
+            LEFT JOIN nd n2 ON mod(p_partkey, 100) = n2.id AND mod(p_partkey, 3) = 0
+            LEFT JOIN wy w2 ON mod(p_partkey, 200) = w2.id AND mod(p_partkey, 3) = 1
         """,
         "hot_changesets": f"""
             WITH cs AS (

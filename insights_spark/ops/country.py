@@ -93,6 +93,43 @@ def mapathon_tag_action_report(
     )
 
 
+def mapathon_user_report(
+    elements: DataFrame, changesets: DataFrame, changeset_ids: DataFrame
+) -> DataFrame:
+    """advanced-queries.md:53-75 — the detailed per-user mapathon report:
+    uid | username | key | action | features. Semi-join elements against
+    the mapathon's changesets (J1), explode tags (P8), group by
+    (uid, key, action) with countDistinct id (A4), then resolve the
+    username via the correlated-LIMIT-1 replacement (J4): the reference's
+    ``(SELECT c.user_name FROM osm_changeset c WHERE c.user_id = t.uid
+    LIMIT 1)`` has no ORDER BY, so the engine pins the deterministic rule —
+    the username on the user's highest changeset id wins.
+
+    Plan shape: one shuffle for the rollup, one small shuffle for the
+    username dimension (bounded by distinct users), broadcast-joined back.
+    """
+    from .latest import scalar_pick
+
+    scoped = elements.join(
+        F.broadcast(changeset_ids.select(F.col("id").alias("changeset"))),
+        "changeset",
+        "left_semi",
+    )
+    per_user = (
+        scoped.select("uid", "id", F.col("action"),
+                      F.explode("tags").alias("key", "value"))
+        .groupBy("uid", "key", "action")
+        .agg(F.countDistinct("id").alias("features"))
+    )
+    names = scalar_pick(
+        changesets.select(F.col("user_id").alias("uid"), "user_name", "id"),
+        ("uid",), "user_name", "id",
+    ).withColumnRenamed("user_name", "username")
+    return per_user.join(F.broadcast(names), "uid", "left").select(
+        "uid", "username", "key", "action", "features"
+    )
+
+
 def mapathon_contributors(
     changesets: DataFrame, elements: DataFrame, changeset_ids: DataFrame
 ) -> DataFrame:
