@@ -447,9 +447,12 @@ def _q_explode_map(spark, sf_dir):
     )
 
 
-# ---- non-SQL-expressible (rows-only check: custom kernels) -----------------
+# ---- custom geo/sketch kernels ---------------------------------------------
 
 def _q_s2_cells(spark, sf_dir):
+    """S2 level-12 cell rollup. The oracle is a full ANSI-SQL replica of
+    the Hilbert construction (see _s2_cells_sql) — 12 unrolled curve steps
+    over the public lookup tables, bit-exact vs the numpy kernel."""
     from insights_spark.geo import cells
 
     pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
@@ -464,8 +467,11 @@ def _q_hex_cells(spark, sf_dir):
     from insights_spark.geo import cells
 
     pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    # use_h3=False: the oracle replicates the AXIAL formula; in an
+    # environment where the optional real-h3 package exists, the library
+    # path would diverge from the SQL by construction
     return pts.groupBy(
-        cells.hex_udf(6)(F.col("lon"), F.col("lat")).alias("h3_r6")
+        cells.hex_udf(6, use_h3=False)(F.col("lon"), F.col("lat")).alias("h3_r6")
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1009,6 +1015,84 @@ _TOKENS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 )
 
+# S2 Hilbert lookup table (public S2 spec): pos = IJ_TO_POS[orient][ij],
+# flattened to orient*4 + ij
+_S2_IJ2POS = (0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
+
+
+def _s2_cells_sql(src: str, level: int = 12) -> str:
+    """ANSI-SQL replica of geo.cells.s2_cell_id: face selection → quadratic
+    (u,v)→(s,t) projection → (i,j) → `level` unrolled Hilbert-curve steps →
+    uint64 cell id reinterpreted as two's-complement BIGINT. Every step is
+    plain integer/real arithmetic, so DuckDB reproduces the numpy kernel
+    bit-for-bit (trunc matches numpy's toward-zero int cast; values are
+    clamped before it matters)."""
+    n = 1 << level
+    steps = []
+    prev = "s0"
+    for idx, k in enumerate(range(level - 1, -1, -1)):
+        ij = f"(((i >> {k}) & 1) * 2 + ((j >> {k}) & 1))"
+        p_case = (
+            "CASE orient * 4 + " + ij + " "
+            + " ".join(f"WHEN {c} THEN {_S2_IJ2POS[c]}" for c in range(16))
+            + " END"
+        )
+        cur = f"s{idx + 1}"
+        steps.append(
+            f"{cur} AS (SELECT event_id, i, j, face, pos * 4 + p AS pos, "
+            f"xor(orient, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS orient "
+            f"FROM (SELECT *, {p_case} AS p FROM {prev}))"
+        )
+        prev = cur
+    shift = 2 * (30 - level)
+    return f"""
+        WITH pts AS ({src}),
+        xyz AS (SELECT event_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        fc AS (SELECT event_id, x, y, z,
+                      CASE WHEN abs(x) >= abs(y) THEN
+                             CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                           ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END
+                      END AS comp
+               FROM xyz),
+        fc2 AS (SELECT event_id, x, y, z, comp,
+                       comp + CASE WHEN (CASE comp WHEN 0 THEN x WHEN 1 THEN y
+                                         ELSE z END) >= 0
+                              THEN 0 ELSE 3 END AS face
+                FROM fc),
+        uv AS (SELECT event_id, face,
+                      CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                                WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+                      CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                                WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+               FROM fc2),
+        st AS (SELECT event_id, face,
+                      CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3*u)
+                           ELSE 1 - 0.5 * sqrt(1 - 3*u) END AS su,
+                      CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3*v)
+                           ELSE 1 - 0.5 * sqrt(1 - 3*v) END AS sv
+               FROM uv),
+        s0 AS (SELECT event_id, face,
+                      greatest(0, least({n - 1}, CAST(trunc(su * {n}) AS BIGINT))) AS i,
+                      greatest(0, least({n - 1}, CAST(trunc(sv * {n}) AS BIGINT))) AS j,
+                      CAST(0 AS BIGINT) AS pos, face % 2 AS orient
+               FROM st),
+        {','.join(steps)},
+        ids AS (SELECT event_id,
+                       CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                                 THEN h - 18446744073709551616::HUGEINT
+                            ELSE h END AS BIGINT) AS s2_l12
+                FROM (SELECT event_id,
+                             face::HUGEINT * {1 << 61}::HUGEINT
+                             + pos::HUGEINT * {1 << (shift + 1)}::HUGEINT
+                             + {1 << shift}::HUGEINT AS h
+                      FROM {prev}))
+        SELECT s2_l12, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY 1
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     from insights_spark.geo import cells as _cells
@@ -1104,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn": knn_sql,
         "knn_cell_local": knn_sql,
+        "s2_cells": _s2_cells_sql(_EV_PTS),
         "flagship_tile_density": f"""
             WITH pts AS ({_EV_PTS})
             SELECT {case_country} AS country, 6 AS z, {tile6}, CAST(count(*) AS BIGINT) AS density

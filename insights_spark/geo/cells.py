@@ -124,12 +124,17 @@ def hex_edge_deg(res: int) -> float:
     return _HEX_RES0_EDGE_DEG / (_SQRT7 ** res)
 
 
-def hex_cell_id(lon: np.ndarray, lat: np.ndarray, res: int = 8) -> np.ndarray:
+def hex_cell_id(lon: np.ndarray, lat: np.ndarray, res: int = 8,
+                use_h3: bool = True) -> np.ndarray:
     """Deterministic axial hex binning (pointy-top) on the lon/lat plane.
 
     Returns int64: (res << 56) | (q + 2^26) << 28 | (r + 2^26).
+
+    ``use_h3=False`` forces the axial fallback even when the real `h3`
+    package is importable — required wherever an ANSI-SQL oracle replicates
+    the axial formula (the library and the fallback diverge by design).
     """
-    if _h3 is not None:  # pragma: no cover
+    if _h3 is not None and use_h3:  # pragma: no cover
         return np.array(
             [_h3.str_to_int(_h3.latlng_to_cell(b, a, res)) for a, b in zip(lon, lat)],
             dtype=np.uint64,
@@ -201,7 +206,7 @@ def s2_udf(level: int = 12):
     return _enc
 
 
-def hex_udf(res: int = 8):
+def hex_udf(res: int = 8, use_h3: bool = True):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
@@ -209,7 +214,8 @@ def hex_udf(res: int = 8):
         mask = lon.notna() & lat.notna()
         out = pd.Series(np.zeros(len(lon), dtype=np.int64), index=lon.index, dtype="Int64")
         if mask.any():
-            out[mask] = hex_cell_id(lon[mask].to_numpy(), lat[mask].to_numpy(), res)
+            out[mask] = hex_cell_id(lon[mask].to_numpy(), lat[mask].to_numpy(), res,
+                                    use_h3=use_h3)
         out[~mask] = None
         return out
 

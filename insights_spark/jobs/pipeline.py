@@ -11,9 +11,11 @@ committed sequence):
   1. extract     pages → changesets / changeset_comments / element_history
   2. enrich      element_history + country (broadcast PIP) + s2/h3 cells
   3. propagate   way/relation locations from first node/member
-  4. stats       all_changesets_stats (conditional battery + meters)
-  5. tiles       z/x/y edit-density pyramid
-  6. vocabulary  distinct hashtag set
+  4. stats       all_changesets_stats — INCREMENTAL: recompute only
+                 batch-touched ∪ missed changesets, then MERGE
+  5. tiles       z/x/y edit-density pyramid — INCREMENTAL: aggregate the
+                 appended delta, merge-SUM into the existing pyramid
+  6. vocabulary  distinct hashtag set — INCREMENTAL: merge-insert new tags
 
 Sequence = max(warc_ts) of the processed batch (epoch seconds). A re-run
 with --resume processes only pages with warc_ts after the checkpoint and
@@ -73,15 +75,6 @@ def run(
 
     out: dict[str, str] = {}
 
-    def sink(df: DataFrame, name: str, mode: str = "append", partition_by=None):
-        path = os.path.join(out_dir, name)
-        w = df.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        out[name] = path
-        return path
-
     # 1. extract ----------------------------------------------------------
     from ..runtime import sinks as sink_ops
 
@@ -110,7 +103,7 @@ def run(
     # "index" columns (X3) — replaces btree/GIN/GIST; S10 ON CONFLICT DO
     # NOTHING semantics on the natural key
     el_path = os.path.join(out_dir, "element_history")
-    sink_ops.append_dedup(
+    appended = sink_ops.append_dedup(
         propagated,
         el_path,
         keys=["id", "version", "type"],
@@ -125,27 +118,56 @@ def run(
     lin.record("enrich", None, propagated, sequence)
 
     # 4. stats --------------------------------------------------------------
-    el = spark.read.parquet(out[
-        "element_history"
-    ])  # read back: stats sees ALL history, not just this batch
-    st = stats_ops.changeset_stats_with_meters(el)
-    sink(st, "all_changesets_stats", mode="overwrite")
-    # lineage from the read-back (overwrite table == this batch): counting
-    # the plan itself would re-execute the whole stats computation
-    lin.record("stats", None, spark.read.parquet(out["all_changesets_stats"]),
-               sequence)
+    # INCREMENTAL: recompute stats only for changesets touched by this
+    # batch ∪ changesets missing a stats row (the J3 repair anti-join),
+    # then MERGE — per-batch work is O(batch ∪ missed), never O(history).
+    # Touched changesets still aggregate over their FULL element history
+    # (semi-join pulls all their rows from the read-back table).
+    el = spark.read.parquet(el_path)
+    stats_path = os.path.join(out_dir, "all_changesets_stats")
+    touched = appended.select("changeset").distinct()
+    if os.path.isdir(stats_path):
+        existing_stats = spark.read.parquet(stats_path)
+        touched = touched.unionByName(
+            stats_ops.missed_changesets(el, existing_stats)
+        ).distinct()
+    el_touched = el.join(touched, "changeset", "left_semi").persist()
+    st = stats_ops.changeset_stats_with_meters(el_touched).persist()
+    sink_ops.merge_parquet(st, stats_path, keys=["changeset"], mode="keep_last")
+    out["all_changesets_stats"] = stats_path
+    # lineage records the stage's actual increment: rows_in = touched
+    # element-history rows, rows_out = recomputed stats rows (both persisted
+    # — counting an uncached plan would re-execute the stage)
+    lin.record("stats", el_touched, st, sequence)
 
     # 5. tiles ----------------------------------------------------------------
+    # INCREMENTAL: the density pyramid is additive, and append_dedup
+    # returned exactly the rows that are NEW in element_history — aggregate
+    # only those and merge-SUM into the existing pyramid.
     pyramid = tiles.tile_pyramid(
-        el.filter(F.col("lat").isNotNull()), list(zooms)
+        appended.filter(F.col("lat").isNotNull()), list(zooms)
     )
-    sink(pyramid, "tile_density", mode="overwrite")
-    lin.record("tiles", None, spark.read.parquet(out["tile_density"]), sequence)
+    tiles_path = os.path.join(out_dir, "tile_density")
+    sink_ops.merge_sum_parquet(pyramid, tiles_path, keys=["z", "x", "y"],
+                               sum_cols=["density"])
+    out["tile_density"] = tiles_path
+    lin.record("tiles", None, spark.read.parquet(tiles_path), sequence)
 
     # 6. hashtag vocabulary ----------------------------------------------------
-    vocab = tags_ops.hashtag_vocabulary(spark.read.parquet(out["changesets"]))
-    sink(vocab, "all_osm_hashtags", mode="overwrite")
+    # INCREMENTAL: vocabulary is a distinct set — merge (keep_first on the
+    # full row) appends only hashtags not seen before; no conflicts means
+    # no rewrite at all.
+    vocab = tags_ops.hashtag_vocabulary(changesets)
+    vocab_path = os.path.join(out_dir, "all_osm_hashtags")
+    sink_ops.merge_parquet(vocab, vocab_path, keys=list(vocab.columns),
+                           mode="keep_first")
+    out["all_osm_hashtags"] = vocab_path
 
+    el_touched.unpersist()
+    st.unpersist()
+    appended.unpersist()
+    propagated.unpersist()
+    bundles.unpersist()
     ckpt.commit(PIPELINE, "extract", sequence, lin.run_id)
     return out
 

@@ -170,17 +170,32 @@ _WRAPPER_KINDS = ("create", "modify", "delete")
 _STREAM_PARSE_BYTES = 8 * 1024 * 1024
 
 
-def _walk_elements(elem, wrapper: str | None, rows: list[dict]) -> None:
-    for child in elem:
-        tag = child.tag
+def _walk_elements(root, rows: list[dict]) -> None:
+    """Pre-order walk emitting element rows in document order.
+
+    Iterative (explicit stack), not recursive: a deeply-nested payload
+    would otherwise raise RecursionError, which escapes the ET.ParseError
+    skip-bad-page posture and kills the task. Root-tag parity with the
+    iterparse path: a payload whose ROOT is itself a node/way/relation
+    emits that one row, and a root-level create/modify/delete wrapper
+    stamps its action on the children.
+    """
+    if root.tag in _ELEMENT_KINDS:
+        rows.append(_element_row(root.tag, root, None))
+        return
+    root_wrapper = root.tag if root.tag in _WRAPPER_KINDS else None
+    stack = [(child, root_wrapper) for child in reversed(list(root))]
+    while stack:
+        elem, wrapper = stack.pop()
+        tag = elem.tag
         if tag in _ELEMENT_KINDS:
-            rows.append(_element_row(tag, child, wrapper))
+            rows.append(_element_row(tag, elem, wrapper))
         elif tag in _WRAPPER_KINDS:
-            _walk_elements(child, tag, rows)
+            stack.extend((c, tag) for c in reversed(list(elem)))
         else:
             # unknown container: keep scanning (iterparse parity — it yields
             # element end-events at any nesting depth)
-            _walk_elements(child, wrapper, rows)
+            stack.extend((c, wrapper) for c in reversed(list(elem)))
 
 
 def parse_element_page(payload: bytes) -> list[dict]:
@@ -192,7 +207,7 @@ def parse_element_page(payload: bytes) -> list[dict]:
     """
     rows: list[dict] = []
     if len(payload) <= _STREAM_PARSE_BYTES:
-        _walk_elements(ET.fromstring(payload), None, rows)
+        _walk_elements(ET.fromstring(payload), rows)
         return rows
     stack: list[str] = []
     for event, elem in ET.iterparse(BytesIO(payload), events=("start", "end")):

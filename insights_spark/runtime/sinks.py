@@ -48,6 +48,26 @@ def merge_parquet(
         return
 
     old = spark.read.parquet(path)
+    # fast path: when no batch key collides with an existing row, MERGE
+    # degenerates to INSERT — dedup the batch internally and append, never
+    # touching existing files (Iceberg's MERGE does exactly this when the
+    # ON clause matches nothing). The probe scans only the key columns
+    # (column pruning) and stops at the first hit (limit 1).
+    if order_col is None:
+        batch = new_df.dropDuplicates(keys)
+    else:
+        w_b = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        batch = (
+            new_df.withColumn("_rn", F.row_number().over(w_b))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+    conflicts = (
+        old.select(*keys).join(batch.select(*keys), keys, "left_semi").limit(1).count()
+    )
+    if conflicts == 0:
+        batch.write.mode("append").parquet(path)
+        return
+
     tagged = old.withColumn("_gen", F.lit(0)).unionByName(
         new_df.withColumn("_gen", F.lit(1))
     )
@@ -76,10 +96,15 @@ def merge_parquet(
 def append_dedup(new_df: DataFrame, path: str, keys: list[str],
                  partition_by: list[str] | None = None,
                  cluster_by: list[str] | None = None,
-                 sort_by: list[str] | None = None) -> None:
+                 sort_by: list[str] | None = None) -> DataFrame:
     """Cheap S10 for append-mostly tables: drop batch rows whose keys are
     already present, then append (no table rewrite). Exactly the
     reference's ON CONFLICT DO NOTHING cost profile.
+
+    Returns the actually-appended rows (persisted): downstream incremental
+    stages (stats repair, tile merge) consume exactly this delta, so the
+    pipeline's per-batch work stays O(batch) instead of O(history). The
+    caller owns the unpersist once its consumers have run.
 
     `cluster_by`/`sort_by` implement the physical layout (X3) HERE, after
     the dedup shuffle: clustering before the call is futile (dropDuplicates
@@ -98,7 +123,44 @@ def append_dedup(new_df: DataFrame, path: str, keys: list[str],
         batch = batch.repartition(*[F.col(c) for c in cluster_by])
     if sort_by:
         batch = batch.sortWithinPartitions(*sort_by)
+    # localCheckpoint, NOT persist: the batch's plan reads `path` (the
+    # anti-join), and writing to a path invalidates+recomputes every cached
+    # plan that reads it (CacheManager.recacheByPath) — a persisted batch
+    # would silently re-execute its anti-join against the just-appended
+    # table and come back EMPTY. Checkpointing truncates the lineage first,
+    # pinning the pre-write contents. (On Iceberg the committed snapshot id
+    # gives the same read-your-own-write isolation for free.)
+    batch = batch.localCheckpoint(eager=True)
     w = batch.write.mode("append")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    return batch
+
+
+def merge_sum_parquet(new_df: DataFrame, path: str, keys: list[str],
+                      sum_cols: list[str]) -> None:
+    """Additive MERGE for rollup tables (tile pyramid, counters): existing
+    and batch rows with the same key have their measures SUMMED — the
+    incremental form of an additive aggregate, so a batch contributes
+    O(batch) aggregation work instead of recomputing the rollup over all
+    history. Same atomic tmp-and-swap publish as merge_parquet."""
+    spark = new_df.sparkSession
+    exists = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+    )
+    if not exists:
+        new_df.write.mode("overwrite").parquet(path)
+        return
+    old = spark.read.parquet(path)
+    merged = (
+        old.unionByName(new_df)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+    tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup, ignore_errors=True)

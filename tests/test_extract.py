@@ -112,3 +112,50 @@ def test_unique_key_id_version_type(spark, pages):
     n = df.count()
     k = df.select("id", "version", "type").distinct().count()
     assert n == k
+
+
+def test_parser_root_tag_edge_payloads():
+    """Dual-path parity on edge payloads: root IS an element; root is an
+    action wrapper; deep nesting must not blow the recursion limit."""
+    # root itself a node → one row, derived action (v=3 → modify, ST6)
+    rows = ref_parser.parse_element_page(
+        b'<node id="7" lat="1.5" lon="2.5" version="3" changeset="9"/>'
+    )
+    assert len(rows) == 1 and rows[0]["id"] == 7 and rows[0]["action"] == "modify"
+
+    # root-level wrapper → children stamped with the action
+    rows = ref_parser.parse_element_page(
+        b'<create><node id="1" lat="0" lon="0" version="1"/>'
+        b'<way id="2" version="1"><nd ref="1"/></way></create>'
+    )
+    assert [r["action"] for r in rows] == ["create", "create"]
+
+    # 50k-deep nesting: iterative walk, no RecursionError
+    deep = b"<a>" * 50000 + b'<node id="5" lat="0" lon="0" version="1"/>' \
+        + b"</a>" * 50000
+    rows = ref_parser.parse_element_page(b"<osm>" + deep + b"</osm>")
+    assert len(rows) == 1 and rows[0]["id"] == 5
+
+
+def test_parser_small_large_paths_agree():
+    """The fromstring walk and the iterparse stream must emit identical rows
+    in identical order for the same document."""
+    doc = (
+        b'<osmChange><create><node id="1" lat="1" lon="1" version="1"/></create>'
+        b'<modify><way id="2" version="2"><nd ref="1"/><tag k="highway" v="x"/></way>'
+        b"</modify>"
+        b'<delete><relation id="3" version="1"><member type="way" ref="2" role=""/>'
+        b"</relation></delete>"
+        b'<node id="4" lat="2" lon="2" version="1"/></osmChange>'
+    )
+    small = ref_parser.parse_element_page(doc)
+    orig = ref_parser._STREAM_PARSE_BYTES
+    try:
+        ref_parser._STREAM_PARSE_BYTES = 0  # force the iterparse path
+        large = ref_parser.parse_element_page(doc)
+    finally:
+        ref_parser._STREAM_PARSE_BYTES = orig
+    assert small == large
+    # wrapped elements take the wrapper action; the bare v=1 node derives
+    # 'create' (ST6)
+    assert [r["action"] for r in small] == ["create", "modify", "delete", "create"]

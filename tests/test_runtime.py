@@ -79,6 +79,15 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert again == {}
     assert spark.read.parquet(tables["changesets"]).count() == cs1
 
+    # file-level: the resume run must not rewrite existing changeset files
+    import glob
+    import os as _os
+
+    cs_files_before = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(f"{tables['changesets']}/**/*.parquet", recursive=True)
+    }
+
     # resume with new pages → only the delta appended
     more = synth.pages_df(spark, n_pages=18)  # first 12 identical (same seed)
     t2 = pipeline.run(spark, more, out, resume=True)
@@ -86,6 +95,44 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     cs2 = spark.read.parquet(tables["changesets"]).count()
     el2 = spark.read.parquet(tables["element_history"]).count()
     assert cs2 > cs1 and el2 > el1
+    # disjoint-key MERGE took the append fast path: old files untouched
+    cs_files_after = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(f"{tables['changesets']}/**/*.parquet", recursive=True)
+    }
+    assert set(cs_files_after) > set(cs_files_before)
+    assert all(cs_files_after[f] == m for f, m in cs_files_before.items())
+
+    # stats stage is incremental: its recorded input is O(batch), not
+    # O(history) — the resume batch touches only the delta's changesets
+    lin_df = spark.read.parquet(f"{out}/_lineage")
+    stats_in = [
+        r["rows_in"] or 0
+        for r in lin_df.filter(F.col("stage") == "stats").collect()
+    ]
+    assert sum(stats_in) < el1 + el2  # strictly less than two full passes
+    resume_stats_in = (
+        lin_df.filter(F.col("stage") == "stats")
+        .groupBy("sequence").agg(F.sum("rows_in").alias("s"))
+        .orderBy(F.desc("sequence")).first()["s"]
+    )
+    # the resume pass reads the full history ONLY of touched changesets —
+    # strictly less than a full-table pass (untouched changesets skipped)
+    assert resume_stats_in < el2
+
+    # incremental tile merge-sum equals a full recompute over all history
+    from insights_spark.geo import tiles as tiles_mod
+
+    full = tiles_mod.tile_pyramid(
+        spark.read.parquet(tables["element_history"]).filter(
+            F.col("lat").isNotNull()
+        ),
+        [12, 8, 6],
+    )
+    merged = spark.read.parquet(tables["tile_density"])
+    assert (
+        merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
+    )
     # idempotence: changeset ids unique after resume (no replays)
     dup = (
         spark.read.parquet(tables["changesets"])
