@@ -379,6 +379,16 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def _q_cos_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.4 (exact, sequential-fold dot
+    product = DuckDB list_dot_product parity). The LSH-bucketed candidate
+    path (embedding_lsh_candidates) is the scale route, recall-tested in
+    pytest against this exact baseline."""
+    from insights_spark.text.simsearch import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def _q_union_distinct(spark, sf_dir):
     """U1/A9 — distinct union of two differently-tokenized sources (the
     hashtag-vocabulary shape: two delimiter classes → union → dedup)."""
@@ -482,8 +492,12 @@ def _q_knn_cell_local(spark, sf_dir):
     and shares the `knn` oracle SQL."""
     from insights_spark.geo.knn import knn_cell_local
 
+    # res=2/rings=2: cert radius 2.5·edge(2) ≈ 3.57° — at sf0.1 density
+    # 14995/15000 queries certify in the first pass with 2.6× fewer join
+    # pairs than res=1/rings=1 (348k vs 905k); the uncertified tail rides
+    # the broadcast fallback
     pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
-    return knn_cell_local(pts, k=3, id_col="c_custkey", res=1, rings=1)
+    return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=2)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -968,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
+        "cos_near_dups": _q_cos_near_dups,
         "union_distinct": _q_union_distinct,
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
@@ -1665,6 +1680,16 @@ def oracle_sql() -> dict[str, str]:
               AND action_date <= TIMESTAMP '2024-01-15 00:00:00'
               AND action_text = 'click'
             GROUP BY user_id
+        """,
+        "cos_near_dups": """
+            SELECT a, b, c AS cosine FROM (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                       AS c
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE c >= 0.4
         """,
         "way_meters": """
             SELECT o_orderkey AS way_id, CAST(1 AS BIGINT) AS way_version,

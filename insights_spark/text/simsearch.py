@@ -64,6 +64,99 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (a, b, cosine) with a < b and
+    cosine ≥ threshold — the embedding analogue of ngram_jaccard_pairs.
+
+    Dot products use the SEQUENTIAL double fold (oracle-parity with
+    DuckDB's list_dot_product); the small side is broadcast. This is the
+    correctness baseline — at corpus scale route candidate generation
+    through ``embedding_lsh_candidates`` and verify only candidates.
+    """
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    cos = dot(F.col("_va"), F.col("_vb")) / (
+        norm(F.col("_va")) * norm(F.col("_vb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def _rh_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state: entries are a
+    fixed integer-hash stream mapped to ±1-ish floats, reproducible across
+    executors and sessions)."""
+    idx = np.arange(dim * n_bits, dtype=np.int64)
+    h = (idx * 2654435761 + seed * 40503 + 104729) % 1_000_000_007
+    return (h.astype(np.float64) / 1_000_000_007 - 0.5).reshape(n_bits, dim)
+
+
+def embedding_lsh_candidates(
+    vectors: DataFrame,
+    n_bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs for cosine similarity.
+
+    Each vector gets an n_bits sign sketch (sign of the dot product with
+    deterministic hyperplanes — one Arrow-batched matmul, no per-row
+    Python); sketches are split into `bands` slices and candidates are
+    pairs sharing a slice. P[bit match] = 1 − θ/π, so high-cosine pairs
+    collide in some band with high probability while the shuffle stays
+    keyed on (band, slice) buckets — never all-pairs. Verify candidates
+    with the exact cosine afterwards (same contract as MinHash-LSH →
+    Jaccard verify).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bits_per_band = n_bits // bands
+
+    @pandas_udf("long")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        P = _rh_planes(X.shape[1], n_bits, seed)
+        bits = (X @ P.T) >= 0
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    sk = vectors.select(F.col(id_col).alias("_id"), sketch(F.col(vec_col)).alias("_sk"))
+    mask = (1 << bits_per_band) - 1
+    banded = sk.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftrightunsigned(F.col("_sk"), bi * bits_per_band)
+                    .bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    other = banded.select(F.col("_id").alias("_id2"), "band", "key")
+    return (
+        banded.join(other, ["band", "key"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(F.col("_id").alias("a"), F.col("_id2").alias("b"))
+        .distinct()
+    )
+
+
 def sample_centroids(
     vectors: DataFrame,
     n_total: int,

@@ -241,3 +241,46 @@ def test_multimodal_plumbing(spark):
     assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
     with pytest.raises(NotImplementedError):
         multimodal.decode_video_frames(media)
+
+
+def test_embedding_near_dups_exact(spark):
+    """embedding_near_dups matches a numpy brute-force cosine at the same
+    threshold (sequential-fold dot product — parity with the DuckDB
+    list_dot_product oracle is asserted by the driver harness)."""
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in simsearch.embedding_near_dups(df, threshold=0.3).collect()}
+    X = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64)
+                  for _, v in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    want = {(a, b) for a in range(30) for b in range(a + 1, 30)
+            if S[a, b] >= 0.3 - 1e-9}
+    # fold-order float differences can flip pairs sitting exactly on the
+    # threshold; keep the comparison off-threshold
+    assert {p for p in got} == want
+    for (a, b), c in got.items():
+        assert abs(c - S[a, b]) < 1e-6
+
+
+def test_embedding_lsh_candidate_recall(spark):
+    """Random-hyperplane LSH candidates cover the high-cosine pairs: planted
+    near-duplicate pairs (cosine ≥ 0.95) must all appear as candidates,
+    and the candidate set must stay far below all-pairs."""
+    rng = np.random.default_rng(3)
+    rows, truth = [], set()
+    i = 0
+    for _ in range(25):
+        v = rng.normal(0, 1, 16)
+        w = v + rng.normal(0, 0.02, 16)  # near-dup: cosine ≈ 0.9998
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1, [float(x) for x in w]))
+        truth.add((i, i + 1))
+        i += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = {(r["a"], r["b"])
+            for r in simsearch.embedding_lsh_candidates(df).collect()}
+    assert truth <= cand          # perfect recall on planted near-dups
+    assert len(cand) < 50 * 49 / 2 / 3   # and nowhere near all-pairs
