@@ -278,6 +278,36 @@ def _q_tile_pyramid(spark, sf_dir):
     return tiles.tile_pyramid(pts, [6, 4])
 
 
+def _q_tile_vectorize(spark, sf_dir):
+    """Raster→vector half of the north rule's raster↔vector pair: z5
+    density raster over events → above-average tiles as lon/lat quad
+    bounds (inverse web-mercator; sinh in exp-form and 9-dp rounding on
+    BOTH engines so the float comparison is libm-ulp-proof). The
+    above-AVERAGE threshold keeps the hot-tile structure stable across
+    scale factors."""
+    from insights_spark.geo import tiles, vectorize
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    raster = tiles.density_rollup(pts, 5).persist()
+    thr = raster.agg(F.avg("density")).first()[0]  # scalar stat, 1 row
+    return vectorize.vectorize_tiles(raster, min_density=thr)
+
+
+def _q_tile_regions(spark, sf_dir):
+    """Merged hot-tile regions: 4-adjacency connected components over the
+    z5 above-average raster via distributed min-label propagation
+    (Pregel-style; sweeps = region diameter, each ONE shuffle on the
+    bounded ≤4^z tile table). Oracle: DuckDB recursive-CTE transitive
+    closure over the same adjacency — region_id is the min tile id of the
+    component on both engines."""
+    from insights_spark.geo import tiles, vectorize
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    raster = tiles.density_rollup(pts, 5).persist()
+    thr = raster.agg(F.avg("density")).first()[0]
+    return vectorize.tile_regions(raster, min_density=thr)
+
+
 def _q_grid_cells(spark, sf_dir):
     """Grid-cell binning (pure-column spatial index primitive)."""
     from insights_spark.geo.cells import grid_cell_col
@@ -972,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "pip_countries": _q_pip_countries,
         "tile_pyramid": _q_tile_pyramid,
+        "tile_vectorize": _q_tile_vectorize,
+        "tile_regions": _q_tile_regions,
         "grid_cells": _q_grid_cells,
         "envelope": _q_envelope,
         "exact_dedup": _q_exact_dedup,
@@ -1119,6 +1151,19 @@ def oracle_sql() -> dict[str, str]:
 
     n6, n4 = 64, 16
     tile6 = _TILE_XY.format(n=n6, nm1=n6 - 1)
+    tile5 = _TILE_XY.format(n=32, nm1=31)
+    # inverse web-mercator lat of tile-fraction {yf}, sinh in exp-form —
+    # the exact expression geo/vectorize._merc_lat runs
+    inv_lat = (
+        "round(degrees(atan((exp(pi() * (1.0 - 2.0 * ({yf})))"
+        " - exp(-(pi() * (1.0 - 2.0 * ({yf}))))) / 2.0)), 9)"
+    )
+    tile5_raster = f"""
+        raster AS (SELECT 5 AS z, {tile5}, CAST(count(*) AS BIGINT) AS density
+                   FROM pts GROUP BY 1, 2, 3),
+        hot AS (SELECT * FROM raster
+                WHERE density >= (SELECT avg(density) FROM raster))
+    """
     case_country = _country_case_sql()
 
     stopwords_en = "('the','a','and','of','to','in','is','it','that','for')"
@@ -1307,6 +1352,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 4 AS z, CAST(floor(x / 4) AS INT) AS x, CAST(floor(y / 4) AS INT) AS y,
                    CAST(sum(density) AS BIGINT) AS density
             FROM z6 GROUP BY 2, 3
+        """,
+        "tile_vectorize": f"""
+            WITH pts AS ({_EV_PTS}),
+            {tile5_raster}
+            SELECT z, x, y, density,
+                   round(x / 32.0 * 360.0 - 180.0, 9) AS west,
+                   {inv_lat.format(yf='(y + 1) / 32.0')} AS south,
+                   round((x + 1) / 32.0 * 360.0 - 180.0, 9) AS east,
+                   {inv_lat.format(yf='y / 32.0')} AS north
+            FROM hot
+        """,
+        "tile_regions": f"""
+            WITH RECURSIVE pts AS ({_EV_PTS}),
+            {tile5_raster},
+            ids AS (SELECT z, x, y, density,
+                           CAST(z AS BIGINT) * 4503599627370496
+                           + CAST(x AS BIGINT) * 67108864
+                           + CAST(y AS BIGINT) AS id
+                    FROM hot),
+            edges AS (SELECT a.id AS src, b.id AS dst
+                      FROM ids a JOIN ids b
+                      ON a.z = b.z AND abs(a.x - b.x) + abs(a.y - b.y) = 1),
+            reach(src, dst) AS (
+                SELECT id, id FROM ids
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT i.z, i.x, i.y, i.density, c.region_id
+            FROM ids i JOIN (SELECT src, MIN(dst) AS region_id
+                             FROM reach GROUP BY src) c ON i.id = c.src
         """,
         "grid_cells": f"""
             WITH pts AS ({_EV_PTS})

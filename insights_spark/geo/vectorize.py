@@ -1,0 +1,201 @@
+"""Raster→vector: slippy-tile rasters back to lon/lat vector geometry.
+
+The other half of the north rule's "raster↔vector" pair (SURVEY §2.11):
+``geo/tiles.py`` rasterizes points into z/x/y density tiles; this module
+turns tile rasters back into vector form —
+
+* :func:`vectorize_tiles` — per-tile lon/lat quad polygons via the inverse
+  web-mercator transform (pure column math, whole-stage-codegen'd, and
+  reproducible in ANSI SQL: ``sinh`` is written in exp-form because the
+  DuckDB oracle lacks ``sinh``; bounds rounded to 9 decimals on BOTH sides
+  so the comparison is libm-ulp-proof).
+* :func:`quad_wkt` — WKT polygon text for export (not oracle-compared:
+  float→string formatting differs across engines).
+* :func:`tile_regions` — merged hot-tile REGIONS: connected components
+  over 4-adjacency, Pregel-style min-label propagation. The oracle is a
+  DuckDB recursive-CTE transitive closure over the same adjacency.
+
+No reference counterpart (the reference leaves rendering to
+Postgres/Leaflet dashboards, e.g. underpass-ui queries in
+advanced-queries.md); formulas are the public OSM slippy-map spec.
+
+Scale posture: a tile raster is bounded by 4^z keys regardless of input
+size (z12 ⇒ ≤16.7M rows worldwide), so everything here operates on a table
+that is tiny relative to the fact table that produced it. Each label
+propagation sweep is ONE hash-shuffle join keyed on the 64-bit tile id,
+and the sweep count equals the hot-region diameter in tiles — small for
+real edit-density blobs. For adversarial snake-shaped regions switch to
+alternating large-star/small-star (O(log n) sweeps, same join shape);
+deliberately not implemented: density blobs don't need it and the simple
+sweep is the plan you can read in the Spark UI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PI = 3.141592653589793
+
+# id = (z << 52) | (x << 26) | y — unique for z ≤ 20 (x, y < 2^26), pure
+# bigint math so the SQL oracle reproduces it exactly.
+_Z_SHIFT = 1 << 52
+_X_SHIFT = 1 << 26
+
+
+def _merc_lat(yfrac: Column) -> Column:
+    """Inverse web-mercator: tile-fraction y → latitude in degrees.
+
+    degrees(atan(sinh(pi*(1-2*yfrac)))) with sinh spelled (e^t - e^-t)/2 —
+    the exact expression the DuckDB oracle runs.
+    """
+    t = F.lit(_PI) * (F.lit(1.0) - F.lit(2.0) * yfrac)
+    return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+
+def with_tile_bounds(
+    tiles: DataFrame, z_col: str = "z", x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Add west/south/east/north lon-lat bounds for each z/x/y tile."""
+    n = F.pow(F.lit(2.0), F.col(z_col).cast("double"))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return (
+        tiles.withColumn("west", F.round(x / n * F.lit(360.0) - F.lit(180.0), 9))
+        .withColumn(
+            "east", F.round((x + F.lit(1.0)) / n * F.lit(360.0) - F.lit(180.0), 9)
+        )
+        .withColumn("north", F.round(_merc_lat(y / n), 9))
+        .withColumn("south", F.round(_merc_lat((y + F.lit(1.0)) / n), 9))
+    )
+
+
+def vectorize_tiles(tiles: DataFrame, min_density: float = 1) -> DataFrame:
+    """Raster→vector: above-threshold tiles as lon/lat quad bounds.
+
+    Input: (z, x, y, density) — the output shape of
+    ``tiles.density_rollup``. Output adds (west, south, east, north).
+    Narrow projection + filter only: no shuffle, fully codegen'd.
+    """
+    hot = tiles.filter(F.col("density") >= F.lit(min_density))
+    return with_tile_bounds(hot).select(
+        "z", "x", "y", "density", "west", "south", "east", "north"
+    )
+
+
+def quad_wkt(bounds: DataFrame) -> DataFrame:
+    """WKT POLYGON text per tile quad (closed ring, counter-clockwise).
+
+    Export-only convenience; float→string formatting is engine-specific so
+    this column is pytest-verified (parse floats back), never
+    oracle-hashed.
+    """
+    w, s, e, n = (F.col(c).cast("string") for c in ("west", "south", "east", "north"))
+    sp, cm = F.lit(" "), F.lit(", ")
+    return bounds.withColumn(
+        "wkt",
+        F.concat(
+            F.lit("POLYGON(("),
+            w, sp, s, cm, e, sp, s, cm, e, sp, n, cm, w, sp, n, cm, w, sp, s,
+            F.lit("))"),
+        ),
+    )
+
+
+def tile_id(z_col: str = "z", x_col: str = "x", y_col: str = "y") -> Column:
+    return (
+        F.col(z_col).cast("bigint") * F.lit(_Z_SHIFT)
+        + F.col(x_col).cast("bigint") * F.lit(_X_SHIFT)
+        + F.col(y_col).cast("bigint")
+    )
+
+
+def tile_regions(
+    tiles: DataFrame, min_density: float = 1, max_sweeps: int = 30
+) -> DataFrame:
+    """Merged hot-tile regions: 4-adjacency connected components.
+
+    Output: (z, x, y, density, region_id) where region_id is the MINIMUM
+    tile id in the component (deterministic, order-free — safe to
+    oracle-hash).
+
+    Algorithm: min-label propagation + pointer jumping. Labels start as
+    each tile's own id; each sweep takes the min over self + 4-neighbors,
+    then compresses label(id) ← label(label(id)) — the pointer-doubling
+    step that turns O(component diameter) sweeps into O(log diameter)
+    (a 1024-tile snake converges in ~10 sweeps, not ~1024; log2 of the
+    worldwide z12 tile count is 24 < the default cap). Fixpoint when no
+    label changes. The per-sweep ``count()`` is iteration CONTROL on the
+    bounded tile table, not a data collect.
+
+    Each sweep ends in ``localCheckpoint(eager=True)``: the sweep's plan
+    references the previous label table TWICE (union + messages), so
+    without lineage truncation the logical plan doubles per sweep and
+    Catalyst analysis goes exponential — the standard iterative-DataFrame
+    hazard (same pattern GraphX solves with periodic checkpoints). On a
+    real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for executor-loss resilience; localCheckpoint keeps
+    the sandbox run self-contained.
+    """
+    hot = (
+        tiles.filter(F.col("density") >= F.lit(min_density))
+        .select("z", "x", "y", "density", tile_id().alias("id"))
+        .persist()
+    )
+
+    # Directed 4-adjacency edges (each unordered pair appears both ways,
+    # which is exactly what undirected propagation needs).
+    nbr = hot.select(
+        "id",
+        "z",
+        F.explode(
+            F.array(
+                F.struct((F.col("x") + 1).alias("nx"), F.col("y").alias("ny")),
+                F.struct((F.col("x") - 1).alias("nx"), F.col("y").alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") + 1).alias("ny")),
+                F.struct(F.col("x").alias("nx"), (F.col("y") - 1).alias("ny")),
+            )
+        ).alias("_n"),
+    ).select("id", "z", F.col("_n.nx").alias("x"), F.col("_n.ny").alias("y"))
+    edges = (
+        nbr.join(
+            hot.select("z", "x", "y", F.col("id").alias("nbr_id")), ["z", "x", "y"]
+        )
+        .select("id", "nbr_id")
+        .persist()
+    )
+    edges.count()
+
+    labels = hot.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_sweeps):
+        msgs = edges.join(
+            labels.select(F.col("id").alias("nbr_id"), "label"), "nbr_id"
+        ).select("id", "label")
+        prop = labels.unionByName(msgs).groupBy("id").agg(
+            F.min("label").alias("label")
+        )
+        # pointer jumping: every label IS some hot tile's id, so jumping
+        # through its current label halves chain depth each sweep
+        jump = prop.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
+        new = (
+            prop.join(jump, prop["label"] == jump["_jid"], "left")
+            .select(
+                "id",
+                F.coalesce("_jlabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("label").alias("_old")), "id")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    return hot.join(labels, "id").select(
+        "z", "x", "y", "density", F.col("label").alias("region_id")
+    )

@@ -223,3 +223,94 @@ def test_way_length_and_construct_geometry(spark):
 
     geom = length.construct_way_geometry(ways, nodes).collect()[0]
     assert [list(c) for c in geom["coords"]] == [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]
+
+
+def test_tile_bounds_roundtrip(spark):
+    """Raster→vector→raster identity: the center of every tile's vector
+    bounds rasterizes back to the same tile (z=0..12, pseudo-random
+    tiles)."""
+    from insights_spark.geo import vectorize
+
+    rows = []
+    for z in (0, 1, 5, 8, 12):
+        n = 2 ** z
+        for s in range(17):
+            rows.append((z, (s * 7919) % n, (s * 104729) % n, 1))
+    df = spark.createDataFrame(rows, "z int, x int, y int, density long")
+    bounds = vectorize.with_tile_bounds(df)
+    by_z = {}
+    for r in bounds.collect():
+        assert r["west"] < r["east"] and r["south"] < r["north"]
+        by_z.setdefault(r["z"], []).append(r)
+    assert sum(len(v) for v in by_z.values()) == len(rows)
+    for z, rs in by_z.items():
+        centers = spark.createDataFrame(
+            [((r["west"] + r["east"]) / 2, (r["south"] + r["north"]) / 2,
+              r["x"], r["y"]) for r in rs],
+            "lon double, lat double, ex int, ey int",
+        )
+        for t in tiles.with_tile(centers, z).collect():
+            assert (t["x"], t["y"]) == (t["ex"], t["ey"]), (z, t)
+
+
+def test_vectorize_and_wkt(spark):
+    from insights_spark.geo import vectorize
+
+    df = spark.createDataFrame(
+        [(2, 1, 1, 10), (2, 3, 0, 1)], "z int, x int, y int, density long"
+    )
+    out = vectorize.quad_wkt(
+        vectorize.vectorize_tiles(df, min_density=5)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # z2 tile (1,1): west=-90, east=0; y=1 → north=66.51..., south=0
+    assert r["west"] == -90.0 and r["east"] == 0.0
+    assert abs(r["north"] - 66.513260443) < 1e-8 and r["south"] == 0.0
+    body = r["wkt"].removeprefix("POLYGON((").removesuffix("))")
+    pts = [tuple(float(v) for v in p.split(" ")) for p in body.split(", ")]
+    assert pts[0] == pts[-1] == (r["west"], r["south"])
+    assert (r["east"], r["north"]) in pts and len(pts) == 5
+
+
+def test_tile_regions_matches_union_find(spark):
+    """Distributed min-label propagation == python union-find on a fixture
+    with an L-shaped blob, a 1xN snake (worst-case diameter), a singleton,
+    and two blobs touching only diagonally (must NOT merge: 4-adjacency)."""
+    from insights_spark.geo import vectorize
+
+    coords = (
+        [(10, 10), (10, 11), (10, 12), (11, 12)]          # L blob
+        + [(20, y) for y in range(5, 13)]                  # snake, diameter 8
+        + [(0, 0)]                                         # singleton
+        + [(30, 30), (31, 31)]                             # diagonal: 2 regions
+    )
+    df = spark.createDataFrame(
+        [(8, x, y, 7) for x, y in coords], "z int, x int, y int, density long"
+    )
+    got = {}
+    for r in vectorize.tile_regions(df, min_density=1).collect():
+        got.setdefault(r["region_id"], set()).add((r["x"], r["y"]))
+
+    parent = {c: c for c in coords}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for x, y in coords:
+        for nx, ny in ((x + 1, y), (x, y + 1)):
+            if (nx, ny) in parent:
+                parent[find((x, y))] = find((nx, ny))
+    want = {}
+    for c in coords:
+        want.setdefault(find(c), set()).add(c)
+    assert sorted(got.values(), key=min) == sorted(want.values(), key=min)
+    # region ids are the min tile id of each component
+    for rid, members in got.items():
+        ids = [(8 << 52) + (x << 26) + y for x, y in members]
+        assert rid == min(ids)
+    # threshold filters: density 7 < 100 → empty result, loop terminates
+    assert vectorize.tile_regions(df, min_density=100).count() == 0

@@ -102,3 +102,21 @@ def test_tile_pyramid_reuses_base_rollup(spark):
     assert plan.count("InMemoryTableScan") >= 3, plan
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) == 1, plan
+
+
+def test_vectorize_tiles_no_shuffle_codegen(spark):
+    """Raster→vector quad bounds are a narrow projection + filter over the
+    rollup: no Exchange beyond the rollup's own aggregation shuffle, and
+    the bounds math stays inside whole-stage codegen (no Python)."""
+    from insights_spark.geo import tiles, vectorize
+
+    pts = entry._points(
+        spark.read.parquet(f"{SF}/events.parquet").select("event_id"), "event_id"
+    )
+    raster = tiles.density_rollup(pts, 5)
+    plan = _plan(vectorize.vectorize_tiles(raster, min_density=2))
+    # exactly the rollup's partial+final agg exchange, nothing added on top
+    assert plan.count("hashpartitioning(") == 1
+    # bounds math is pure column expressions — no Python operator anywhere,
+    # and map-side partial aggregation survives under the projection
+    assert "Python" not in plan and "partial_count" in plan
