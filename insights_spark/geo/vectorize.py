@@ -135,7 +135,10 @@ def tile_regions(
     hazard (same pattern GraphX solves with periodic checkpoints). On a
     real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
     ``checkpoint()`` for executor-loss resilience; localCheckpoint keeps
-    the sandbox run self-contained.
+    the sandbox run self-contained. The ``hot``/``edges`` persists and the
+    superseded per-sweep checkpoint blocks are reclaimed by the
+    ContextCleaner once unreferenced (same posture as the other library
+    operators — the caller's consuming action owns the lifetime).
     """
     hot = (
         tiles.filter(F.col("density") >= F.lit(min_density))
