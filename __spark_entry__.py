@@ -530,6 +530,17 @@ def _q_knn_cell_local(spark, sf_dir):
     return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=2)
 
 
+def _q_within_distance(spark, sf_dir):
+    """Certified-exact spatial range join (kNN's sibling): all customer
+    point pairs within 2° planar distance via the cell+ring bucketed join —
+    cert_radius(res,rings) ≥ radius guarantees candidate completeness, so
+    the bucketed join + filter IS exact (oracle: brute-force n² in SQL)."""
+    from insights_spark.geo.knn import within_distance
+
+    pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return within_distance(pts.withColumnRenamed("c_custkey", "id"), 2.0)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN with a built-in recall gate: the bucketed approximate top-k
     runs over all vectors; a deterministic 1/16 sample of queries is also
@@ -1031,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
         "knn_cell_local": _q_knn_cell_local,
+        "within_distance": _q_within_distance,
         "ann_ivf": _q_ann_ivf,
         "simhash_pairs": _q_simhash_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -1248,6 +1260,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn": knn_sql,
         "knn_cell_local": knn_sql,
+        "within_distance": f"""
+            WITH pts AS ({_CUST_PTS})
+            SELECT a.c_custkey AS a, b.c_custkey AS b,
+                   (a.lon - b.lon) * (a.lon - b.lon)
+                   + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+            FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+            WHERE (a.lon - b.lon) * (a.lon - b.lon)
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= 4.0
+        """,
         "s2_cells": _s2_cells_sql(_EV_PTS),
         "flagship_tile_density": f"""
             WITH pts AS ({_EV_PTS})

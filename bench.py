@@ -35,7 +35,9 @@ HEADLINE = [
     "friday_weeks",
     "pip_countries",
     "knn_cell_local",
+    "within_distance",
     "tile_pyramid",
+    "tile_vectorize",
     "s2_cells",
     "exact_dedup",
     "quality",

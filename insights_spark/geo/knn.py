@@ -92,6 +92,55 @@ def _cell_pairs(queries, candidates, res: int, rings: int):
     return joined.withColumn("dist2", d2).select("id", "neighbor_id", "dist2")
 
 
+def within_distance(
+    points: DataFrame,
+    radius_deg: float,
+    id_col: str = "id",
+    rings: int = 1,
+    res: int | None = None,
+) -> DataFrame:
+    """EXACT distance-within self-join: unordered pairs (a, b, dist2) with
+    planar degree distance ≤ ``radius_deg`` — the range-join sibling of
+    ``knn_cell_local``.
+
+    Same cell+ring machinery, but the resolution is chosen so ring
+    coverage certifies completeness UP FRONT: with
+    ``cert_radius_deg(res, rings) ≥ radius_deg`` every true pair is
+    guaranteed to share a (query-cell, ring-replicated-candidate) bucket,
+    so the bucketed join + dist2 filter IS the exact answer — no fallback
+    pass, no all-pairs join. ``res`` defaults to the FINEST resolution
+    satisfying the bound (finest ⇒ smallest buckets ⇒ cheapest shuffle).
+
+    Scale: one shuffle keyed on the hex cell; replication factor is the
+    ring size (7 cells at rings=1, 19 at rings=2) on the candidate side
+    only. Hot cells skew exactly like ``knn_cell_local`` — AQE skew-join
+    handles moderate cases; salt the cell key for pathological ones.
+    """
+    if cert_radius_deg(0, rings) < radius_deg:
+        raise ValueError(
+            f"radius {radius_deg}° exceeds coverage of rings={rings} even at "
+            f"res=0 ({cert_radius_deg(0, rings)}°); raise rings"
+        )
+    if res is None:
+        res = 0
+        while res < 15 and cert_radius_deg(res + 1, rings) >= radius_deg:
+            res += 1
+    elif cert_radius_deg(res, rings) < radius_deg:
+        raise ValueError(
+            f"cert_radius_deg({res}, {rings}) = {cert_radius_deg(res, rings)} "
+            f"< radius {radius_deg}: candidate set would be incomplete"
+        )
+    pts = points.select(F.col(id_col).alias("id"), "lon", "lat")
+    pairs = _cell_pairs(pts, pts, res, rings)
+    return (
+        pairs.filter(
+            (F.col("id") < F.col("neighbor_id"))
+            & (F.col("dist2") <= F.lit(radius_deg * radius_deg))
+        )
+        .select(F.col("id").alias("a"), F.col("neighbor_id").alias("b"), "dist2")
+    )
+
+
 def cert_radius_deg(res: int, rings: int) -> float:
     """Certification radius of a ring search at hex resolution `res`.
 

@@ -314,3 +314,30 @@ def test_tile_regions_matches_union_find(spark):
         assert rid == min(ids)
     # threshold filters: density 7 < 100 → empty result, loop terminates
     assert vectorize.tile_regions(df, min_density=100).count() == 0
+
+
+def test_within_distance_matches_bruteforce(spark):
+    """Certified range join == numpy brute force, across radii that force
+    different auto-selected resolutions."""
+    from insights_spark.geo import knn as knn_mod
+
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-170, 170, 300)
+    lats = rng.uniform(-80, 80, 300)
+    df = spark.createDataFrame(
+        [(i, float(lons[i]), float(lats[i])) for i in range(300)],
+        "id long, lon double, lat double",
+    )
+    for radius in (1.0, 3.0):
+        got = {(r["a"], r["b"]) for r in
+               knn_mod.within_distance(df, radius).collect()}
+        d2 = (lons[:, None] - lons[None, :]) ** 2 + (lats[:, None] - lats[None, :]) ** 2
+        want = {(a, b) for a in range(300) for b in range(a + 1, 300)
+                if d2[a, b] <= radius * radius}
+        assert got == want, f"radius {radius}"
+    # auto-res picks the finest covering resolution
+    assert knn_mod.cert_radius_deg(1, 1) >= 3.0 > knn_mod.cert_radius_deg(2, 1)
+    with pytest.raises(ValueError):
+        knn_mod.within_distance(df, 1.0, res=8)     # cert radius too small
+    with pytest.raises(ValueError):
+        knn_mod.within_distance(df, 1e6, rings=1)   # impossible radius
