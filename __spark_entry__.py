@@ -530,6 +530,20 @@ def _q_knn_cell_local(spark, sf_dir):
     return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=2)
 
 
+def _q_hex_cover(spark, sf_dir):
+    """Polygon→cells polyfill (the inverse of point→cell binning): hex
+    cells at res 2 whose centers lie inside each synthetic country bbox —
+    pure sequence()/explode column math, oracle = DuckDB generate_series
+    over the identical axial-center ranges."""
+    from insights_spark.geo import cells
+
+    boxes = spark.createDataFrame(
+        [(n, x0, y0, x1, y1) for n, _p, x0, y0, x1, y1 in _COUNTRIES],
+        "country string, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    return cells.hex_cover_bbox(boxes, 2).select("country", "cell")
+
+
 def _q_within_distance(spark, sf_dir):
     """Certified-exact spatial range join (kNN's sibling): all customer
     point pairs within 2° planar distance via the cell+ring bucketed join —
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
         "knn_cell_local": _q_knn_cell_local,
+        "hex_cover": _q_hex_cover,
         "within_distance": _q_within_distance,
         "ann_ivf": _q_ann_ivf,
         "simhash_pairs": _q_simhash_pairs,
@@ -1164,6 +1179,14 @@ def oracle_sql() -> dict[str, str]:
     n6, n4 = 64, 16
     tile6 = _TILE_XY.format(n=n6, nm1=n6 - 1)
     tile5 = _TILE_XY.format(n=32, nm1=31)
+    # hex polyfill constants (res 2): center spacing h=1.5·s, w=√3·s —
+    # identical literals to geo.cells.hex_cover_bbox via repr round-trip
+    _hcov_s = _cells.hex_edge_deg(2)
+    hcov_h, hcov_w = repr(1.5 * _hcov_s), repr(_cells._SQRT3 * _hcov_s)
+    hcov_countries = ", ".join(
+        f"('{n}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for n, _p, x0, y0, x1, y1 in _COUNTRIES
+    )
     # inverse web-mercator lat of tile-fraction {yf}, sinh in exp-form —
     # the exact expression geo/vectorize._merc_lat runs
     inv_lat = (
@@ -1260,6 +1283,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn": knn_sql,
         "knn_cell_local": knn_sql,
+        "hex_cover": f"""
+            WITH c AS (SELECT * FROM (VALUES {hcov_countries})
+                       t(country, lon0, lat0, lon1, lat1)),
+            rs AS (SELECT country, lon0, lon1, r FROM c,
+                   UNNEST(generate_series(
+                       CAST(ceil(lat0 / {hcov_h}) AS BIGINT),
+                       CAST(floor(lat1 / {hcov_h}) AS BIGINT))) AS u(r)),
+            qs AS (SELECT country, q, r FROM rs,
+                   UNNEST(generate_series(
+                       CAST(ceil(lon0 / {hcov_w} - r / 2.0) AS BIGINT),
+                       CAST(floor(lon1 / {hcov_w} - r / 2.0) AS BIGINT))) AS u(q))
+            SELECT country,
+                   2 * 72057594037927936 + (q + 67108864) * 268435456
+                   + (r + 67108864) AS cell
+            FROM qs
+        """,
         "within_distance": f"""
             WITH pts AS ({_CUST_PTS})
             SELECT a.c_custkey AS a, b.c_custkey AS b,

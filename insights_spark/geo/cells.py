@@ -240,3 +240,57 @@ def grid_cell_col(lon: Column, lat: Column, cells_per_degree: int = 4) -> Column
         F.floor((lon + F.lit(180.0)) * k) * F.lit(4294967296)
         + F.floor((lat + F.lit(90.0)) * k)
     ).cast("long")
+
+
+def hex_cover_bbox(
+    boxes,
+    res: int,
+    lon0: str = "lon0",
+    lat0: str = "lat0",
+    lon1: str = "lon1",
+    lat1: str = "lat1",
+):
+    """Polyfill: every hex cell whose CENTER lies inside each bbox row.
+
+    The inverse of ``hex_cell_id``'s axial binning — centers sit at
+    lat = 1.5·s·r, lon = √3·s·(q + r/2) — so the cover is two nested
+    integer ranges, generated with sequence()+explode: pure column math,
+    no UDF, no shuffle, reproducible in ANSI SQL (generate_series).
+    Center-containment is the standard polyfill mode; combined with
+    ``hex_ring_ids`` expansion it gives a superset cover when full overlap
+    is needed.
+
+    Scale: output rows = cover size per box. When covering continent-scale
+    boxes at fine res, repartition after the r-explode so the q-expansion
+    parallelizes across executors instead of staying on the box's
+    partition.
+    """
+    s = hex_edge_deg(res)
+    h = 1.5 * s
+    w = _SQRT3 * s
+    r_lo = F.ceil(F.col(lat0) / F.lit(h))
+    r_hi = F.floor(F.col(lat1) / F.lit(h))
+    rs = boxes.withColumn(
+        "r",
+        F.explode(
+            F.when(r_hi >= r_lo, F.sequence(r_lo, r_hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ),
+    )
+    q_lo = F.ceil(F.col(lon0) / F.lit(w) - F.col("r") / F.lit(2.0))
+    q_hi = F.floor(F.col(lon1) / F.lit(w) - F.col("r") / F.lit(2.0))
+    qs = rs.withColumn(
+        "q",
+        F.explode(
+            F.when(q_hi >= q_lo, F.sequence(q_lo, q_hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ),
+    )
+    cell = (
+        F.lit(res).cast("bigint") * F.lit(1 << 56)
+        + (F.col("q") + F.lit(_HEX_OFF)) * F.lit(1 << 28)
+        + (F.col("r") + F.lit(_HEX_OFF))
+    )
+    return qs.withColumn("cell", cell).drop("q", "r")

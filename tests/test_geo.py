@@ -341,3 +341,31 @@ def test_within_distance_matches_bruteforce(spark):
         knn_mod.within_distance(df, 1.0, res=8)     # cert radius too small
     with pytest.raises(ValueError):
         knn_mod.within_distance(df, 1e6, rings=1)   # impossible radius
+
+
+def test_hex_cover_bbox(spark):
+    """Polyfill == python enumeration of centers-in-box; every cover
+    cell's center bins back to itself (exact inverse of hex_cell_id)."""
+    box = (60.0005, -10.0005, 100.0005, 30.0005)
+    df = spark.createDataFrame([("A", *box)],
+                               "name string, lon0 double, lat0 double, lon1 double, lat1 double")
+    res = 2
+    got = {r["cell"] for r in cells.hex_cover_bbox(df, res).collect()}
+    s = cells.hex_edge_deg(res)
+    h, w = 1.5 * s, cells._SQRT3 * s
+    want = set()
+    for r_ in range(math.ceil(box[1] / h), math.floor(box[3] / h) + 1):
+        for q_ in range(math.ceil(box[0] / w - r_ / 2.0),
+                        math.floor(box[2] / w - r_ / 2.0) + 1):
+            want.add(cells.hex_encode(res, q_, r_))
+    assert got == want and len(got) > 100
+    for c in list(got)[:50]:
+        lon, lat = cells.hex_center(c)
+        assert box[0] <= lon <= box[2] and box[1] <= lat <= box[3]
+        rebinned = cells.hex_cell_id(np.array([lon]), np.array([lat]), res,
+                                     use_h3=False)[0]
+        assert int(rebinned) == c
+    # degenerate box → empty cover, no error
+    empty = spark.createDataFrame([("E", 10.0, 20.0, 10.5, 19.0)],
+                                  "name string, lon0 double, lat0 double, lon1 double, lat1 double")
+    assert cells.hex_cover_bbox(empty, res).count() == 0
