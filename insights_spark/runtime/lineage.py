@@ -47,34 +47,53 @@ class LineageLog:
 
     def record(self, stage: str, df_in: DataFrame | None, df_out: DataFrame,
                sequence: int | None = None) -> None:
-        """Write per-partition row counts for a stage (in optional)."""
-        out_counts = partition_counts(df_out).collect()
-        in_by_pid: dict[int, int] = {}
+        """Write per-partition row counts for a stage (in optional).
+
+        Fully distributed — the counts DataFrame is written directly, never
+        collected to the driver, so 10⁵-partition stages cost the executors
+        one narrow aggregation and the driver nothing. The in-side is
+        full-outer joined so a partition whose rows were ALL dropped still
+        appears (rows_in>0, rows_out=0) — that row IS the extraction-drop
+        signal. A (-1, 0, 0) sentinel row is always appended so `read()`
+        proves the stage ran even when it produced zero partitions; it
+        carries zero counts (sums unaffected) and per-partition readers
+        (`skew_report`) exclude it.
+        """
+        out_c = partition_counts(df_out).withColumnRenamed("rows", "rows_out")
         if df_in is not None:
-            in_by_pid = {r["_pid"]: r["rows"] for r in partition_counts(df_in).collect()}
-        rows = [
-            (
-                self.run_id,
-                stage,
-                int(r["_pid"]),
-                int(in_by_pid.get(r["_pid"], 0)) if df_in is not None else None,
-                int(r["rows"]),
-                sequence,
+            in_c = partition_counts(df_in).withColumnRenamed("rows", "rows_in")
+            j = out_c.join(in_c, "_pid", "full_outer").select(
+                "_pid",
+                F.coalesce("rows_in", F.lit(0)).alias("rows_in"),
+                F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
             )
-            for r in out_counts
-        ]
-        if not rows:
-            rows = [(self.run_id, stage, -1, 0, 0, sequence)]
-        self.spark.createDataFrame(rows, LINEAGE).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.path)
+        else:
+            j = out_c.select(
+                "_pid", F.lit(None).cast("long").alias("rows_in"), "rows_out"
+            )
+        counts = j.select(
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("_pid").cast("int").alias("partition_id"),
+            F.col("rows_in").cast("long"),
+            F.col("rows_out").cast("long"),
+            F.lit(sequence).cast("long").alias("sequence"),
+        )
+        sentinel = self.spark.createDataFrame(
+            [(self.run_id, stage, -1, 0, 0, sequence)], LINEAGE
+        )
+        counts.unionByName(sentinel).coalesce(1).write.mode("append").parquet(
+            self.path
+        )
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE).parquet(self.path)
 
     def skew_report(self, stage: str) -> DataFrame:
         """Partition row-count spread for one stage — max/median ratio."""
-        lin = self.read().filter(F.col("stage") == stage)
+        lin = self.read().filter(
+            (F.col("stage") == stage) & (F.col("partition_id") >= 0)
+        )
         return lin.agg(
             F.max("rows_out").alias("max_rows"),
             F.expr("percentile_approx(rows_out, 0.5)").alias("p50_rows"),

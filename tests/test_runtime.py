@@ -154,3 +154,20 @@ def test_pipeline_element_history_layout(spark, tmp_path):
 
     entries = os.listdir(tables["element_history"])
     assert any(e.startswith("type=") for e in entries)
+
+
+def test_lineage_drop_visibility_and_no_collect(spark, tmp_path):
+    """A partition whose rows are ALL dropped still appears (rows_in>0,
+    rows_out=0) — the extraction-drop signal — plus the (-1,0,0) ran-proof
+    sentinel; counts are written distributively, never collected."""
+    lin = LineageLog(spark, str(tmp_path / "lin2"))
+    df = spark.range(100).repartition(4)
+    lin.record("all_dropped", df, df.filter(F.lit(False)))
+    rows = lin.read().filter(F.col("stage") == "all_dropped").collect()
+    real = [r for r in rows if r["partition_id"] >= 0]
+    assert len(real) == 4
+    assert all(r["rows_out"] == 0 and r["rows_in"] > 0 for r in real)
+    assert sum(r["rows_in"] for r in real) == 100
+    assert any(r["partition_id"] == -1 for r in rows)  # sentinel
+    # skew_report ignores the sentinel
+    assert lin.skew_report("all_dropped").collect()[0]["partitions"] == 4
