@@ -98,3 +98,27 @@ def edit_density_stream(
         .agg(F.count(F.lit(1)).alias("edits"))
         .select("window", F.lit(z).alias("z"), "x", "y", "edits")
     )
+
+
+def stream_dedup_pages(
+    pages_stream: DataFrame,
+    key: str = "url",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key within the watermark
+    horizon — the streaming twin of ``text.dedup.exact_dedup`` for a
+    continuously-arriving crawl.
+
+    ``dropDuplicatesWithinWatermark`` keys state on `key` and expires it
+    once the event-time watermark passes, so state stays bounded by the
+    key arrival rate × horizon — the crawl-scale answer to an unbounded
+    distinct. Replayed/duplicate fetches inside the horizon are dropped;
+    a re-crawl after the horizon is a NEW observation by design (the
+    batch dedup over the sink catches cross-horizon repeats).
+    """
+    return (
+        pages_stream.withColumn("_event_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("_event_ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+        .drop("_event_ts")
+    )

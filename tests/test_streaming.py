@@ -92,3 +92,27 @@ def test_edit_density_stream_windows(spark, tmp_path):
             .withColumn("y", tiles.tile_y(F.col("lat"), 6))
             .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_pages(spark, tmp_path):
+    """Duplicate urls inside one micro-batch collapse to first-seen; the
+    output sink sees each url once."""
+    pages_dir = str(tmp_path / "dpages")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dckpt")
+    rows = synth.gen_pages(6)
+    dupes = rows + [dict(r) for r in rows[:3]]  # 3 urls fetched twice
+    _write_pages_chunk(spark, dupes, pages_dir)
+
+    q = (
+        ingest.stream_dedup_pages(ingest.read_pages_stream(spark, pages_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 6
+    assert out.select("url").distinct().count() == 6
