@@ -270,6 +270,18 @@ def _q_pip_countries(spark, sf_dir):
     )
 
 
+def _q_pip_via_cells(spark, sf_dir):
+    """J6 again as a CELL EQUI-JOIN: polyfilled padded covers broadcast,
+    interior cells skip the exact test, boundary cells run the closed-box
+    predicate — same answer as the R-tree path, same oracle SQL."""
+    from insights_spark.geo import pip
+
+    pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
+    return pip.assign_country_cells(pts, list(_COUNTRIES), "c_custkey").select(
+        "c_custkey", "country"
+    )
+
+
 def _q_tile_pyramid(spark, sf_dir):
     """Tile rollup pyramid — z6 base aggregated to z4 (log-depth rollup)."""
     from insights_spark.geo import tiles
@@ -1026,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editors_concat": _q_editors_concat,
         "knn": _q_knn,
         "pip_countries": _q_pip_countries,
+        "pip_via_cells": _q_pip_via_cells,
         "tile_pyramid": _q_tile_pyramid,
         "tile_vectorize": _q_tile_vectorize,
         "tile_regions": _q_tile_regions,
@@ -1400,6 +1413,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "pip_countries": f"""
+            WITH pts AS ({_CUST_PTS})
+            SELECT c_custkey, {case_country} AS country FROM pts
+        """,
+        "pip_via_cells": f"""
             WITH pts AS ({_CUST_PTS})
             SELECT c_custkey, {case_country} AS country FROM pts
         """,

@@ -171,3 +171,95 @@ def assign_country(
         return pd.Series(index.locate(lo, la), index=lon.index, dtype=object)
 
     return df.withColumn(out_col, _locate(F.col(lon_col), F.col(lat_col)))
+
+
+def assign_country_cells(
+    df: DataFrame,
+    boxes: list[tuple],
+    id_col: str,
+    res: int = 2,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "country",
+) -> DataFrame:
+    """Bbox-country assignment as a CELL EQUI-JOIN — the bucketed
+    alternative physical strategy to ``assign_country``'s broadcast
+    R-tree, same answer (the driver oracle is shared with the CASE path).
+
+    ``boxes``: [(name, priority, lon0, lat0, lon1, lat1)]; closed-box
+    containment, tie-break priority DESC then name ASC (the reference's
+    deterministic ordering). ``id_col`` must uniquely key ``df`` rows (the
+    winner is resolved by aggregation on it).
+
+    Plan: each box is polyfilled (``hex_cover_bbox``) over a one-cell-
+    padded bbox — padding ≥ the hex circumradius guarantees every point
+    inside the box lands in a COVERED cell, so the equi-join on the
+    point's cell id misses nothing. Cells whose center sits a full
+    circumradius INSIDE the box are interior: any point binned to them is
+    provably contained, no exact test. Boundary cells run the closed-box
+    predicate. The cover is dim-sized (≤ cover cells × boxes) and
+    broadcast; the fact side shuffles only for the winner aggregation on
+    ``id_col`` — at warehouse scale this is the strategy that co-partitions
+    with other cell-keyed joins, where the R-tree UDF stays CPU-bound.
+    """
+    from pyspark.sql import functions as F
+
+    from . import cells
+
+    spark = df.sparkSession
+    s = cells.hex_edge_deg(res)
+    pad = s * 1.001  # strictly ≥ circumradius: conservative on both sides
+    bx = spark.createDataFrame(
+        boxes,
+        "country string, priority boolean, lon0 double, lat0 double, "
+        "lon1 double, lat1 double",
+    ).select(
+        "country", "priority", "lon0", "lat0", "lon1", "lat1",
+        (F.col("lon0") - F.lit(pad)).alias("clon0"),
+        (F.col("lat0") - F.lit(pad)).alias("clat0"),
+        (F.col("lon1") + F.lit(pad)).alias("clon1"),
+        (F.col("lat1") + F.lit(pad)).alias("clat1"),
+    )
+    cover = cells.hex_cover_bbox(
+        bx, res, lon0="clon0", lat0="clat0", lon1="clon1", lat1="clat1"
+    )
+    mask = (1 << 28) - 1
+    q = F.shiftrightunsigned(F.col("cell"), 28).bitwiseAND(F.lit(mask)) - F.lit(
+        cells._HEX_OFF
+    )
+    r = F.col("cell").bitwiseAND(F.lit(mask)) - F.lit(cells._HEX_OFF)
+    clat = F.lit(1.5 * s) * r
+    clon = F.lit(cells._SQRT3 * s) * (q + r / F.lit(2.0))
+    cover = cover.withColumn(
+        "_interior",
+        (clon >= F.col("lon0") + F.lit(pad))
+        & (clon <= F.col("lon1") - F.lit(pad))
+        & (clat >= F.col("lat0") + F.lit(pad))
+        & (clat <= F.col("lat1") - F.lit(pad)),
+    ).select("cell", "country", "priority", "lon0", "lat0", "lon1", "lat1",
+             "_interior")
+
+    pts = df.withColumn(
+        "_cell", cells.hex_udf(res)(F.col(lon_col), F.col(lat_col))
+    )
+    cand = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"])
+    hit = F.col("_interior") | (
+        (F.col(lon_col) >= F.col("lon0"))
+        & (F.col(lon_col) <= F.col("lon1"))
+        & (F.col(lat_col) >= F.col("lat0"))
+        & (F.col(lat_col) <= F.col("lat1"))
+    )
+    winners = (
+        cand.filter(hit)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.when(F.col("priority"), 0).otherwise(1).alias("p"),
+                    F.col("country").alias("c"),
+                )
+            ).alias("_w")
+        )
+        .select(id_col, F.col("_w.c").alias(out_col))
+    )
+    return df.join(winners, id_col, "left")

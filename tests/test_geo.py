@@ -369,3 +369,32 @@ def test_hex_cover_bbox(spark):
     empty = spark.createDataFrame([("E", 10.0, 20.0, 10.5, 19.0)],
                                   "name string, lon0 double, lat0 double, lon1 double, lat1 double")
     assert cells.hex_cover_bbox(empty, res).count() == 0
+
+
+def test_pip_via_cells_matches_rtree(spark):
+    """The cell-equi-join PIP strategy == the broadcast R-tree kernel on
+    random points over overlapping prioritized boxes (incl. edge-sitting
+    points exercising the closed-box boundary cells)."""
+    boxes = [
+        ("Aztlan", True, 60.0005, -10.0005, 100.0005, 30.0005),
+        ("Westland", True, -150.0005, -60.0005, -30.0005, 20.0005),
+        ("Eastland", False, 0.0005, -20.0005, 90.0005, 60.0005),
+        ("Northia", False, -29.9995, 30.0005, -0.0005, 79.9995),
+    ]
+    rows = [
+        {"name_en": n, "admin_level": 2, "tags": {}, "priority": p,
+         "polygons": [[[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]]}
+        for n, p, x0, y0, x1, y1 in boxes
+    ]
+    rng = np.random.default_rng(13)
+    pts = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 2000), rng.uniform(-85, 85, 2000)))]
+    pts += [(9001, 60.0005, -10.0005), (9002, 100.0005, 30.0005),
+            (9003, 0.0005, 60.0005), (9004, -29.9995, 79.9995)]  # corners
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    want = {r["id"]: r["country"] for r in pip.assign_country(df, rows).collect()}
+    got = {r["id"]: r["country"] for r in
+           pip.assign_country_cells(df, boxes, "id").collect()}
+    assert got == want
+    assert sum(v is not None for v in got.values()) > 200
+    assert got[9001] == "Aztlan" and got[9003] == "Eastland"

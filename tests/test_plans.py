@@ -120,3 +120,36 @@ def test_vectorize_tiles_no_shuffle_codegen(spark):
     # bounds math is pure column expressions — no Python operator anywhere,
     # and map-side partial aggregation survives under the projection
     assert "Python" not in plan and "partial_count" in plan
+
+
+def test_within_distance_no_allpairs(spark):
+    """The certified range join must stay a cell-keyed equi-join — never a
+    cartesian/broadcast-nested-loop all-pairs plan."""
+    pts = entry._points(
+        spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey"),
+        "c_custkey",
+    ).withColumnRenamed("c_custkey", "id")
+    from insights_spark.geo.knn import within_distance
+
+    plan = _plan(within_distance(pts, 2.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # cell/ring UDFs are scalar Arrow
+
+
+def test_pip_via_cells_broadcast_and_single_shuffle(spark):
+    """Cell-equi-join PIP: the dim-sized cover broadcasts (no fact-side
+    shuffle for the join); the only fact shuffles are the winner
+    aggregation + the result join back on the id."""
+    from insights_spark.geo import pip
+
+    pts = entry._points(
+        spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey"),
+        "c_custkey",
+    )
+    plan = _plan(
+        pip.assign_country_cells(pts, list(entry._COUNTRIES), "c_custkey")
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
