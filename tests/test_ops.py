@@ -335,3 +335,44 @@ def test_tasks_per_user(spark):
            for r in users.tasks_per_user(th, [11], datetime(2021, 1, 1),
                                          datetime(2022, 1, 1), "MAPPED").collect()}
     assert got == {7: 2}
+
+
+def test_sql_api_matches_dataframe_ops(spark, pages):
+    """The Spark-SQL surface (reference dialect, advanced-queries.md
+    translations) returns exactly what the oracle-checked DataFrame ops
+    return on the same extracted warehouse."""
+    from insights_spark import extract, sql_api
+    from insights_spark.ops.country import mapathon_tag_action_report
+
+    cs = extract.extract_changesets(pages)
+    el = extract.extract_elements(pages)
+    sql_api.register_warehouse_views(spark, cs, el)
+
+    start, end = "2021-08-01 00:00:00", "2021-09-30 00:00:00"
+    pats = ["hotosm-project-11224", "missingmaps"]
+    like = (
+        F.col("tags")["comment"].like(f"%{pats[0]}%")
+        | F.col("tags")["hashtags"].like(f"%{pats[0]}%")
+        | F.col("tags")["comment"].like(f"%{pats[1]}%")
+        | F.col("tags")["hashtags"].like(f"%{pats[1]}%")
+    )
+    ids = cs.filter(
+        F.col("created_at").between(start, end) & like
+    ).select("id")
+
+    want = {(r["key"], r["action"]): r["features"]
+            for r in mapathon_tag_action_report(el, ids).collect()}
+    got = {(r["key"], r["action"]): r["features"]
+           for r in spark.sql(
+               sql_api.mapathon_features_sql(start, end, pats)).collect()}
+    assert got == want and len(got) > 0
+
+    want_n = (
+        el.join(F.broadcast(ids.withColumnRenamed("id", "changeset")),
+                "changeset", "left_semi")
+        .agg(F.countDistinct("uid")).collect()[0][0]
+    )
+    got_n = spark.sql(
+        sql_api.mapathon_contributors_sql(start, end, pats)
+    ).collect()[0]["total_contributors"]
+    assert got_n == want_n > 0
