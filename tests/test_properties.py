@@ -76,3 +76,60 @@ def test_poly_hash_np_matches_python(s):
         h = (h * BASE + ord(ch)) % MOD
     got = poly_hash_np([s])[0]
     assert got == h
+
+
+# --- parser dual-path parity ------------------------------------------------
+
+_ELEM_COUNTER = [0]
+
+
+def _elem_xml(rng) -> str:
+    _ELEM_COUNTER[0] += 1
+    i = _ELEM_COUNTER[0]
+    kind = rng.choice(["node", "way", "relation"])
+    v = rng.randint(1, 4)
+    if kind == "node":
+        return f'<node id="{i}" lat="{rng.randint(-80,80)}" lon="{rng.randint(-170,170)}" version="{v}" changeset="{rng.randint(1,9)}"/>'
+    if kind == "way":
+        nds = "".join(f'<nd ref="{rng.randint(1,50)}"/>' for _ in range(rng.randint(0, 3)))
+        return f'<way id="{i}" version="{v}">{nds}<tag k="k{rng.randint(0,3)}" v="x"/></way>'
+    mem = "".join(
+        f'<member type="{rng.choice(["node","way"])}" ref="{rng.randint(1,50)}" role=""/>'
+        for _ in range(rng.randint(0, 2))
+    )
+    return f'<relation id="{i}" version="{v}">{mem}</relation>'
+
+
+def _tree_xml(rng, depth: int) -> str:
+    parts = []
+    for _ in range(rng.randint(0, 3)):
+        roll = rng.random()
+        if roll < 0.5 or depth >= 3:
+            parts.append(_elem_xml(rng))
+        else:
+            tag = rng.choice(["create", "modify", "delete", "group", "junk"])
+            parts.append(f"<{tag}>{_tree_xml(rng, depth + 1)}</{tag}>")
+    return "".join(parts)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=150, deadline=None)
+def test_parser_paths_agree_on_random_trees(seed):
+    """fromstring-walk == iterparse on arbitrary nesting of elements,
+    action wrappers, and unknown containers (identical rows, identical
+    order) — the dual-path parity invariant, fuzzed."""
+    import random
+
+    from insights_spark import ref_parser
+
+    rng = random.Random(seed)
+    _ELEM_COUNTER[0] = 0
+    doc = f"<osm>{_tree_xml(rng, 0)}</osm>".encode()
+    small = ref_parser.parse_element_page(doc)
+    orig = ref_parser._STREAM_PARSE_BYTES
+    try:
+        ref_parser._STREAM_PARSE_BYTES = 0
+        large = ref_parser.parse_element_page(doc)
+    finally:
+        ref_parser._STREAM_PARSE_BYTES = orig
+    assert small == large
