@@ -431,6 +431,16 @@ def _q_cos_near_dups(spark, sf_dir):
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """The composed C4-style cleaning chain as ONE query: quality gates →
+    lang filter → exact dedup → df-capped trigram-Jaccard near-dup drop.
+    Every stage reuses an oracle-checked primitive; the composition gets
+    its own oracle (same CTE chain in SQL)."""
+    from insights_spark.text.clean import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def _q_union_distinct(spark, sf_dir):
     """U1/A9 — distinct union of two differently-tokenized sources (the
     hashtag-vocabulary shape: two delimiter classes → union → dedup)."""
@@ -1053,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "cos_near_dups": _q_cos_near_dups,
+        "clean_corpus": _q_clean_corpus,
         "union_distinct": _q_union_distinct,
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
@@ -1065,7 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_changesets": _q_hot_changesets,
         "mapathon_user_report": _q_mapathon_user_report,
         "propagate_relations": _q_propagate_relations,
-        # custom kernels — rows-only checks
+        # custom kernels (all oracle-checked since round 2)
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
         "knn_cell_local": _q_knn_cell_local,
@@ -1536,6 +1547,49 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "clean_corpus": f"""
+            WITH scored AS (SELECT doc_id, {lang_scores} FROM documents),
+            langp AS (SELECT doc_id,
+                   CASE WHEN greatest(r_en, r_de, r_fr, r_sw) <= 0 THEN NULL
+                        WHEN r_de >= r_en AND r_de >= r_fr AND r_de >= r_sw THEN 'de'
+                        WHEN r_en >= r_fr AND r_en >= r_sw THEN 'en'
+                        WHEN r_fr >= r_sw THEN 'fr'
+                        ELSE 'sw' END AS lang_pred
+                   FROM scored),
+            toks AS (SELECT doc_id, text, {_TOKENS} AS tok FROM documents),
+            gate AS (SELECT t.doc_id, t.text, t.tok,
+                            CAST(len(t.tok) AS INT) AS n_tokens, l.lang_pred
+                     FROM toks t JOIN langp l USING (doc_id)
+                     WHERE len(t.tok) >= 5
+                       AND (CASE WHEN len(t.tok) > 0 THEN
+                              len(list_distinct(t.tok))::DOUBLE / len(t.tok)
+                            ELSE 0.0 END) >= 0.2
+                       AND l.lang_pred IN ('en', 'de', 'fr')),
+            reps AS (SELECT min(doc_id) AS doc_id
+                     FROM (SELECT doc_id,
+                                  regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+                           FROM gate)
+                     GROUP BY norm),
+            surv AS (SELECT g.* FROM gate g JOIN reps USING (doc_id)),
+            grams0 AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(tok) - 1),
+                       i -> array_to_string(tok[i:i+2], ' ')))) AS gram
+              FROM surv WHERE len(tok) >= 3),
+            keep AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 50),
+            grams AS (SELECT grams0.doc_id, grams0.gram
+                      FROM grams0 JOIN keep USING (gram)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+                      FROM grams g1 JOIN grams g2 USING (gram)
+                      WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2),
+            dropped AS (SELECT DISTINCT inter.b AS doc_id
+                        FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                                   JOIN sizes sb ON inter.b = sb.doc_id
+                        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5)
+            SELECT doc_id, lang_pred, n_tokens FROM surv
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "hex_cells": f"""
             WITH pts AS ({_EV_PTS}),

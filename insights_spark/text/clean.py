@@ -1,0 +1,58 @@
+"""Composed corpus cleaner — the C4-style training-data filter chain as
+ONE operator, every stage reusing an already-oracle-checked primitive.
+
+    quality gates (token count, repetition) →
+    language filter (stopword-density lang id) →
+    exact dedup (min-id representative per normalized text) →
+    near-dup removal (word-trigram Jaccard, df-capped; drop the larger id
+    of every pair ≥ threshold — the standard greedy rule)
+
+Scale posture: the gates are pure column predicates (pushdown-able,
+codegen'd); exact dedup is one hash shuffle on the normalized text; the
+near-dup pass runs only over gate+dedup SURVIVORS with the hot-gram
+document-frequency cap — at corpus scale swap that stage for
+``minhash_lsh_candidates``/``embedding_lsh_candidates`` verify-after
+(same contract, sub-quadratic). The whole chain is a single lazy plan —
+one action cleans the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, ngram_jaccard_pairs
+from .quality import lang_id, quality_scores
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_uniq_ratio: float = 0.2,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    jaccard_threshold: float = 0.5,
+    max_gram_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kept documents after the full cleaning chain:
+    (doc_id, lang_pred, n_tokens)."""
+    scored = lang_id(quality_scores(docs, text_col=text_col), text_col=text_col)
+    gated = scored.filter(
+        (F.col("n_tokens") >= F.lit(min_tokens))
+        & (F.col("uniq_token_ratio") >= F.lit(min_uniq_ratio))
+        & F.col("lang_pred").isin(*langs)
+    )
+    reps = exact_dedup(gated, id_col=id_col, text_col=text_col).select(id_col)
+    surv = gated.join(reps, id_col, "left_semi").persist()
+    near = ngram_jaccard_pairs(
+        surv,
+        threshold=jaccard_threshold,
+        max_gram_df=max_gram_df,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    dropped = near.select(F.col("b").alias(id_col)).distinct()
+    return surv.join(dropped, id_col, "left_anti").select(
+        id_col, "lang_pred", "n_tokens"
+    )

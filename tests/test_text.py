@@ -284,3 +284,19 @@ def test_embedding_lsh_candidate_recall(spark):
             for r in simsearch.embedding_lsh_candidates(df).collect()}
     assert truth <= cand          # perfect recall on planted near-dups
     assert len(cand) < 50 * 49 / 2 / 3   # and nowhere near all-pairs
+
+
+def test_clean_corpus_chain(spark, docs):
+    """Each stage of the composed cleaner bites: short/empty docs gated,
+    exact dups collapse to the min id, near-dups drop the larger id,
+    unknown-language docs are filtered by the default lang set."""
+    from insights_spark.text.clean import clean_corpus
+
+    kept = {r["doc_id"]: r for r in clean_corpus(docs, min_tokens=5).collect()}
+    assert 7 not in kept                      # empty doc gated
+    assert 1 in kept and 2 not in kept        # exact dup → min id kept
+    assert 6 not in kept                      # ws/case dup of 1
+    assert 3 not in kept                      # near dup of 1 (jaccard ≥ 0.5), larger id
+    assert 5 in kept and kept[5]["lang_pred"] == "de"
+    assert 8 in kept and kept[8]["lang_pred"] == "fr"
+    assert kept[1]["n_tokens"] == 9
