@@ -431,6 +431,30 @@ def _q_cos_near_dups(spark, sf_dir):
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_term_freq(spark, sf_dir):
+    """Corpus vocabulary rollup: top-25 tokens by document frequency
+    (distinct docs containing the token), ties by token asc — the
+    vocabulary-building shape: explode → distinct per doc → count →
+    deterministic top-k. Partial aggregation runs map-side; the top-k is a
+    single-partition window over the already-aggregated (tiny) term table."""
+    from pyspark.sql.window import Window
+
+    from insights_spark.text.quality import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    df_counts = (
+        d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+    )
+    w = Window.orderBy(F.desc("docs"), F.asc("term"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("rank", "term", "docs")
+    )
+
+
 def _q_clean_corpus(spark, sf_dir):
     """The composed C4-style cleaning chain as ONE query: quality gates →
     lang filter → exact dedup → df-capped trigram-Jaccard near-dup drop.
@@ -1064,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cos_near_dups": _q_cos_near_dups,
         "clean_corpus": _q_clean_corpus,
+        "term_freq": _q_term_freq,
         "union_distinct": _q_union_distinct,
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
@@ -1547,6 +1572,16 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "term_freq": f"""
+            WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS term
+                       FROM documents),
+            c AS (SELECT term, CAST(count(*) AS BIGINT) AS docs
+                  FROM t GROUP BY term)
+            SELECT CAST(row_number() OVER (ORDER BY docs DESC, term ASC) AS INT)
+                     AS rank, term, docs
+            FROM c
+            QUALIFY rank <= 25
         """,
         "clean_corpus": f"""
             WITH scored AS (SELECT doc_id, {lang_scores} FROM documents),

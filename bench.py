@@ -45,6 +45,7 @@ HEADLINE = [
     "minhash",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "clean_corpus",
     "ann_ivf",
 ]
 

@@ -398,3 +398,17 @@ def test_pip_via_cells_matches_rtree(spark):
     assert got == want
     assert sum(v is not None for v in got.values()) > 200
     assert got[9001] == "Aztlan" and got[9003] == "Eastland"
+
+
+def test_tile_regions_multi_z_isolation(spark):
+    """A pyramid-style input with the same (x, y) at two zoom levels must
+    NOT merge across z — adjacency is per-level."""
+    from insights_spark.geo import vectorize
+
+    rows = [(4, 5, 5, 3), (4, 5, 6, 3), (5, 5, 5, 3), (5, 6, 5, 3)]
+    df = spark.createDataFrame(rows, "z int, x int, y int, density long")
+    got = {}
+    for r in vectorize.tile_regions(df, min_density=1).collect():
+        got.setdefault(r["region_id"], set()).add((r["z"], r["x"], r["y"]))
+    comps = sorted(got.values(), key=lambda s: sorted(s))
+    assert comps == [{(4, 5, 5), (4, 5, 6)}, {(5, 5, 5), (5, 6, 5)}]
