@@ -431,6 +431,24 @@ def _q_cos_near_dups(spark, sf_dir):
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _q_lang_quality_median(spark, sf_dir):
+    """Exact per-language percentile rollup (median + p90 token counts) —
+    the quality-cutoff calibration shape. Spark's exact `percentile`
+    (sort-based, linear interpolation) == DuckDB `quantile_cont`; exact,
+    not approx_percentile, so the oracle can hash it."""
+    from insights_spark.text.quality import lang_id, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = lang_id(d).select(
+        "lang_pred", token_count(F.col("text")).alias("n_tokens")
+    )
+    return t.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.9)").alias("p90_tokens"),
+    )
+
+
 def _q_term_freq(spark, sf_dir):
     """Corpus vocabulary rollup: top-25 tokens by document frequency
     (distinct docs containing the token), ties by token asc — the
@@ -1089,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_near_dups": _q_cos_near_dups,
         "clean_corpus": _q_clean_corpus,
         "term_freq": _q_term_freq,
+        "lang_quality_median": _q_lang_quality_median,
         "union_distinct": _q_union_distinct,
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
@@ -1572,6 +1591,22 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "lang_quality_median": f"""
+            WITH scored AS (SELECT doc_id, {lang_scores} FROM documents),
+            langp AS (SELECT doc_id,
+                   CASE WHEN greatest(r_en, r_de, r_fr, r_sw) <= 0 THEN NULL
+                        WHEN r_de >= r_en AND r_de >= r_fr AND r_de >= r_sw THEN 'de'
+                        WHEN r_en >= r_fr AND r_en >= r_sw THEN 'en'
+                        WHEN r_fr >= r_sw THEN 'fr'
+                        ELSE 'sw' END AS lang_pred
+                   FROM scored),
+            t AS (SELECT l.lang_pred, len({_TOKENS}) AS n_tokens
+                  FROM documents JOIN langp l USING (doc_id))
+            SELECT lang_pred, CAST(count(*) AS BIGINT) AS docs,
+                   quantile_cont(n_tokens, 0.5) AS p50_tokens,
+                   quantile_cont(n_tokens, 0.9) AS p90_tokens
+            FROM t GROUP BY lang_pred
         """,
         "term_freq": f"""
             WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKENS})) AS term
