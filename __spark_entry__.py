@@ -454,7 +454,10 @@ def _q_term_freq(spark, sf_dir):
     (distinct docs containing the token), ties by token asc — the
     vocabulary-building shape: explode → distinct per doc → count →
     deterministic top-k. Partial aggregation runs map-side; the top-k is a
-    single-partition window over the already-aggregated (tiny) term table."""
+    TakeOrderedAndProject over the aggregated term table (per-partition
+    local top-25, driver merge — at web scale the vocabulary is 10⁸ terms
+    and a global window would put them all on one task; round-2 verdict #3),
+    with rank attached by a window over the 25-row take."""
     from pyspark.sql.window import Window
 
     from insights_spark.text.quality import tokens
@@ -465,11 +468,10 @@ def _q_term_freq(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
     )
+    top = df_counts.orderBy(F.desc("docs"), F.asc("term")).limit(25)
     w = Window.orderBy(F.desc("docs"), F.asc("term"))
-    return (
-        df_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 25)
-        .select("rank", "term", "docs")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "docs"
     )
 
 
@@ -498,15 +500,25 @@ def _q_union_distinct(spark, sf_dir):
 
 
 def _q_topk(spark, sf_dir):
-    """O1-O4 — deterministic top-k: rank by (totalprice desc, key asc)."""
+    """O1-O4 — deterministic top-k: rank by (totalprice desc, key asc).
+
+    Shape matters at scale: `orderBy(...).limit(k)` compiles to
+    TakeOrderedAndProject — each partition keeps its local top-k, the
+    driver merges k×partitions rows. The rank window then runs over the
+    already-taken k-row result (k rows on one task, bounded by construction).
+    The old shape — row_number over a global unpartitioned window — shuffled
+    EVERY row to one partition (round-2 verdict #3)."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "o_orderkey", "o_totalprice")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "o_orderkey", "o_totalprice"
     )
 
 
@@ -609,31 +621,51 @@ def _q_hex_cover(spark, sf_dir):
 
 
 def _q_within_distance(spark, sf_dir):
-    """Certified-exact spatial range join (kNN's sibling): all customer
-    point pairs within 2° planar distance via the cell+ring bucketed join —
+    """Certified-exact spatial range join (kNN's sibling): all event point
+    pairs within 3° planar distance via the cell+ring bucketed join —
     cert_radius(res,rings) ≥ radius guarantees candidate completeness, so
-    the bucketed join + filter IS exact (oracle: brute-force n² in SQL)."""
+    the bucketed join + filter IS exact (oracle: brute-force n² in SQL).
+
+    Fixture is deliberately NON-vacuous: the events lattice has 90 true
+    pairs at sf0.001 and 20,500 at sf0.01 for radius 3.0, so the oracle
+    exercises the completeness guarantee, not just absence of false
+    positives (round-2 verdict: radius 2.0 over customers matched 0==0)."""
     from insights_spark.geo.knn import within_distance
 
-    pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
-    return within_distance(pts.withColumnRenamed("c_custkey", "id"), 2.0)
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return within_distance(pts.withColumnRenamed("event_id", "id"), 3.0)
 
 
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN with a built-in recall gate: the bucketed approximate top-k
-    runs over all vectors; a deterministic 1/16 sample of queries is also
-    answered exactly, and the query emits whether IVF recall on that sample
-    clears a floor. The floor (0.12) is calibrated to the synthetic
-    embeddings, which are RANDOM vectors — the IVF worst case (no cluster
-    structure, recall ≈ probed fraction; measured 0.24-0.44 across SFs) —
-    so it catches structural regressions (garbage buckets → recall ≈ k/n)
-    without over-fitting one fixture. Exact-search correctness itself is
-    oracle-checked by `ann_topk`."""
+    runs over all vectors; a deterministic FIXED-COUNT (~256) hash-threshold
+    sample of queries is also answered exactly, and the query emits whether
+    IVF recall on that sample clears a floor. The floor (0.12) is calibrated
+    to the synthetic embeddings, which are RANDOM vectors — the IVF worst
+    case (no cluster structure, recall ≈ probed fraction; measured 0.24-0.44
+    across SFs) — so it catches structural regressions (garbage buckets →
+    recall ≈ k/n) without over-fitting one fixture. Exact-search correctness
+    itself is oracle-checked by `ann_topk`.
+
+    The gate's exact pass costs O(sample × n) with sample bounded at ~256
+    REGARDLESS of n (round-2 verdict fix: the old 1/16-fraction sample made
+    the gate itself O(n²/16) at scale). The sample is picked by the same
+    hash-threshold trick as `sample_centroids`: h(vec_id)·n < target·M —
+    a map-side filter joined to the 1-row count, no sort, no collect."""
     from insights_spark.text.simsearch import cosine_topk, cosine_topk_bucketed
 
     emb = _t(spark, sf_dir, "embeddings")
     approx = cosine_topk_bucketed(emb, k=5, nprobe=3)
-    sample = emb.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 0)
+    m_mod = 1 << 20
+    n_row = emb.agg(F.count(F.lit(1)).alias("_n"))
+    sample = (
+        emb.crossJoin(F.broadcast(n_row))
+        .filter(
+            F.pmod(F.col("vec_id") * 1000003 + 42, F.lit(m_mod)) * F.col("_n")
+            < F.lit(256 * m_mod)
+        )
+        .drop("_n")
+    )
     exact = cosine_topk(emb, queries=sample, k=5)
     hit = exact.join(
         approx.select("id", "neighbor_id").withColumn("_h", F.lit(1)),
@@ -718,6 +750,119 @@ def _q_country_insights(spark, sf_dir):
         .alias("country"),
     )
     return building_counts_asof(els, "1997-01-01 00:00:00")
+
+
+def _build_elements_with_changeset(spark, sf_dir):
+    """The country_insights element fixture + a changeset column (l_partkey)
+    so the Tasking-Manager semi-join has something to key on."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        k.alias("id"),
+        (
+            F.col("l_linenumber").cast("long") * F.lit(1000000000000)
+            + F.col("l_partkey") * F.lit(1000000)
+            + F.col("l_suppkey")
+        ).alias("version"),
+        F.when(F.pmod(k, F.lit(4)) == 0, F.lit("node"))
+        .when(F.pmod(k, F.lit(4)) == 1, F.lit("relation"))
+        .otherwise(F.lit("way"))
+        .alias("type"),
+        F.col("l_shipdate").alias("timestamp"),
+        F.col("l_partkey").alias("changeset"),
+        F.when(
+            F.pmod(F.col("l_partkey"), F.lit(3)) == 0,
+            F.create_map(F.lit("building"), F.lit("yes")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+        F.when(F.pmod(F.col("l_suppkey"), F.lit(5)) == 4, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("C"), F.pmod(F.col("l_suppkey"), F.lit(5)).cast("string"))
+        )
+        .alias("country"),
+    )
+
+
+def _q_country_insights_tm(spark, sf_dir):
+    """A10 TM variant — the reference's tm_building_count column
+    (advanced-queries.md:144-150): same as-of building count, plus the
+    `changeset IN (SELECT id FROM hot_changeset)` condition on the LATEST
+    row's changeset, as a broadcast semi-join inside building_counts_asof.
+    The hot set here is the '#hotosm'-rule subset of the part keyspace
+    (every third key), mirroring the hot_changesets materialized view."""
+    from insights_spark.ops.country import building_counts_asof
+
+    els = _build_elements_with_changeset(spark, sf_dir)
+    hot = (
+        _t(spark, sf_dir, "part")
+        .filter(F.pmod(F.col("p_partkey"), F.lit(3)) == 0)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    return building_counts_asof(els, "1997-01-01 00:00:00", hot_changeset_ids=hot)
+
+
+def _q_first_last_used(spark, sf_dir):
+    """A6 — first/last-used refresh THROUGH the incremental path
+    (reference hashtags.py:60-111): the registry arrives with camp1's
+    first/last already set (the watermark case) and camp0/camp2 unset (the
+    full-scan case); update_first_last_used merges
+    first = coalesce(old, min(created_at)), last = greatest(old, max).
+    The oracle replays the identical merge in SQL, so BOTH branches of the
+    incremental rule are hash-pinned. (Incremental == full-recompute
+    equivalence is additionally pytest-pinned in tests/test_ops.py.)"""
+    import datetime
+
+    from insights_spark.ops.hashtags import update_first_last_used
+
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    changesets = o.select(
+        ok.alias("id"),
+        F.col("o_orderdate").alias("created_at"),
+        F.create_map(
+            F.lit("comment"),
+            F.concat(
+                F.lit("fix #camp"),
+                F.pmod(ok, F.lit(4)).cast("string"),
+                F.when(F.pmod(ok, F.lit(3)) == 0, F.lit(" work")).otherwise(F.lit("")),
+            ),
+        ).alias("tags"),
+    )
+    reg = spark.createDataFrame(
+        [
+            (1, "camp0", None, None),
+            # pre-existing watermark: first_used must stay 1990-01-01, and
+            # last_used only moves if the fresh max exceeds 1994-06-15
+            (2, "camp1", datetime.date(1990, 1, 1), datetime.date(1994, 6, 15)),
+            (3, "camp2", None, None),
+        ],
+        "id long, name string, first_used date, last_used date",
+    )
+    return update_first_last_used(changesets, reg)
+
+
+def _q_conditional_battery_salted(spark, sf_dir):
+    """A1 via the EXPLICIT two-level salted aggregate (SURVEY §4 X10,
+    runtime.skew.salted_agg): partial agg on (key, salt), final re-SUM on
+    key. Shares conditional_battery's oracle byte-for-byte — the skew
+    machinery must be a pure physical rewrite."""
+    from insights_spark.runtime.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = {
+        "qty_gt25": F.sum((F.col("l_quantity") > 25).cast("int")),
+        "disc_gt5": F.sum((F.col("l_discount") > 0.05).cast("int")),
+        "taxed_returns": F.sum(
+            ((F.col("l_tax") > 0.04) & (F.col("l_returnflag") == "R")).cast("int")
+        ),
+        "flag_an": F.sum(F.col("l_returnflag").isin("A", "N").cast("int")),
+        "n": F.count(F.lit(1)),
+    }
+    return salted_agg(
+        li, ["l_orderkey"], aggs, salt_source_cols=["l_linenumber", "l_partkey"],
+        buckets=16,
+    )
 
 
 def _q_propagate_ways(spark, sf_dir):
@@ -1113,6 +1258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_area": _q_bbox_area,
         "explode_map": _q_explode_map,
         "country_insights": _q_country_insights,
+        "country_insights_tm": _q_country_insights_tm,
+        "first_last_used": _q_first_last_used,
+        "conditional_battery_salted": _q_conditional_battery_salted,
         "propagate_ways": _q_propagate_ways,
         "campaign_rollup": _q_campaign_rollup,
         "mapathon_report": _q_mapathon_report,
@@ -1348,7 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 3
     """
 
-    return {
+    out = {
         "knn": knn_sql,
         "knn_cell_local": knn_sql,
         "hex_cover": f"""
@@ -1368,13 +1516,13 @@ def oracle_sql() -> dict[str, str]:
             FROM qs
         """,
         "within_distance": f"""
-            WITH pts AS ({_CUST_PTS})
-            SELECT a.c_custkey AS a, b.c_custkey AS b,
+            WITH pts AS ({_EV_PTS})
+            SELECT a.event_id AS a, b.event_id AS b,
                    (a.lon - b.lon) * (a.lon - b.lon)
                    + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
-            FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+            FROM pts a JOIN pts b ON a.event_id < b.event_id
             WHERE (a.lon - b.lon) * (a.lon - b.lon)
-                  + (a.lat - b.lat) * (a.lat - b.lat) <= 4.0
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= 9.0
         """,
         "s2_cells": _s2_cells_sql(_EV_PTS),
         "flagship_tile_density": f"""
@@ -1980,7 +2128,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
                    CAST(5 * (SELECT count(*) FROM embeddings
-                             WHERE mod(vec_id, 16) = 0) AS BIGINT) AS n_pairs,
+                             WHERE mod(vec_id * 1000003 + 42, 1048576)
+                                   * (SELECT count(*) FROM embeddings)
+                                   < 256 * 1048576) AS BIGINT) AS n_pairs,
                    TRUE AS recall_ok
         """,
         "multimodal_features": """
@@ -2011,4 +2161,62 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
             WHERE rank <= 5
         """,
+        "country_insights_tm": """
+            WITH el AS (
+              SELECT l_orderkey AS id,
+                     l_linenumber::BIGINT * 1000000000000
+                       + l_partkey * 1000000 + l_suppkey AS version,
+                     CASE WHEN mod(l_orderkey, 4) = 0 THEN 'node'
+                          WHEN mod(l_orderkey, 4) = 1 THEN 'relation'
+                          ELSE 'way' END AS type,
+                     l_shipdate AS ts,
+                     l_partkey AS changeset,
+                     mod(l_partkey, 3) = 0 AS has_building,
+                     CASE WHEN mod(l_suppkey, 5) = 4 THEN NULL
+                          ELSE 'C' || mod(l_suppkey, 5)::VARCHAR END AS country
+              FROM lineitem),
+            latest AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY type, id
+                           ORDER BY version DESC) AS rn
+                FROM el WHERE ts < TIMESTAMP '1997-01-01') WHERE rn = 1),
+            b AS (SELECT * FROM latest
+                  WHERE has_building AND type IN ('way', 'relation')
+                    AND country IS NOT NULL),
+            hot AS (SELECT p_partkey AS hid FROM part WHERE mod(p_partkey, 3) = 0)
+            SELECT country,
+                   CAST(count(DISTINCT id) AS BIGINT) AS building_count,
+                   CAST(count(DISTINCT CASE WHEN hid IS NOT NULL THEN id END)
+                        AS BIGINT) AS tm_building_count,
+                   TIMESTAMP '1997-01-01 00:00:00' AS by_month
+            FROM b LEFT JOIN hot ON b.changeset = hot.hid
+            GROUP BY country
+        """,
+        "first_last_used": """
+            WITH cs AS (
+              SELECT o_orderkey AS id, o_orderdate AS created_at,
+                     'fix #camp' || mod(o_orderkey, 4)::VARCHAR ||
+                     CASE WHEN mod(o_orderkey, 3) = 0 THEN ' work' ELSE '' END
+                       AS comment
+              FROM orders),
+            reg AS (SELECT * FROM (VALUES
+                      (1, 'camp0', NULL::DATE, NULL::DATE),
+                      (2, 'camp1', DATE '1990-01-01', DATE '1994-06-15'),
+                      (3, 'camp2', NULL::DATE, NULL::DATE))
+                    t(id, name, first_used, last_used)),
+            fresh AS (SELECT reg.id,
+                             CAST(min(created_at) AS DATE) AS nf,
+                             CAST(max(created_at) AS DATE) AS nl
+                      FROM cs JOIN reg
+                        ON lower(comment) LIKE '%#' || name || ' %'
+                        OR lower(comment) LIKE '%#' || name
+                      GROUP BY reg.id)
+            SELECT CAST(reg.id AS BIGINT) AS id, name,
+                   coalesce(reg.first_used, fresh.nf) AS first_used,
+                   greatest(reg.last_used, fresh.nl) AS last_used
+            FROM reg LEFT JOIN fresh ON reg.id = fresh.id
+        """,
     }
+    # the salted battery is a pure physical rewrite — same oracle
+    out["conditional_battery_salted"] = out["conditional_battery"]
+    return out

@@ -5,9 +5,17 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <float>,
-     "throughput_rows_per_sec": <flagship rows/sec>, "cpus": N}
+     "throughput_rows_per_sec": <flagship rows/sec>, "cpus": N,
+     "reps": R, "rep_totals": [sec, ...]}
 
 Each query is forced with a noop sink (full execution, no driver collect).
+
+MIN-OF-N DISCIPLINE (default reps=3, $SPARK_GRAFT_REPS to override): this
+sandbox VM has measured 2-3× invisible-throttling variance between
+identical runs (BENCH.md §0), so a single pass is not a credible number.
+The suite runs R interleaved repetitions and reports the MINIMUM per query
+— `value` is the sum of per-query minima; `rep_totals` carries the raw
+per-pass sums so a contended window is visible in the artifact itself.
 """
 
 from __future__ import annotations
@@ -70,19 +78,32 @@ def main() -> None:
     force(qs["semi_join"](spark, sf_dir))
     force(qs["pip_countries"](spark, sf_dir))
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    rep_totals: list[float] = []
+    for _rep in range(reps):
+        rep_total = 0.0
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            rep_total += dt
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+        rep_totals.append(round(rep_total, 3))
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
 
     # flagship throughput: events rows processed per second end-to-end
+    # (min-of-reps wall time, same discipline as the suite)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    t0 = time.perf_counter()
-    force(qs["flagship_tile_density"](spark, sf_dir))
-    flagship_sec = time.perf_counter() - t0
+    flagship_sec = None
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        force(qs["flagship_tile_density"](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        flagship_sec = dt if flagship_sec is None else min(flagship_sec, dt)
     rows_per_sec = round(n_events / flagship_sec, 1)
 
     print(
@@ -95,6 +116,8 @@ def main() -> None:
                 "sf": sf,
                 "throughput_rows_per_sec": rows_per_sec,
                 "cpus": cpus,
+                "reps": reps,
+                "rep_totals": rep_totals,
             }
         )
     )

@@ -64,7 +64,11 @@ def _cell_pairs(queries, candidates, res: int, rings: int):
     """(id, neighbor_id, dist2) pairs within `rings` hex rings at `res`."""
     from pyspark.sql.functions import pandas_udf
 
-    q = queries.withColumn("cell", cells.hex_udf(res)(F.col("lon"), F.col("lat")))
+    # use_h3=False: hex_ring_ids/cert_radius_deg assume the axial bit layout;
+    # real H3 ids would break the ring join and the coverage certificate.
+    q = queries.withColumn(
+        "cell", cells.hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat"))
+    )
 
     @pandas_udf("array<long>")
     def ring_udf(col: pd.Series) -> pd.Series:
@@ -77,7 +81,7 @@ def _cell_pairs(queries, candidates, res: int, rings: int):
         cand_cells = q.withColumn("home_cell", F.col("cell"))
     else:
         cand_cells = candidates.withColumn(
-            "home_cell", cells.hex_udf(res)(F.col("lon"), F.col("lat"))
+            "home_cell", cells.hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat"))
         )
     cand = cand_cells.select(
         F.explode(ring_udf(F.col("home_cell").cast("long"))).alias("cell"),

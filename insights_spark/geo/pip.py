@@ -240,7 +240,9 @@ def assign_country_cells(
              "_interior")
 
     pts = df.withColumn(
-        "_cell", cells.hex_udf(res)(F.col(lon_col), F.col(lat_col))
+        # use_h3=False: the cover (hex_cover_bbox) and the interior decode
+        # above are axial-formula-specific — a real H3 id would never match.
+        "_cell", cells.hex_udf(res, use_h3=False)(F.col(lon_col), F.col(lat_col))
     )
     cand = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"])
     hit = F.col("_interior") | (

@@ -434,10 +434,15 @@ def simhash_near_dups(
     practice 8, 16, 32) and pay the proportionally larger band join.
 
     Tokenless docs (simhash 0) are excluded up front: they'd pairwise match
-    at hamming 0 (O(empty²) output) while sharing no content at all.
+    at hamming 0 (O(empty²) output) while sharing no content at all. The
+    gate is the TOKENIZER's emptiness (split on \\s+ yields nothing), not
+    trim() — trim strips only ASCII spaces, so a tab/newline-only doc would
+    slip through a trim gate yet still hash to 0.
     """
+    from .quality import token_count
+
     src = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        F.col(text_col).isNotNull() & (token_count(F.col(text_col)) > 0)
     )
     sh = with_simhash(src, text_col).select(F.col(id_col).alias("_id"), "simhash")
     width = 64 // bands
