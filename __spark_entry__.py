@@ -320,6 +320,19 @@ def _q_tile_regions(spark, sf_dir):
     return vectorize.tile_regions(raster, min_density=thr)
 
 
+def _q_tile_regions_star(spark, sf_dir):
+    """Same regions via alternating large-star/small-star contraction
+    (Kiveris et al. — O(log² n) rounds on ANY topology, the adversarial-
+    snake-safe path). Shares tile_regions' recursive-CTE oracle: both
+    algorithms must label identically."""
+    from insights_spark.geo import tiles, vectorize
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    raster = tiles.density_rollup(pts, 5).persist()
+    thr = raster.agg(F.avg("density")).first()[0]
+    return vectorize.tile_regions(raster, min_density=thr, algorithm="star")
+
+
 def _q_grid_cells(spark, sf_dir):
     """Grid-cell binning (pure-column spatial index primitive)."""
     from insights_spark.geo.cells import grid_cell_col
@@ -519,6 +532,56 @@ def _q_topk(spark, sf_dir):
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "o_orderkey", "o_totalprice"
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization over the event stream (6 h timeout):
+    lag → new-session flag → running sum → per-session rollup, all windows
+    PARTITIONED BY user (no global shuffle; skew bounded by the busiest
+    user). Ties on ts are ordered by event_id so Spark and the SQL oracle
+    see identical lag sequences."""
+    from insights_spark.ops.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=360.0)
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic content-stable train/test split: multiplicative-hash
+    bucket on doc_id (never row position / RNG), so assignment survives
+    repartitioning and incremental appends. Map-only stamp, no shuffle."""
+    from insights_spark.text.clean import train_test_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return train_test_split(d, test_permille=100).select("doc_id", "split")
+
+
+def _q_inverted_index(spark, sf_dir):
+    """PHRASE inverted index (word bigrams, df bounds [2, 50]): explode
+    distinct bigrams per doc → ONE term-keyed shuffle → sorted posting
+    list + df from the same aggregation — the benchmark-contamination
+    lookup structure. The max_df cut is the stop-gram skew-bomb defuser (a
+    hot phrase row would otherwise hold the whole corpus); postings are a
+    comma-joined string so both engines hash identically. (Bigrams, not
+    unigrams, because the synthetic corpus has a 31-word vocabulary where
+    every unigram is a stop word — dfs ~doc count.)"""
+    from insights_spark.text.index import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_df=50, ngram=2
+    )
+
+
+def _q_approx_distinct(spark, sf_dir):
+    """A3 at scale — HLL++ count-distinct with the built-in exactness gate
+    (the ann_ivf pattern for cardinality): emits the exact count plus
+    within_bounds = |sketch − exact|/exact ≤ 5%, so a broken sketch flips
+    the boolean and fails the hash while the approximate value itself
+    never needs cross-engine pinning."""
+    from insights_spark.ops.stats import approx_distinct_gate
+
+    return approx_distinct_gate(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", ["l_returnflag"]
     )
 
 
@@ -1239,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "tile_vectorize": _q_tile_vectorize,
         "tile_regions": _q_tile_regions,
+        "tile_regions_star": _q_tile_regions_star,
         "grid_cells": _q_grid_cells,
         "envelope": _q_envelope,
         "exact_dedup": _q_exact_dedup,
@@ -1254,6 +1318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_freq": _q_term_freq,
         "lang_quality_median": _q_lang_quality_median,
         "union_distinct": _q_union_distinct,
+        "sessionize": _q_sessionize,
+        "train_split": _q_train_split,
+        "inverted_index": _q_inverted_index,
+        "approx_distinct": _q_approx_distinct,
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
         "explode_map": _q_explode_map,
@@ -2217,6 +2285,55 @@ def oracle_sql() -> dict[str, str]:
             FROM reg LEFT JOIN fresh ON reg.id = fresh.id
         """,
     }
+    out["sessionize"] = """
+        WITH l AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_ts
+          FROM events),
+        f AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 21600 SECONDS
+                      THEN 1 ELSE 0 END AS is_new
+          FROM l),
+        s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM f)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_idx
+    """
+    out["train_split"] = """
+        SELECT doc_id,
+               CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """
+    out["inverted_index"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        t AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1]
+                     ))) AS term
+              FROM toks WHERE len(tok) >= 2),
+        g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     array_to_string(list_sort(list(doc_id)), ',') AS posting_csv
+              FROM t GROUP BY term)
+        SELECT term, df, posting_csv FROM g WHERE df BETWEEN 2 AND 50
+    """
+    out["approx_distinct"] = """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+               TRUE AS within_bounds
+        FROM lineitem GROUP BY l_returnflag
+    """
     # the salted battery is a pure physical rewrite — same oracle
     out["conditional_battery_salted"] = out["conditional_battery"]
+    # star contraction must label exactly like min-label propagation
+    out["tile_regions_star"] = out["tile_regions"]
     return out

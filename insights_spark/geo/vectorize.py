@@ -24,10 +24,13 @@ size (z12 ⇒ ≤16.7M rows worldwide), so everything here operates on a table
 that is tiny relative to the fact table that produced it. Each label
 propagation sweep is ONE hash-shuffle join keyed on the 64-bit tile id,
 and the sweep count equals the hot-region diameter in tiles — small for
-real edit-density blobs. For adversarial snake-shaped regions switch to
-alternating large-star/small-star (O(log n) sweeps, same join shape);
-deliberately not implemented: density blobs don't need it and the simple
-sweep is the plan you can read in the Spark UI.
+real edit-density blobs. For adversarial snake-shaped regions,
+``tile_regions(..., algorithm="star")`` switches to alternating
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — O(log² n) rounds guaranteed regardless
+of diameter, edge-list-sized state per round); the default min-label +
+pointer-jumping loop stays because density blobs converge in a few
+sweeps and its plan is the simplest to read in the Spark UI.
 """
 
 from __future__ import annotations
@@ -110,14 +113,95 @@ def tile_id(z_col: str = "z", x_col: str = "x", y_col: str = "y") -> Column:
     )
 
 
+def star_cc_labels(edges: DataFrame, max_sweeps: int = 30):
+    """Connected components over an edge list via alternating
+    large-star/small-star (Kiveris et al., SoCC'14 — public algorithm).
+
+    `edges`: (id, nbr_id) directed pairs (both directions present or not —
+    the first step symmetrizes). Returns ``(labels, sweeps_used)`` where
+    labels is (id, label) for every node THAT APPEARS IN AN EDGE, label =
+    the component's minimum node id. Isolated nodes are the caller's
+    coalesce.
+
+    Why it exists next to the min-label+jump loop: propagation needs
+    O(log diameter) sweeps WITH pointer jumping but each sweep carries the
+    full label table through two joins; star contraction is guaranteed
+    O(log² n) rounds on ANY topology (adversarial snakes included) and each
+    round's state is just the shrinking edge list. Round = large-star
+    (hang every node's larger neighbors under its minimum) then small-star
+    (re-hang the smaller neighbors), each ONE groupBy + ONE join on the
+    node id — the same shuffle key layout as the simple sweep, so skew
+    handling (AQE) applies identically. At fixpoint every component is a
+    star rooted at its minimum, so the label read-off is one-hop.
+    """
+    E = (
+        edges.select(F.col("id").alias("u"), F.col("nbr_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sweeps = 0
+    for _ in range(max_sweeps):
+        sweeps += 1
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # large-star: for each u, m = min(u ∪ N(u)); hang neighbors v > u on m
+        m_lg = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e1 = (
+            sym.join(m_lg, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: only neighbors v <= u; hang them (and u) on their min
+        sym1 = e1.unionByName(
+            e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("v") <= F.col("u"))
+        m_sm = sym1.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            sym1.join(m_sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            e2.join(E, ["u", "v"], "left_anti").count()
+            + E.join(e2, ["u", "v"], "left_anti").count()
+        )
+        E = e2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star_cc_labels did not converge within max_sweeps={max_sweeps}"
+        )
+    # fixpoint edges are (node, root) stars: one-hop min read-off
+    labels = (
+        E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("id"), "label")
+    )
+    return labels, sweeps
+
+
 def tile_regions(
-    tiles: DataFrame, min_density: float = 1, max_sweeps: int = 30
+    tiles: DataFrame,
+    min_density: float = 1,
+    max_sweeps: int = 30,
+    algorithm: str = "jump",
 ) -> DataFrame:
     """Merged hot-tile regions: 4-adjacency connected components.
 
     Output: (z, x, y, density, region_id) where region_id is the MINIMUM
     tile id in the component (deterministic, order-free — safe to
-    oracle-hash).
+    oracle-hash). ``algorithm="star"`` routes the same hot/edge build
+    through :func:`star_cc_labels` (guaranteed O(log² n) rounds on
+    adversarial topologies); both algorithms produce identical labels.
 
     Algorithm: min-label propagation + pointer jumping. Labels start as
     each tile's own id; each sweep takes the min over self + 4-neighbors,
@@ -170,6 +254,19 @@ def tile_regions(
         .persist()
     )
     edges.count()
+
+    if algorithm == "star":
+        star_labels, _ = star_cc_labels(edges, max_sweeps)
+        # isolated hot tiles appear in no edge: they are their own region
+        return (
+            hot.join(star_labels, "id", "left")
+            .select(
+                "z", "x", "y", "density",
+                F.coalesce("label", "id").alias("region_id"),
+            )
+        )
+    if algorithm != "jump":
+        raise ValueError(f"unknown algorithm {algorithm!r} (use 'jump' or 'star')")
 
     labels = hot.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_sweeps):

@@ -132,3 +132,39 @@ def missed_changesets(elements: DataFrame, stats: DataFrame) -> DataFrame:
     for (changesetStats.py:287)."""
     recent = elements.select("changeset").distinct()
     return recent.join(stats.select("changeset"), "changeset", "left_anti")
+
+
+def approx_distinct_gate(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    rsd: float = 0.01,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """A3 at scale — HyperLogLog++ count-distinct with a built-in exactness
+    gate, the ann_ivf pattern applied to cardinality: the sketch answer is
+    approximate BY DESIGN (so no cross-engine value can be pinned), so the
+    query emits the EXACT count plus a boolean `within_bounds` asserting
+    the sketch landed inside `tolerance` (5× the requested rsd by default
+    — HLL++ error is well inside 3σ there). The oracle reproduces the
+    exact count and TRUE; a broken sketch (or a silent change in Spark's
+    HLL parameters) flips the boolean and fails the hash.
+
+    Why it exists: exact countDistinct shuffles every distinct value; the
+    sketch is a fixed ~KB per group, mergeable (partial aggregation
+    map-side, and across incremental pipeline batches via
+    `approx_count_distinct` over unioned sketches at 100 TB). The exact
+    leg here is the CERTIFICATE, priced at test scale — production calls
+    drop it and keep only the sketch column.
+    """
+    gb = list(group_cols or [])
+    out = df.groupBy(*gb).agg(
+        F.countDistinct(col).alias("n_exact"),
+        F.approx_count_distinct(col, rsd=rsd).alias("_n_approx"),
+    )
+    err = F.abs(F.col("_n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return out.select(
+        *gb,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (err <= F.lit(tolerance)).alias("within_bounds"),
+    )

@@ -56,3 +56,32 @@ def clean_corpus(
     return surv.join(dropped, id_col, "left_anti").select(
         id_col, "lang_pred", "n_tokens"
     )
+
+
+def train_test_split(
+    docs: DataFrame,
+    test_permille: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic content-stable train/test split: adds a `split` column
+    ('train'/'test') keyed on a multiplicative hash of the document id —
+    NOT on row position or RNG, so the assignment survives repartitioning,
+    re-ingestion order, and incremental appends (the property a training
+    pipeline actually needs: a doc never migrates between splits across
+    runs).
+
+    `test_permille`/1000 of the id space goes to test. Pure column
+    arithmetic (one codegen'd expression, no shuffle, no UDF), and exactly
+    reproducible in ANSI SQL — the driver oracle replays the identical
+    `mod(id*1000003+seed, 1000)` bucket on DuckDB.
+
+    At 100 TB: this is a map-only stamp; downstream writers partition by
+    `split` so the two corpora land in separate file sets with zero extra
+    shuffle beyond the write's own layout.
+    """
+    bucket = F.pmod(F.col(id_col) * 1000003 + seed, F.lit(1000))
+    return docs.withColumn(
+        "split",
+        F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")),
+    )

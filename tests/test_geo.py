@@ -465,3 +465,41 @@ def test_real_h3_parity_gate():
     for k in (1, 2, 3):
         assert len(cells.hex_ring_ids(ax_cell, k)) == 1 + 3 * k * (k + 1)
         assert len(h3.grid_disk(h3_cell, k)) == 1 + 3 * k * (k + 1)
+
+
+def test_tile_regions_star_equals_jump(spark):
+    """algorithm='star' (large-star/small-star contraction) must label
+    exactly like the default propagation loop on blobs, snakes, singletons,
+    and diagonal non-merges."""
+    from insights_spark.geo import vectorize
+
+    coords = (
+        [(10, 10), (10, 11), (10, 12), (11, 12)]
+        + [(20, y) for y in range(5, 13)]
+        + [(0, 0)]
+        + [(30, 30), (31, 31)]
+    )
+    df = spark.createDataFrame(
+        [(8, x, y, 7) for x, y in coords], "z int, x int, y int, density long"
+    )
+    jump = {(r["x"], r["y"]): r["region_id"]
+            for r in vectorize.tile_regions(df, 1, algorithm="jump").collect()}
+    star = {(r["x"], r["y"]): r["region_id"]
+            for r in vectorize.tile_regions(df, 1, algorithm="star").collect()}
+    assert star == jump and len(star) == len(coords)
+
+
+def test_star_cc_sweep_count_on_snake(spark):
+    """The point of star contraction: a diameter-64 snake must converge in
+    FAR fewer than 64 rounds (O(log² n) guarantee — observed ≤ 8)."""
+    from insights_spark.geo import vectorize
+
+    ids = list(range(1, 65))
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in zip(ids, ids[1:])] + [(b, a) for a, b in zip(ids, ids[1:])],
+        "id long, nbr_id long",
+    )
+    labels, sweeps = vectorize.star_cc_labels(edges, max_sweeps=12)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 1 for i in ids}
+    assert sweeps <= 8, sweeps

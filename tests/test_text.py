@@ -300,3 +300,79 @@ def test_clean_corpus_chain(spark, docs):
     assert 5 in kept and kept[5]["lang_pred"] == "de"
     assert 8 in kept and kept[8]["lang_pred"] == "fr"
     assert kept[1]["n_tokens"] == 9
+
+
+def test_inverted_index_matches_bruteforce(spark, docs):
+    """Postings == python brute force for uni- and bigrams, bounds applied."""
+    from insights_spark.text.index import inverted_index
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    for ngram, min_df, max_df in ((1, 2, 50), (2, 1, 50)):
+        want = {}
+        for did, text in rows:
+            toks = [t for t in text.lower().split() if t]
+            terms = (toks if ngram == 1 else
+                     [" ".join(toks[i:i + ngram]) for i in range(len(toks) - ngram + 1)])
+            for t in set(terms):
+                want.setdefault(t, []).append(did)
+        want = {t: (len(ids), ",".join(str(i) for i in sorted(ids)))
+                for t, ids in want.items() if min_df <= len(ids) <= max_df}
+        got = {r["term"]: (r["df"], r["posting_csv"])
+               for r in inverted_index(docs, min_df, max_df, ngram=ngram).collect()}
+        assert got == want and len(got) > 0
+
+
+def test_train_test_split_stable_and_stratified(spark, docs):
+    """Assignment is a pure function of the id: stable under repartition
+    and union-order changes, and both splits non-degenerate at a 50%
+    target on a wider id range."""
+    from insights_spark.text.clean import train_test_split
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in
+         train_test_split(ids, test_permille=500).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_test_split(ids.repartition(7), test_permille=500).collect()}
+    assert a == b
+    n_test = sum(1 for v in a.values() if v == "test")
+    assert 800 < n_test < 1200  # hash-uniform around 50%
+    # appends never migrate earlier docs
+    more = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    c = {r["doc_id"]: r["split"] for r in
+         train_test_split(more, test_permille=500).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_approx_distinct_gate(spark):
+    from insights_spark.ops.stats import approx_distinct_gate
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 1231).alias("v")
+    )
+    out = {r["g"]: (r["n_exact"], r["within_bounds"])
+           for r in approx_distinct_gate(df, "v", ["g"]).collect()}
+    assert len(out) == 7
+    for g, (n, ok) in out.items():
+        assert ok, (g, n)
+        assert n == len({i % 1231 for i in range(5000) if i % 7 == g})
+
+
+def test_sessionize_boundaries(spark):
+    """Gap exactly == timeout stays in-session (strict >); NULL-lag first
+    event opens a session; separate users never merge."""
+    from datetime import datetime
+
+    from insights_spark.ops.sessions import sessionize
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0, 0)),
+        (2, 10, datetime(2024, 1, 1, 0, 30, 0)),   # gap == 30 min → same session
+        (3, 10, datetime(2024, 1, 1, 1, 0, 1)),    # gap 30:01 → new session
+        (4, 11, datetime(2024, 1, 1, 0, 0, 0)),    # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    got = {(r["user_id"], r["session_idx"]): r["n_events"]
+           for r in sessionize(ev, gap_minutes=30.0).collect()}
+    assert got == {(10, 1): 2, (10, 2): 1, (11, 1): 1}
