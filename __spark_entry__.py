@@ -696,7 +696,10 @@ def _q_within_distance(spark, sf_dir):
     from insights_spark.geo.knn import within_distance
 
     pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
-    return within_distance(pts.withColumnRenamed("event_id", "id"), 3.0)
+    # rings=2 → finest certifying res is 2 (cert 3.57° ≥ 3.0): 2.6× smaller
+    # buckets than the rings=1 default (res=1, edge 3.78°), measured 25%
+    # faster at sf0.1 — replication ×19 is cheaper than ×7 on fat cells
+    return within_distance(pts.withColumnRenamed("event_id", "id"), 3.0, rings=2)
 
 
 def _q_ann_ivf(spark, sf_dir):
