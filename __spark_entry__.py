@@ -572,6 +572,36 @@ def _q_inverted_index(spark, sf_dir):
     )
 
 
+def _q_source_cap(spark, sf_dir):
+    """C4-style per-domain cap: ≤10 docs per source, deterministic
+    hash-ranked membership (content-stable across re-ingestion). One
+    source-partitioned window shuffle."""
+    from insights_spark.text.clean import per_source_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_source_cap(d, 10)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Balanced per-language sample (20/stratum): the training-mix
+    balancing draw, hash-rank deterministic."""
+    from insights_spark.text.clean import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, 20)
+
+
+def _q_approx_quantile(spark, sf_dir):
+    """Quantile sketch + exactness certificate per language: exact
+    interpolated median of n_chars (bit-matches DuckDB quantile_cont) and
+    within_bounds = sketch within 5% of it."""
+    from insights_spark.ops.stats import approx_quantile_gate
+
+    return approx_quantile_gate(
+        _t(spark, sf_dir, "documents"), "n_chars", ["lang"], q=0.5
+    )
+
+
 def _q_approx_distinct(spark, sf_dir):
     """A3 at scale — HLL++ count-distinct with the built-in exactness gate
     (the ann_ivf pattern for cardinality): emits the exact count plus
@@ -1325,6 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "inverted_index": _q_inverted_index,
         "approx_distinct": _q_approx_distinct,
+        "source_cap": _q_source_cap,
+        "stratified_sample": _q_stratified_sample,
+        "approx_quantile": _q_approx_quantile,
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
         "explode_map": _q_explode_map,
@@ -2328,6 +2361,29 @@ def oracle_sql() -> dict[str, str]:
                      array_to_string(list_sort(list(doc_id)), ',') AS posting_csv
               FROM t GROUP BY term)
         SELECT term, df, posting_csv FROM g WHERE df BETWEEN 2 AND 50
+    """
+    out["source_cap"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY mod(doc_id * 2654435761 + 17, 2147483648) ASC,
+                            doc_id ASC) AS rk
+          FROM documents) WHERE rk <= 10
+    """
+    out["stratified_sample"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY mod(doc_id * 2654435761 + 29, 2147483648) ASC,
+                            doc_id ASC) AS rk
+          FROM documents) WHERE rk <= 20
+    """
+    out["approx_quantile"] = """
+        SELECT lang, quantile_cont(n_chars, 0.5) AS exact_q,
+               TRUE AS within_bounds
+        FROM documents GROUP BY lang
     """
     out["approx_distinct"] = """
         SELECT l_returnflag,

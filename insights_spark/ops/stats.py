@@ -168,3 +168,39 @@ def approx_distinct_gate(
         F.col("n_exact").cast("bigint").alias("n_exact"),
         (err <= F.lit(tolerance)).alias("within_bounds"),
     )
+
+
+def approx_quantile_gate(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    q: float = 0.5,
+    accuracy: int = 10000,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Quantile SKETCH with a built-in exactness certificate — the
+    approx_distinct_gate pattern for percentiles: emits the EXACT
+    interpolated percentile (bit-matchable against DuckDB quantile_cont,
+    proven in the lang_quality_median oracle) plus `within_bounds` =
+    relative gap between `percentile_approx` (KLL-style rank sketch,
+    mergeable, bounded memory) and the exact value ≤ tolerance.
+
+    At 100 TB the exact percentile is a full sort per group; the sketch is
+    the production path (fixed memory, partial-aggregable map-side, and
+    mergeable across incremental batches). The exact leg here is the
+    certificate, priced at test scale.
+    """
+    gb = list(group_cols or [])
+    out = df.groupBy(*gb).agg(
+        F.expr(f"percentile({col}, {q!r})").alias("exact_q"),
+        F.expr(f"percentile_approx({col}, {q!r}, {accuracy})").alias("_approx_q"),
+    )
+    denom = F.greatest(F.abs(F.col("exact_q")), F.lit(1e-12))
+    return out.select(
+        *gb,
+        F.col("exact_q").cast("double").alias("exact_q"),
+        (
+            (F.abs(F.col("_approx_q") - F.col("exact_q")) / denom)
+            <= F.lit(tolerance)
+        ).alias("within_bounds"),
+    )

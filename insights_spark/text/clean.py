@@ -85,3 +85,58 @@ def train_test_split(
         "split",
         F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def per_source_cap(
+    docs: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the C4-style crawl-balance rule: keep at
+    most `max_per_source` docs per source/domain so no single host dominates
+    the corpus. The kept set is DETERMINISTIC and content-stable: ranked by
+    a multiplicative hash of the id (not arrival order), so re-ingestion
+    and repartitioning keep the same docs; ties cannot occur (the hash is
+    injective on ids below the modulus, and id breaks any residue tie).
+
+    ONE window shuffle partitioned by source; skew bounded by the largest
+    single domain — exactly the hot-key profile AQE's skew-split handles,
+    and at 10¹⁰ docs the per-domain counts a crawl frontier already
+    maintains make this a pre-filtered pass.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.pmod(F.col(id_col) * 2654435761 + 17, F.lit(1 << 31))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_source)
+        .drop("_rk")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced per-stratum sample: exactly min(per_stratum, stratum size)
+    docs from each stratum (language, source, quality bucket …), picked by
+    deterministic hash rank — the training-mix balancing step (e.g. equal
+    per-language subcorpora) with reproducible membership across runs.
+
+    Same physical shape as `per_source_cap` (one stratum-partitioned
+    window); the two differ only in intent: cap = remove excess, sample =
+    draw a fixed-size balanced subset.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.pmod(F.col(id_col) * 2654435761 + 29, F.lit(1 << 31))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_stratum)
+        .drop("_rk")
+    )

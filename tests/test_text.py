@@ -376,3 +376,43 @@ def test_sessionize_boundaries(spark):
     got = {(r["user_id"], r["session_idx"]): r["n_events"]
            for r in sessionize(ev, gap_minutes=30.0).collect()}
     assert got == {(10, 1): 2, (10, 2): 1, (11, 1): 1}
+
+
+def test_per_source_cap_and_stratified_sample(spark):
+    """Cap keeps ≤k per source with hash-stable membership; sample draws
+    exactly min(k, stratum size) per stratum; both repartition-invariant."""
+    from insights_spark.text.clean import per_source_cap, stratified_sample
+
+    d = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(4)).cast("string")).alias("source"),
+        F.concat(F.lit("L"), F.pmod("id", F.lit(6)).cast("string")).alias("lang"),
+    )
+    kept = per_source_cap(d, 7, "source")
+    per_src = {r["source"]: r["n"] for r in
+               kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_src == {f"s{i}": 7 for i in range(4)}
+    again = {tuple(sorted(r["doc_id"] for r in per_source_cap(
+        d.repartition(13), 7, "source").collect()))}
+    assert {tuple(sorted(r["doc_id"] for r in kept.collect()))} == again
+
+    # stratum smaller than k → whole stratum kept
+    samp = stratified_sample(d, 60, "lang")
+    per_lang = {r["lang"]: r["n"] for r in
+                samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_lang == {f"L{i}": 50 for i in range(6)}
+    samp2 = stratified_sample(d, 10, "lang")
+    assert samp2.count() == 60
+
+
+def test_approx_quantile_gate(spark):
+    from insights_spark.ops.stats import approx_quantile_gate
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 101).cast("double").alias("v")
+    )
+    rows = approx_quantile_gate(df, "v", ["g"], q=0.5).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["within_bounds"], r
+        assert abs(r["exact_q"] - 50.0) <= 1.0
