@@ -699,6 +699,21 @@ def _q_knn_cell_local(spark, sf_dir):
     return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=2)
 
 
+def _q_geohash_cells(spark, sf_dir):
+    """Fourth cell family — geohash (base-32 lon/lat bit interleave, public
+    spec): pure unrolled-shift column math, codegen'd, no UDF; the oracle
+    runs the IDENTICAL integer arithmetic (geo.cells.geohash_sql). Rollup
+    per cell mirrors the hex/S2 query shapes."""
+    from insights_spark.geo.cells import geohash_col
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return (
+        pts.select(geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def _q_hex_cover(spark, sf_dir):
     """Polygon→cells polyfill (the inverse of point→cell binning): hex
     cells at res 2 whose centers lie inside each synthetic country bbox —
@@ -1377,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cells": _q_hex_cells,
         "knn_cell_local": _q_knn_cell_local,
         "hex_cover": _q_hex_cover,
+        "geohash_cells": _q_geohash_cells,
         "within_distance": _q_within_distance,
         "ann_ivf": _q_ann_ivf,
         "simhash_pairs": _q_simhash_pairs,
@@ -2321,6 +2337,14 @@ def oracle_sql() -> dict[str, str]:
             FROM reg LEFT JOIN fresh ON reg.id = fresh.id
         """,
     }
+    from insights_spark.geo.cells import geohash_sql as _gh_sql
+
+    out["geohash_cells"] = f"""
+        WITH pts AS ({_EV_PTS})
+        SELECT {_gh_sql('lon', 'lat', 5)} AS gh,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1
+    """
     out["sessionize"] = """
         WITH l AS (
           SELECT user_id, ts, event_id,

@@ -294,3 +294,76 @@ def hex_cover_bbox(
         + (F.col("r") + F.lit(_HEX_OFF))
     )
     return qs.withColumn("cell", cell).drop("q", "r")
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Geohash (public spec: base-32 of lon/lat bit interleaving, lon bit
+    first) as a pure column expression — the engine's fourth cell family
+    next to S2, axial-hex, and slippy tiles. No UDF, no shuffle: the bit
+    spread is unrolled into integer shifts Catalyst codegens, and the
+    IDENTICAL arithmetic is emitted for the DuckDB oracle by
+    :func:`geohash_sql`, so cell ids are hash-pinned exactly.
+
+    Why another family: geohash's property set differs from the other
+    three — cells are lexicographic-prefix NESTED (prefix match = spatial
+    containment), which makes it the natural key for prefix-range scans
+    over sorted storage (Z-order-lite file pruning at the storage layer).
+    """
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_i = F.floor((lon + 180.0) / 360.0 * (1 << lon_bits)).cast("long")
+    lat_i = F.floor((lat + 90.0) / 180.0 * (1 << lat_bits)).cast("long")
+    lon_i = F.greatest(F.lit(0), F.least(lon_i, F.lit((1 << lon_bits) - 1)))
+    lat_i = F.greatest(F.lit(0), F.least(lat_i, F.lit((1 << lat_bits) - 1)))
+    inter = F.lit(0).cast("long")
+    # even interleave positions (MSB-first) take lon bits, odd take lat
+    for i in range(lon_bits):
+        bit = F.shiftright(lon_i, lon_bits - 1 - i).bitwiseAND(F.lit(1))
+        inter = inter + F.shiftleft(bit, nbits - 1 - 2 * i)
+    for i in range(lat_bits):
+        bit = F.shiftright(lat_i, lat_bits - 1 - i).bitwiseAND(F.lit(1))
+        inter = inter + F.shiftleft(bit, nbits - 2 - 2 * i)
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            F.shiftright(inter, nbits - 5 * (c + 1)).bitwiseAND(F.lit(31)) + 1,
+            F.lit(1),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
+    """The ANSI-SQL replica of :func:`geohash_col` (same unrolled shifts),
+    for DuckDB oracles. Returns a scalar SQL expression string."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_i = (
+        f"greatest(0, least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * "
+        f"{1 << lon_bits}) AS BIGINT), {(1 << lon_bits) - 1}))"
+    )
+    lat_i = (
+        f"greatest(0, least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * "
+        f"{1 << lat_bits}) AS BIGINT), {(1 << lat_bits) - 1}))"
+    )
+    terms = []
+    for i in range(lon_bits):
+        terms.append(f"(((loni >> {lon_bits - 1 - i}) & 1) << {nbits - 1 - 2 * i})")
+    for i in range(lat_bits):
+        terms.append(f"(((lati >> {lat_bits - 1 - i}) & 1) << {nbits - 2 - 2 * i})")
+    inter = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GEOHASH32}', CAST(((inter >> {nbits - 5 * (c + 1)}) & 31) "
+        f"AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT ({inter}) AS inter FROM "
+        f"(SELECT {lon_i} AS loni, {lat_i} AS lati)))"
+    )

@@ -122,3 +122,36 @@ def stream_dedup_pages(
         .dropDuplicatesWithinWatermark([key])
         .drop("_event_ts")
     )
+
+
+def session_stream(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization — the stateful twin of
+    ``ops.sessions.sessionize``: Spark's native ``session_window`` merges
+    events of one user into dynamic-length sessions that CLOSE when no
+    event arrives within `gap`; the watermark finalizes (and expires the
+    state of) sessions once event time passes session_end + watermark, so
+    state is bounded by the number of OPEN sessions per key — never the
+    history (ST4 posture).
+
+    Output: (session (start,end struct), user_id, n_events). Semantics
+    note vs the batch operator: session_window's end = last event + gap
+    (the half-open close boundary), where batch `sessionize` reports
+    min/max event ts; the session MEMBERSHIP (which events group together,
+    strict-gap rule) is identical — the equivalence test pins membership
+    counts, not the boundary convention.
+    """
+    ev = events_stream.withColumn("_event_ts", F.col(ts_col).cast("timestamp"))
+    return (
+        ev.withWatermark("_event_ts", watermark)
+        .groupBy(
+            F.session_window(F.col("_event_ts"), gap).alias("session"),
+            F.col(user_col).alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )

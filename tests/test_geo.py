@@ -503,3 +503,35 @@ def test_star_cc_sweep_count_on_snake(spark):
     got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == {i: 1 for i in ids}
     assert sweeps <= 8, sweeps
+
+
+def test_geohash_known_vectors_and_sql_parity(spark):
+    """geohash_col matches canonical published geohashes, and the SQL
+    replica (the oracle's arithmetic) agrees with the column path on a
+    lon/lat sweep including boundary clamps."""
+    import duckdb
+
+    from insights_spark.geo import cells
+
+    vecs = [(-5.6, 42.6, 5, "ezs42"), (13.361389, 38.115556, 7, "sqc8b49"),
+            (-74.0060, 40.7128, 6, "dr5reg"), (0.0, 0.0, 5, "s0000")]
+    df = spark.createDataFrame(
+        [(lon, lat, p) for lon, lat, p, _ in vecs], "lon double, lat double, p int"
+    )
+    for lon, lat, p, want in vecs:
+        got = (
+            df.filter((F.col("lon") == lon) & (F.col("lat") == lat))
+            .select(cells.geohash_col(F.col("lon"), F.col("lat"), p).alias("g"))
+            .first()["g"]
+        )
+        assert got == want, (lon, lat, got, want)
+
+    sweep = [(x * 17.3 - 180.0, y * 8.9 - 90.0) for x in range(21) for y in range(21)]
+    sdf = spark.createDataFrame(sweep, "lon double, lat double")
+    spark_gh = [r["g"] for r in sdf.select(
+        cells.geohash_col(F.col("lon"), F.col("lat"), 6).alias("g")).collect()]
+    con = duckdb.connect()
+    duck_gh = [con.execute(
+        f"SELECT {cells.geohash_sql(repr(lon), repr(lat), 6)}").fetchone()[0]
+        for lon, lat in sweep]
+    assert spark_gh == duck_gh

@@ -116,3 +116,46 @@ def test_stream_dedup_pages(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 6
     assert out.select("url").distinct().count() == 6
+
+
+def test_session_stream_matches_batch_membership(spark, tmp_path):
+    """Streaming session_window groups exactly like batch sessionize: same
+    per-(user, session) event counts (boundary conventions differ by the
+    +gap close; membership must not)."""
+    from datetime import datetime
+
+    from insights_spark.ops.sessions import sessionize
+    from insights_spark.streaming import ingest
+
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        for burst in range(3):
+            base = datetime(2024, 1, 1, burst * 6 + uid, 0, 0)  # bursts >30min apart
+            for j in range(uid + burst + 1):
+                rows.append((eid, uid, base.replace(minute=j * 7)))  # 7min gaps
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    ev_dir = str(tmp_path / "ev")
+    ev.write.parquet(ev_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    q = (
+        ingest.session_stream(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT user_id, n_events FROM sess_test").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"])
+        for r in sessionize(ev, gap_minutes=30.0).collect()
+    )
+    assert got == want and len(got) == 9
