@@ -55,6 +55,13 @@ HEADLINE = [
     "ngram_jaccard",
     "clean_corpus",
     "ann_ivf",
+    # round-3 additions: sessionization, phrase postings, 4th cell family,
+    # crawl-balance cap, embedding near-dups (exact baseline, now parallel)
+    "sessionize",
+    "inverted_index",
+    "geohash_cells",
+    "source_cap",
+    "cos_near_dups",
 ]
 
 

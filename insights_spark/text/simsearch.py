@@ -90,12 +90,23 @@ def embedding_near_dups(
     DuckDB's list_dot_product); the small side is broadcast. This is the
     correctness baseline — at corpus scale route candidate generation
     through ``embedding_lsh_candidates`` and verify only candidates.
+
+    Same execution treatment as ``cosine_topk`` (identical IEEE values):
+    norms fold once per ROW per side instead of per pair, and the streamed
+    side is repartitioned to default parallelism — the interpreted
+    higher-order fold otherwise runs every pair in the one partition the
+    parquet scan produced.
     """
-    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    cos = dot(F.col("_va"), F.col("_vb")) / (
-        norm(F.col("_va")) * norm(F.col("_vb"))
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    a = (
+        vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+        .repartition(par)
+        .withColumn("_na", norm(F.col("_va")))
     )
+    b = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", norm(F.col("_vb")))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(F.broadcast(b), F.col("a") < F.col("b"))
         .withColumn("cosine", cos)
