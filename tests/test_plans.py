@@ -179,3 +179,30 @@ def test_salted_battery_two_level_aggregate(spark):
     plan = _plan(entry.queries()["conditional_battery_salted"](spark, SF))
     assert plan.count("hashpartitioning(") == 2, plan
     assert "HashAggregate" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes AND the per-session rollup share ONE user-keyed
+    exchange: HashPartitioning(user_id) satisfies the clustered
+    distribution of groupBy(user_id, session_idx) (subset rule), so
+    sessionization is one shuffle end-to-end."""
+    plan = _plan(entry.queries()["sessionize"](spark, SF))
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_geohash_prefix_prunes_parquet(spark, tmp_path):
+    """The geohash family's point: lexicographic-prefix nesting makes
+    spatial containment a StartsWith predicate that reaches the parquet
+    scan (PushedFilters) — storage-level pruning on a geohash-sorted
+    layout, no spatial library in the read path."""
+    from insights_spark.geo.cells import geohash_col
+
+    pts = entry._points(
+        spark.read.parquet(f"{SF}/events.parquet").select("event_id"), "event_id"
+    ).select("event_id", geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh"))
+    out = str(tmp_path / "gh_sorted")
+    pts.repartition(4).sortWithinPartitions("gh").write.parquet(out)
+    df = spark.read.parquet(out).filter(F.col("gh").startswith("u0"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(gh,u0)" in plan.replace(" ", ""), plan
