@@ -498,6 +498,29 @@ def _q_clean_corpus(spark, sf_dir):
     return clean_corpus(_t(spark, sf_dir, "documents"))
 
 
+def _q_prepare_corpus(spark, sf_dir):
+    """THE end-to-end training-data preparation pipeline as ONE lazy plan:
+    C4-style clean (gates → lang → exact dedup → capped near-dup drop) →
+    per-domain cap (crawl balance) → deterministic train/test split →
+    per-(split, language) corpus accounting. Every stage is an
+    independently-oracle-checked operator; the composition gets its own
+    chained-CTE oracle. This is the query a user runs before tokenizing a
+    crawl snapshot."""
+    from insights_spark.text.clean import (
+        clean_corpus, per_source_cap, train_test_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = clean_corpus(docs)
+    with_src = cleaned.join(docs.select("doc_id", "source"), "doc_id")
+    capped = per_source_cap(with_src, 15)
+    split = train_test_split(capped, test_permille=100)
+    return split.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def _q_union_distinct(spark, sf_dir):
     """U1/A9 — distinct union of two differently-tokenized sources (the
     hashtag-vocabulary shape: two delimiter classes → union → dedup)."""
@@ -1363,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cos_near_dups": _q_cos_near_dups,
         "clean_corpus": _q_clean_corpus,
+        "prepare_corpus": _q_prepare_corpus,
         "term_freq": _q_term_freq,
         "lang_quality_median": _q_lang_quality_median,
         "union_distinct": _q_union_distinct,
@@ -2414,6 +2438,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
                TRUE AS within_bounds
         FROM lineitem GROUP BY l_returnflag
+    """
+    # the full preparation pipeline composes the clean_corpus oracle with
+    # the cap/split arithmetic (nested WITH in a FROM subquery)
+    out["prepare_corpus"] = f"""
+        WITH base AS (SELECT * FROM ({out['clean_corpus']})),
+        src AS (SELECT base.*, d.source
+                FROM base JOIN documents d USING (doc_id)),
+        capped AS (SELECT * FROM (
+            SELECT src.*, row_number() OVER (
+                PARTITION BY source
+                ORDER BY mod(doc_id * 2654435761 + 17, 2147483648) ASC,
+                         doc_id ASC) AS rk
+            FROM src) WHERE rk <= 15),
+        sp AS (SELECT *, CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
+                              THEN 'test' ELSE 'train' END AS split
+               FROM capped)
+        SELECT split, lang_pred, CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM sp GROUP BY split, lang_pred
     """
     # the salted battery is a pure physical rewrite — same oracle
     out["conditional_battery_salted"] = out["conditional_battery"]

@@ -155,3 +155,55 @@ def session_stream(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+def stream_source_cap(
+    docs_stream: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming per-domain cap — a CUSTOM stateful operator
+    (``applyInPandasWithState``): admit at most `max_per_source` docs per
+    source across the WHOLE stream. No built-in expresses this —
+    ``dropDuplicatesWithinWatermark`` dedups exact keys but cannot keep a
+    per-key admission COUNTER — so the state (one long per source) is
+    explicit: loaded per micro-batch per key, incremented by the rows
+    admitted, persisted by the state store.
+
+    Within a micro-batch rows are admitted in ascending `id_col` order
+    (deterministic given the batch); across batches admission follows
+    arrival order — the honest streaming semantics of a crawl-frontier
+    cap (the batch `text.clean.per_source_cap` is the content-stable
+    re-runnable variant). State size: ONE counter per distinct source —
+    bounded by the domain universe, not the doc count.
+
+    Output: (source, doc_id) of admitted docs, append mode.
+    """
+    import pandas as pd
+
+    out_schema = f"{source_col} string, {id_col} long"
+    state_schema = "n long"
+
+    def cap_fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        admitted = []
+        for pdf in pdfs:
+            if n >= max_per_source:
+                break
+            take = pdf.sort_values(id_col).head(max_per_source - n)
+            n += len(take)
+            admitted.append(take[[id_col]])
+        state.update((n,))
+        if admitted:
+            out = pd.concat(admitted)
+            out.insert(0, source_col, key[0])
+            yield out
+
+    return (
+        docs_stream.select(source_col, id_col)
+        .groupBy(source_col)
+        .applyInPandasWithState(
+            cap_fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

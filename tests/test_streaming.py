@@ -159,3 +159,45 @@ def test_session_stream_matches_batch_membership(spark, tmp_path):
         for r in sessionize(ev, gap_minutes=30.0).collect()
     )
     assert got == want and len(got) == 9
+
+
+def test_stream_source_cap_state_across_batches(spark, tmp_path):
+    """The applyInPandasWithState counter survives micro-batches: with
+    maxFilesPerTrigger=1 and two files per source, the second batch only
+    admits the remainder of the per-source budget."""
+    from insights_spark.streaming import ingest
+
+    d1 = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(8)], "doc_id long, source string"
+    )
+    d2 = spark.createDataFrame(
+        [(100 + i, f"s{i % 2}") for i in range(8)], "doc_id long, source string"
+    )
+    docs_dir = str(tmp_path / "docs")
+    d1.coalesce(1).write.mode("append").parquet(docs_dir)
+    d2.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        ingest.stream_source_cap(stream, max_per_source=6)
+        .writeStream.format("memory")
+        .queryName("cap_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT source, doc_id FROM cap_test").collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in per_src.items()} == {"s0": 6, "s1": 6}
+    # each source admitted 4 from its first-seen batch + 2 from the other
+    for ids in per_src.values():
+        assert sum(1 for i in ids if i < 100) == 4
+        assert sum(1 for i in ids if i >= 100) == 2
