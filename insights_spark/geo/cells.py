@@ -344,13 +344,15 @@ def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
     nbits = 5 * precision
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
+    # CAST to DOUBLE up front: a long literal like '179.99999999999997'
+    # otherwise parses as DECIMAL(18,16), which overflows at |x| ≥ 100
     lon_i = (
-        f"greatest(0, least(CAST(floor((({lon_expr}) + 180.0) / 360.0 * "
-        f"{1 << lon_bits}) AS BIGINT), {(1 << lon_bits) - 1}))"
+        f"greatest(0, least(CAST(floor((CAST(({lon_expr}) AS DOUBLE) + 180.0) "
+        f"/ 360.0 * {1 << lon_bits}) AS BIGINT), {(1 << lon_bits) - 1}))"
     )
     lat_i = (
-        f"greatest(0, least(CAST(floor((({lat_expr}) + 90.0) / 180.0 * "
-        f"{1 << lat_bits}) AS BIGINT), {(1 << lat_bits) - 1}))"
+        f"greatest(0, least(CAST(floor((CAST(({lat_expr}) AS DOUBLE) + 90.0) "
+        f"/ 180.0 * {1 << lat_bits}) AS BIGINT), {(1 << lat_bits) - 1}))"
     )
     terms = []
     for i in range(lon_bits):

@@ -133,3 +133,104 @@ def test_parser_paths_agree_on_random_trees(seed):
     finally:
         ref_parser._STREAM_PARSE_BYTES = orig
     assert small == large
+
+
+@given(st.integers(0, 10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_geohash_prefix_nesting_property(seed):
+    """Geohash's defining property: the precision-p hash of a point is a
+    PREFIX of its precision-(p+1) hash (cells nest lexicographically) —
+    this is what makes prefix filters spatial containment."""
+    import numpy as np
+
+    from insights_spark.geo.cells import geohash_sql
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    lon = float(rng.uniform(-180, 180))
+    lat = float(rng.uniform(-90, 90))
+    con = duckdb.connect()
+    h = [
+        con.execute(f"SELECT {geohash_sql(repr(lon), repr(lat), p)}").fetchone()[0]
+        for p in (4, 5, 6)
+    ]
+    assert h[1].startswith(h[0]) and h[2].startswith(h[1])
+
+
+def test_star_cc_random_graphs_match_union_find(spark):
+    """star_cc_labels == python union-find on random sparse graphs (mix of
+    chains, cliques, isolated pairs — seeds cover varying densities)."""
+    import numpy as np
+
+    from insights_spark.geo.vectorize import star_cc_labels
+
+    for seed in (1, 7, 42):
+        rng = np.random.default_rng(seed)
+        n = 60
+        m = int(rng.integers(20, 90))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {}
+        nodes_in_edges = {x for e in edges for x in e}
+        for x in nodes_in_edges:
+            want.setdefault(find(x), set()).add(x)
+        want_sets = sorted((tuple(sorted(v)) for v in want.values()))
+
+        df = spark.createDataFrame(edges, "id long, nbr_id long")
+        labels, _ = star_cc_labels(df, max_sweeps=20)
+        got = {}
+        for r in labels.collect():
+            got.setdefault(r["label"], set()).add(r["id"])
+        got_sets = sorted((tuple(sorted(v)) for v in got.values()))
+        assert got_sets == want_sets, seed
+        # label is the component minimum
+        for lab, members in got.items():
+            assert lab == min(members)
+
+
+def test_sessionize_random_streams_match_bruteforce(spark):
+    """sessionize == python gaps-and-islands on random event streams
+    (random users, duplicate timestamps included)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from insights_spark.ops.sessions import sessionize
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for eid in range(120):
+            uid = int(rng.integers(1, 6))
+            ts = datetime(2024, 1, 1) + timedelta(
+                minutes=int(rng.integers(0, 3000))
+            )
+            rows.append((eid, uid, ts))
+        gap_min = 45.0
+        by_user = {}
+        for eid, uid, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+            by_user.setdefault(uid, []).append((ts, eid))
+        want = {}
+        for uid, evs in by_user.items():
+            idx = 0
+            prev = None
+            for ts, eid in evs:
+                if prev is None or (ts - prev).total_seconds() > gap_min * 60:
+                    idx += 1
+                want[(uid, idx)] = want.get((uid, idx), 0) + 1
+                prev = ts
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz"
+        )
+        got = {(r["user_id"], r["session_idx"]): r["n_events"]
+               for r in sessionize(ev, gap_minutes=gap_min).collect()}
+        assert got == want, seed
