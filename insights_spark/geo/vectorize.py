@@ -269,6 +269,11 @@ def tile_regions(
         raise ValueError(f"unknown algorithm {algorithm!r} (use 'jump' or 'star')")
 
     labels = hot.select("id", F.col("id").alias("label")).localCheckpoint()
+    # fixpoint certificate: min-propagation labels are NON-INCREASING per
+    # id, so Σ label strictly decreases on any change — comparing the sum
+    # (exact decimal; bigint ids would overflow a long sum at z≥12 scale)
+    # replaces a per-sweep join+count with a 1-row aggregate.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_sweeps):
         msgs = edges.join(
             labels.select(F.col("id").alias("nbr_id"), "label"), "nbr_id"
@@ -289,11 +294,9 @@ def tile_regions(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.select("id", F.col("label").alias("_old")), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
+        new_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels = new
         if changed == 0:
             break
