@@ -58,6 +58,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: on a shuffle join with a
+        # selective build side, inject might_contain(bloom(build keys)) into
+        # the fact-side SCAN — a semi-join reduction that skips shuffling
+        # fact rows that cannot match. Default size thresholds (10 GB
+        # application side) keep it dormant at test scale and activate it
+        # exactly where it pays at 100 TB; tests/test_plans.py pins the
+        # injection with thresholds lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

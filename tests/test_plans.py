@@ -206,3 +206,42 @@ def test_geohash_prefix_prunes_parquet(spark, tmp_path):
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "StringStartsWith(gh,u0)" in plan.replace(" ", ""), plan
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """The 100 TB semi-join reduction: with a selective dim filter on a
+    shuffle join, the optimizer injects might_contain(bloom(build keys))
+    into the FACT side's scan condition — fact rows that cannot match are
+    dropped before the shuffle. Enabled by default in get_spark (dormant
+    below the 10 GB application-side threshold; runtime confs lowered here
+    to observe the injection at fixture scale, restored after)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag").count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert j.count() > 0  # and it still computes
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
