@@ -62,6 +62,7 @@ HEADLINE = [
     "geohash_cells",
     "source_cap",
     "cos_near_dups",
+    "prepare_corpus",
 ]
 
 
