@@ -569,6 +569,40 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=360.0)
 
 
+def _q_rolling_activity(spark, sf_dir):
+    """RANGE-frame sliding window: per event, the same user's event count
+    in the trailing 6 h (value-based frame → tie-order-independent, no
+    tiebreaker needed). One user-keyed shuffle."""
+    from insights_spark.ops.sessions import rolling_user_activity
+
+    return rolling_user_activity(
+        _t(spark, sf_dir, "events"), window_seconds=6 * 3600.0
+    )
+
+
+def _q_semi_join_salted(spark, sf_dir):
+    """J1 through the EXPLICIT skew path (runtime.skew.salted_join_skewed):
+    fact side salted, dim side replicated per salt, left_semi on
+    (key, salt) — one hot orderkey spreads over 16 tasks. Shares the
+    semi_join oracle byte-for-byte: pure physical rewrite."""
+    from insights_spark.runtime.skew import salted_join_skewed
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        salted_join_skewed(
+            li, o, "l_orderkey",
+            salt_source_cols=["l_linenumber", "l_partkey"], how="left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_linenumber").alias("sum_line"))
+    )
+
+
 def _q_train_split(spark, sf_dir):
     """Deterministic content-stable train/test split: multiplicative-hash
     bucket on doc_id (never row position / RNG), so assignment survives
@@ -1391,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_median": _q_lang_quality_median,
         "union_distinct": _q_union_distinct,
         "sessionize": _q_sessionize,
+        "rolling_activity": _q_rolling_activity,
+        "semi_join_salted": _q_semi_join_salted,
         "train_split": _q_train_split,
         "inverted_index": _q_inverted_index,
         "approx_distinct": _q_approx_distinct,
@@ -2392,6 +2428,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
     """
+    out["rolling_activity"] = """
+        SELECT user_id, event_id, ts,
+               CAST(count(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 21600.0 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_trailing
+        FROM events
+    """
     out["train_split"] = """
         SELECT doc_id,
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
@@ -2458,8 +2502,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM sp GROUP BY split, lang_pred
     """
-    # the salted battery is a pure physical rewrite — same oracle
+    # the salted battery and salted semi-join are pure physical rewrites —
+    # same oracles as their unsalted twins
     out["conditional_battery_salted"] = out["conditional_battery"]
+    out["semi_join_salted"] = out["semi_join"]
     # star contraction must label exactly like min-label propagation
     out["tile_regions_star"] = out["tile_regions"]
     return out

@@ -70,3 +70,38 @@ def sessionize(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+def rolling_user_activity(
+    events: DataFrame,
+    window_seconds: float = 3600.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing-window activity per event: for every event, how many
+    events the SAME user produced in the preceding `window_seconds`
+    (inclusive of now) — the RANGE-frame window family (sliding count,
+    no fixed bucketing like the tumbling tile/period rollups).
+
+    Frame semantics are VALUE-based (RANGE, not ROWS): all events with
+    equal timestamps fall in or out of the frame together, so the result
+    is deterministic regardless of tie order — no tiebreaker needed.
+    ORDER BY is epoch seconds as a double (micros/1e6 — the identical
+    IEEE value DuckDB's epoch() computes), because Spark range frames
+    need a numeric sort key. One user-keyed shuffle, like sessionize.
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    # pyspark rangeBetween takes integer bounds (cast to the double order
+    # key at plan time); fractional window lengths would need an expr frame
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(sec)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+    )

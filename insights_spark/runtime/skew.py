@@ -57,3 +57,30 @@ def top_keys(df: DataFrame, key_cols: list[str], threshold_rows: int) -> DataFra
         .filter(F.col("n") > threshold_rows)
         .select(*key_cols)
     )
+
+
+def salted_join_skewed(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_source_cols: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join against a skewed key with the FACT side salted and the DIM
+    side replicated once per salt — one hot key's rows spread across
+    `buckets` tasks instead of one straggler.
+
+    The dim replication factor is exactly `buckets` (explode over a
+    literal sequence — no shuffle added on the dim side when it broadcasts;
+    on a shuffle join the dim side is small by premise). Works for
+    `inner`/`left_semi`/`left_anti`: a fact row carries ONE salt value and
+    the dim carries ALL of them, so (key, salt) matches iff key matches.
+    The salt column is internal and dropped from the result.
+    """
+    salted = with_salt(fact, salt_source_cols, buckets)
+    rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = salted.join(rep, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -470,3 +470,42 @@ def test_sql_api_country_insights_matches_dataframe(spark, pages):
               for r in spark.sql(
                   sql_api.country_insights_sql(cutoff, with_tm=True)).collect()}
     assert got_tm == want_tm and len(got_tm) > 0
+
+
+def test_salted_join_skewed_matches_plain(spark):
+    """salted_join_skewed == plain join for inner/semi/anti on a fixture
+    with one hot key (80% of fact rows)."""
+    from insights_spark.runtime.skew import salted_join_skewed
+
+    fact = spark.createDataFrame(
+        [(1 if i % 5 else i, i) for i in range(200)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(1,), (7,), (13,)], "k long")
+    for how in ("inner", "left_semi", "left_anti"):
+        want = sorted(r["payload"] for r in fact.join(dim, "k", how).collect())
+        got = sorted(
+            r["payload"]
+            for r in salted_join_skewed(fact, dim, "k", ["payload"], 8, how).collect()
+        )
+        assert got == want, how
+
+
+def test_rolling_activity_boundary_and_ties(spark):
+    """RANGE frame: an event exactly window_seconds earlier is IN the
+    frame (inclusive), one past is OUT; equal timestamps count together
+    regardless of order."""
+    from datetime import datetime, timedelta
+
+    from insights_spark.ops.sessions import rolling_user_activity
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + timedelta(seconds=3600)),      # exactly 1h later → includes e1
+        (3, 10, t0 + timedelta(seconds=7201)),      # 3601s after e2 → alone
+        (4, 10, t0 + timedelta(seconds=7201)),      # tie with e3
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {r["event_id"]: r["n_trailing"]
+           for r in rolling_user_activity(ev, 3600.0).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2}
