@@ -569,6 +569,26 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=360.0)
 
 
+def _q_asof_join(spark, sf_dir):
+    """Generic two-table AS-OF join (ops.latest.asof_join): every event
+    matched to the user's latest profile snapshot at-or-before its
+    timestamp. One union + one window pass per key — never a correlated
+    per-row scan. Oracle: DuckDB's NATIVE `ASOF LEFT JOIN` — two
+    independent implementations of the operator must agree exactly."""
+    from insights_spark.ops.latest import asof_join, scalar_pick
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    snaps = scalar_pick(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+        .select("user_id", "ts", F.col("event_id").alias("snap_id")),
+        ("user_id", "ts"), "snap_id", "snap_id",
+    )
+    return asof_join(
+        ev, snaps, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["snap_id"],
+    )
+
+
 def _q_rolling_activity(spark, sf_dir):
     """RANGE-frame sliding window: per event, the same user's event count
     in the trailing 6 h (value-based frame → tie-order-independent, no
@@ -1425,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_median": _q_lang_quality_median,
         "union_distinct": _q_union_distinct,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "rolling_activity": _q_rolling_activity,
         "semi_join_salted": _q_semi_join_salted,
         "train_split": _q_train_split,
@@ -2427,6 +2448,16 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["asof_join"] = """
+        WITH snaps AS (
+          SELECT user_id, ts, max(event_id) AS snap_id
+          FROM events WHERE mod(event_id, 10) = 0
+          GROUP BY user_id, ts)
+        SELECT e.event_id, e.user_id, e.ts, s.snap_id
+        FROM events e
+        ASOF LEFT JOIN snaps s
+          ON e.user_id = s.user_id AND s.ts <= e.ts
     """
     out["rolling_activity"] = """
         SELECT user_id, event_id, ts,

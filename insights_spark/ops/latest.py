@@ -64,3 +64,69 @@ def scalar_pick(
         .filter(F.col("_rn") == 1)
         .select(*group_keys, value_col)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_order: str | None = None,
+) -> DataFrame:
+    """Generic two-table AS-OF join: every left row gets the LATEST right
+    row with ``right_ts <= left_ts`` for the same key (NULLs if none) —
+    the telemetry/market-data join Spark has no built-in for.
+
+    Physical strategy (the scalable one): UNION the two streams with a
+    side tag, ONE window pass per key ordered by (ts, side, right-order):
+    ``last_value(ignorenulls)`` of each right attribute at a left row is
+    exactly its as-of match. One shuffle on the key, state bounded by the
+    window sort — never the per-left-row correlated scan the naive SQL
+    runs (the reference's correlated max-version subqueries are the
+    single-table special case, advanced-queries.md:129,143-150; J5's
+    ``latest_version`` is this operator with left == right).
+
+    Ties: a right row AT the left timestamp matches (inclusive ≤, right
+    side sorts before left at equal ts); equal right timestamps resolve
+    by ``right_order`` ascending — the LARGEST value wins (pass e.g. a
+    version/id column; defaults to the first right_col).
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    ordc = right_order or rcols[0]
+    # the right attributes travel as ONE struct: last(ignorenulls) must
+    # pick the whole latest right ROW — per-attribute lasts would
+    # resurrect an older non-null value wherever the matched row holds a
+    # legitimate NULL attribute
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(ordc).alias("_rord"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_rrow"),
+    )
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rord"].dataType).alias("_rord"),
+        F.lit(None).cast(r.schema["_rrow"].dataType).alias("_rrow"),
+        F.struct(*lcols).alias("_lrow"),
+    )
+    r = r.withColumn("_lrow", F.lit(None).cast(l.schema["_lrow"].dataType))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_rord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).select(
+        "_side", "_lrow",
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
+    )
+    out = merged.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col("_lrow")[c].alias(c) for c in lcols],
+        *[F.col("_rrow")[c].alias(c) for c in rcols],
+    )

@@ -509,3 +509,35 @@ def test_rolling_activity_boundary_and_ties(spark):
     got = {r["event_id"]: r["n_trailing"]
            for r in rolling_user_activity(ev, 3600.0).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_asof_join_nulls_ties_and_missing(spark):
+    """asof_join edge semantics: inclusive <= (right row AT the left ts
+    matches); equal right ts resolved by right_order max; a legitimately
+    NULL attribute on the matched row stays NULL (no resurrection of older
+    values); keys with no earlier right row get NULLs."""
+    from datetime import datetime
+
+    from insights_spark.ops.latest import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 10, t(2)), (4, 99, t(30))],
+        "lid long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(3), 1, "old"),
+            (10, t(5), 2, None),     # matches lid=1 AT its ts; value NULL
+            (10, t(5), 3, "tiewin"), # same ts, larger ord → wins
+            (10, t(9), 4, "later"),
+        ],
+        "k long, ts timestamp_ntz, ord long, val string",
+    )
+    got = {r["lid"]: (r["ord"], r["val"]) for r in asof_join(
+        left, right, on="k", right_cols=["ord", "val"], right_order="ord"
+    ).collect()}
+    assert got[1] == (3, "tiewin")   # inclusive <=, tie by max ord
+    assert got[2] == (4, "later")
+    assert got[3] == (None, None)    # earliest right row is t(3) > t(2)
+    assert got[4] == (None, None)    # key 99 absent from right
