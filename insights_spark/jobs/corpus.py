@@ -1,0 +1,198 @@
+"""Corpus pipeline: documents → cleaned, deduped, split training corpus.
+
+The LLM-training-data twin of ``jobs.pipeline`` (which covers the OSM
+side): same runtime primitives (CheckpointStore sequence, LineageLog
+per-partition counts, atomic merge sinks), applied to the text stack.
+
+    python -m insights_spark.jobs.corpus --docs /path/documents_parquet \
+        --out /path/corpus_wh [--resume]
+
+Stages, each incremental in O(batch ∪ touched-index):
+
+  1. stamp      quality gates + lang-id + content-stable train/test split
+                — PURE MAP over the new batch (no shuffle, trivially
+                incremental).
+  2. dedup      exact dedup of the batch against ITSELF and against the
+                ALREADY-ADMITTED corpus: batch norm-hashes left-anti-join
+                the corpus dedup index (a (norm_hash) table — the only
+                state the stage reads), then the index is appended. Never
+                rescans admitted documents.
+  3. corpus     admitted docs appended, partitioned by `split` — the
+                train/test file layout downstream tokenizers read.
+  4. postings   the phrase inverted index, stored PARTITIONED BY a 64-way
+                term-hash bucket; a batch merges only the buckets its
+                terms touch (read touched buckets → union → re-aggregate →
+                overwrite those partitions) — O(touched buckets), not
+                O(index).
+  5. accounting per-(split, lang_pred) doc/token counters, merge-SUM.
+
+Sequence = max(doc_id) of the processed batch; ``--resume`` admits only
+doc_id > checkpoint. Batch re-runs are idempotent: the dedup index makes a
+replayed doc a duplicate of itself (ON CONFLICT DO NOTHING semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..runtime.checkpoint import CheckpointStore
+from ..runtime.lineage import LineageLog
+from ..runtime.sinks import merge_sum_parquet
+from ..text.clean import train_test_split
+from ..text.dedup import normalized
+from ..text.index import inverted_index
+from ..text.quality import lang_id, quality_scores
+
+PIPELINE = "documents_to_corpus"
+POSTING_BUCKETS = 64
+
+
+def _stamp(docs: DataFrame, min_tokens: int, langs: tuple[str, ...]) -> DataFrame:
+    scored = lang_id(quality_scores(docs))
+    gated = scored.filter(
+        (F.col("n_tokens") >= min_tokens) & F.col("lang_pred").isin(*langs)
+    )
+    return train_test_split(gated).withColumn(
+        "_norm_hash", F.xxhash64(normalized(F.col("text")))
+    )
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    resume: bool = False,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+) -> dict[str, str]:
+    """Run the corpus pipeline; returns {table_name: path}."""
+    ckpt = CheckpointStore(spark, os.path.join(out_dir, "_checkpoints"))
+    lin = LineageLog(spark, os.path.join(out_dir, "_lineage"))
+    paths = {
+        "corpus": os.path.join(out_dir, "corpus"),
+        "dedup_index": os.path.join(out_dir, "dedup_index"),
+        "postings": os.path.join(out_dir, "postings"),
+        "accounting": os.path.join(out_dir, "accounting"),
+    }
+
+    last = ckpt.last_sequence(PIPELINE, "corpus") if resume else None
+    batch = docs if last is None else docs.filter(F.col("doc_id") > last)
+
+    # 1. stamp (map-only)
+    stamped = _stamp(batch, min_tokens, langs).persist()
+
+    # 2. dedup: in-batch representative, then anti-join the admitted index
+    in_batch = stamped.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_norm_hash").orderBy(F.asc("doc_id"))
+        ),
+    ).filter(F.col("_rn") == 1).drop("_rn")
+    if os.path.isdir(paths["dedup_index"]):
+        seen = spark.read.parquet(paths["dedup_index"])
+        admitted = in_batch.join(seen, "_norm_hash", "left_anti")
+    else:
+        admitted = in_batch
+    # localCheckpoint, NOT persist: stage 3 APPENDS to dedup_index, and a
+    # parquet write refreshes the path's FileIndex and invalidates every
+    # cached plan that reads it — a merely-persisted `admitted` would
+    # silently RE-EVALUATE against the index that now contains its own
+    # hashes and come back empty. Checkpointing severs the lineage to the
+    # index files before the self-referential write.
+    admitted = admitted.localCheckpoint()
+    lin.record("dedup", stamped, admitted)
+
+    # 3. corpus append, partitioned by split
+    out_cols = [c for c in admitted.columns if c != "_norm_hash"]
+    admitted.select(*out_cols).write.mode("append").partitionBy(
+        "split"
+    ).parquet(paths["corpus"])
+    admitted.select("_norm_hash").distinct().write.mode("append").parquet(
+        paths["dedup_index"]
+    )
+
+    # 4. postings: merge only touched term-hash buckets
+    new_post = inverted_index(
+        admitted, min_df=1, max_df=1 << 30, ngram=2
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(POSTING_BUCKETS)))
+    if os.path.isdir(paths["postings"]):
+        touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
+        old = spark.read.parquet(paths["postings"]).filter(
+            F.col("bucket").isin(touched)
+        )
+        merged = (
+            old.unionByName(new_post)
+            # re-sort NUMERICALLY: csv ids are strings, and lexicographic
+            # order ('10' < '9') would corrupt the ascending-id contract
+            .withColumn(
+                "_ids",
+                F.transform(F.split("posting_csv", ","),
+                            lambda x: x.cast("long")),
+            )
+            .groupBy("bucket", "term")
+            .agg(F.array_sort(F.flatten(F.collect_list("_ids"))).alias("_all"))
+            .select(
+                "bucket", "term",
+                F.size("_all").cast("bigint").alias("df"),
+                F.array_join(F.col("_all").cast("array<string>"), ",")
+                .alias("posting_csv"),
+            )
+        )
+        # tmp-and-swap per touched bucket: merged READS the live postings,
+        # so overwriting them in the same job would truncate its own input
+        # (the self-overwrite hazard merge_sum_parquet guards against too)
+        import shutil
+        import uuid
+
+        tmp = f"{paths['postings']}__merge_{uuid.uuid4().hex[:8]}"
+        merged.select("term", "df", "posting_csv", "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(tmp)
+        for b in touched:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(paths["postings"], f"bucket={b}")
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        new_post.select("term", "df", "posting_csv", "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(paths["postings"])
+    lin.record("postings", admitted, new_post)
+
+    # 5. accounting merge-sum
+    acct = admitted.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    merge_sum_parquet(acct, paths["accounting"], ["split", "lang_pred"],
+                      ["docs", "total_tokens"])
+
+    seq_row = batch.agg(F.max("doc_id").alias("m")).first()
+    if seq_row and seq_row["m"] is not None:
+        ckpt.commit(PIPELINE, "corpus", int(seq_row["m"]))
+    stamped.unpersist()
+    return paths
+
+
+def main() -> None:  # pragma: no cover — exercised via spark-submit
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+    spark = get_spark("corpus-pipeline")
+    run(spark, spark.read.parquet(args.docs), args.out, resume=args.resume)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
