@@ -521,6 +521,17 @@ def _q_prepare_corpus(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: docs → fixed-512-token window
+    assignments via a DISTRIBUTED prefix sum (range-partition → local
+    cumsum → bounded partition-totals collect → broadcast offsets) — the
+    global `sum OVER (ORDER BY)` the oracle runs would be a one-task
+    shuffle at corpus scale (the banned top-k shape)."""
+    from insights_spark.text.pack import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 def _q_union_distinct(spark, sf_dir):
     """U1/A9 — distinct union of two differently-tokenized sources (the
     hashtag-vocabulary shape: two delimiter classes → union → dedup)."""
@@ -1441,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_near_dups": _q_cos_near_dups,
         "clean_corpus": _q_clean_corpus,
         "prepare_corpus": _q_prepare_corpus,
+        "pack_sequences": _q_pack_sequences,
         "term_freq": _q_term_freq,
         "lang_quality_median": _q_lang_quality_median,
         "union_distinct": _q_union_distinct,
@@ -2448,6 +2460,24 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["pack_sequences"] = f"""
+        WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n
+                   FROM documents WHERE len({_TOKENS}) > 0),
+        c AS (SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          - n AS BIGINT) AS strt
+              FROM t),
+        s AS (SELECT doc_id, n, strt,
+                     unnest(generate_series(CAST(strt // 512 AS BIGINT),
+                                            CAST((strt + n - 1) // 512 AS BIGINT)))
+                       AS seq_id
+              FROM c)
+        SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(greatest(seq_id * 512, strt) - strt AS BIGINT) AS tok_start,
+               CAST(least((seq_id + 1) * 512, strt + n)
+                    - greatest(seq_id * 512, strt) AS BIGINT) AS n_toks
+        FROM s
     """
     out["asof_join"] = """
         WITH snaps AS (

@@ -1,0 +1,102 @@
+"""Sequence packing — docs → fixed-length token windows (pretraining prep).
+
+A tokenized pretraining corpus is consumed as back-to-back sequences of
+exactly `seq_len` tokens; packing = laying every document's tokens end to
+end (in a stable document order) and cutting the stream every `seq_len`.
+The output here is the ASSIGNMENT table — (doc_id, seq_id, tok_start,
+n_toks): which slice of which document lands in which training sequence —
+the plan a tokenizer/writer executes without ever re-shuffling text.
+
+The interesting part at 100 TB is the GLOBAL PREFIX SUM of token counts
+in doc order. The naive expression — ``sum(n) OVER (ORDER BY doc_id)`` —
+is an unpartitioned window: every row to ONE task (the exact shape the
+round-2 verdict banned for top-k). This implementation is the textbook
+two-phase distributed scan instead:
+
+  1. range-partition by doc_id (so partition i holds a contiguous id
+     span), cumulative-sum WITHIN each partition (window keyed on the
+     partition id — parallel across partitions),
+  2. collect the per-partition TOTALS (one row per partition — bounded by
+     the partition count, the same driver-cost class as a checkpoint
+     row), prefix-sum those on the driver, broadcast-join the offsets
+     back, add.
+
+Every doc then knows its absolute start offset; its (first, last)
+sequence ids follow by integer division, and one explode emits its chunk
+per overlapped sequence. All arithmetic is exact BIGINT, reproduced
+verbatim by the DuckDB oracle (where the single-node global window IS the
+right plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .quality import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, seq_id, tok_start, n_toks) packing assignments.
+
+    `tok_start` is DOC-LOCAL (offset of the chunk inside the document's
+    own token list); `seq_id` is the global 0-based training-sequence
+    index. Docs pack in ascending `id_col` order; empty docs are skipped.
+    A document longer than `seq_len` spans several sequences (one row per
+    sequence it touches).
+    """
+    spark = docs.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    t = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    token_count(F.col(text_col)).cast("long").alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+        .repartitionByRange(n_part, F.col("doc_id"))
+    )
+    part = t.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_cum", F.sum("n_toks").over(w))
+
+    # phase 2: per-partition totals → driver prefix sum → broadcast offsets.
+    # One row per partition; range partitioning keeps ids contiguous, so
+    # offset(pid) = Σ totals of all lower pids.
+    totals = (
+        local.groupBy("_pid").agg(F.max("_cum").alias("_total"))
+        .collect()
+    )
+    running, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], running))
+        running += row["_total"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    L = int(seq_len)
+    placed = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("_start", F.col("_offset") + F.col("_cum") - F.col("n_toks"))
+        .withColumn("_first", F.expr("_start DIV " + str(L)))
+        .withColumn("_last", F.expr("(_start + n_toks - 1) DIV " + str(L)))
+    )
+    seq = placed.select(
+        "doc_id", "n_toks", "_start",
+        F.explode(F.sequence(F.col("_first"), F.col("_last"))).alias("seq_id"),
+    )
+    chunk_lo = F.greatest(F.col("seq_id") * L, F.col("_start"))
+    chunk_hi = F.least((F.col("seq_id") + 1) * L, F.col("_start") + F.col("n_toks"))
+    return seq.select(
+        "doc_id",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (chunk_lo - F.col("_start")).cast("bigint").alias("tok_start"),
+        (chunk_hi - chunk_lo).cast("bigint").alias("n_toks"),
+    )

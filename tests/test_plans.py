@@ -245,3 +245,12 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The packing prefix sum must NOT be a global unpartitioned window:
+    no SinglePartition exchange anywhere in the plan (the per-partition
+    cumsum windows key on the partition id; offsets join via broadcast)."""
+    plan = _plan(entry.queries()["pack_sequences"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan  # the offsets join

@@ -416,3 +416,39 @@ def test_approx_quantile_gate(spark):
     for r in rows:
         assert r["within_bounds"], r
         assert abs(r["exact_q"] - 50.0) <= 1.0
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: chunks tile each doc exactly (union of
+    [tok_start, tok_start+n) == [0, n_doc)); every sequence id except the
+    last carries exactly seq_len tokens; result invariant to input
+    partitioning (the distributed prefix sum is deterministic)."""
+    from insights_spark.text.pack import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, seq_len=64).collect()
+
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["tok_start"], r["n_toks"]))
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
+    for i, text in rows:
+        n = len(text.split())
+        chunks = sorted(per_doc[i])
+        assert chunks[0][0] == 0
+        pos = 0
+        for s, ln in chunks:
+            assert s == pos and ln > 0
+            pos += ln
+        assert pos == n
+    last = max(per_seq)
+    for sid, tot in per_seq.items():
+        assert tot == (64 if sid != last else tot)
+        assert tot <= 64
+    assert sorted(per_seq) == list(range(last + 1))  # no gaps
+
+    out2 = pack_sequences(docs.repartition(13), seq_len=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
