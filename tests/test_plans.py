@@ -254,3 +254,23 @@ def test_pack_sequences_no_global_window(spark):
     plan = _plan(entry.queries()["pack_sequences"](spark, SF))
     assert "SinglePartition" not in plan, plan
     assert "BroadcastExchange" in plan  # the offsets join
+
+
+def test_no_registered_query_plans_cartesian_or_single_partition(spark):
+    """Suite-wide scale invariant: NO registered query may compile to a
+    CartesianProduct or an `Exchange SinglePartition` — the two plan nodes
+    that stop scaling dead (all-pairs blowup; every row to one task).
+    Every exception the engine allows (k-row post-take windows, 1-row
+    aggregates) already avoids both nodes; a regression that reintroduces
+    either shape fails here with the offending query named."""
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "Exchange SinglePartition" in plan:
+            bad.append("Exchange SinglePartition")
+        if bad:
+            flagged[name] = bad
+    assert not flagged, flagged
