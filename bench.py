@@ -63,6 +63,8 @@ HEADLINE = [
     "source_cap",
     "cos_near_dups",
     "prepare_corpus",
+    "asof_join",
+    "pack_sequences",
 ]
 
 
