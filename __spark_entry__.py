@@ -914,6 +914,19 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_audio_features(spark, sf_dir):
+    """Multimodal audio path: payload → fake waveform (byte−64 centered
+    samples) → INTEGER-exact summary stats (peak, Σs², zero crossings) via
+    the same mapInPandas plumbing as image_features. No float aggregates
+    on purpose: integer sums are shuffle-order-independent, so the oracle
+    hashes exactly. NULL-text docs (payload-less) are filtered on both
+    engines."""
+    from insights_spark.text.multimodal import audio_features, media_from_docs
+
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    return audio_features(media).filter(F.col("n_samples").isNotNull())
+
+
 def _q_country_insights(spark, sf_dir):
     """A10 — per-country building counts as-of a cutoff: latest version per
     (type, id) strictly before the month (J5 as-of), THEN the building/type/
@@ -1491,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "multimodal_features": _q_multimodal,
+        "audio_features": _q_audio_features,
         "way_meters": _q_way_meters,
     }
 
@@ -2460,6 +2474,24 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["audio_features"] = """
+        WITH aud AS (
+          SELECT doc_id AS media_id,
+                 rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, 'x') AS s
+          FROM documents WHERE mod(doc_id, 3) = 1 AND text IS NOT NULL),
+        v AS (SELECT media_id,
+                     list_transform(string_split(s, ''), c -> ascii(c) - 64)
+                       AS vs
+              FROM aud)
+        SELECT media_id, CAST(768 AS BIGINT) AS n_samples,
+               CAST(list_max(list_transform(vs, x -> abs(x))) AS BIGINT) AS peak,
+               CAST(list_sum(list_transform(vs, x -> x * x)) AS BIGINT)
+                 AS energy,
+               CAST(len(list_filter(range(1, len(vs)),
+                                    i -> vs[i] * vs[i+1] < 0)) AS BIGINT)
+                 AS zero_cross
+        FROM v
     """
     out["pack_sequences"] = f"""
         WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n

@@ -100,6 +100,52 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     return src.mapInPandas(gen, IMAGE_FEATURES)
 
 
+AUDIO_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("zero_cross", LongType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio: waveform summary statistics.
+
+    Fake decode (torchaudio/ffmpeg absent): payload byte i becomes sample
+    s_i = byte_i − 64, a centered int covering both signs over printable
+    ASCII. Features are ALL exact integers — peak = max|s|, energy = Σ s²
+    (fits int64 at any realistic clip length), zero_cross = #(adjacent
+    sign flips) — deliberately no float RMS/means: float sums are
+    order-dependent across engines, integer sums are not, which is what
+    lets the driver oracle hash this exactly. Same mapInPandas plumbing
+    and Arrow batch bounds as image_features.
+    """
+    src = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(mid), None, None, None, None))
+                    continue
+                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                ) - 64
+                zc = int(np.sum(s[:-1] * s[1:] < 0)) if len(s) > 1 else 0
+                rows.append((int(mid), len(s), int(np.abs(s).max(initial=0)),
+                             int((s * s).sum()), zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "peak", "energy", "zero_cross"],
+            )
+
+    return src.mapInPandas(gen, AUDIO_FEATURES)
+
+
 def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Deterministic media table derived from a documents table.
@@ -119,7 +165,9 @@ def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).cast("long").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", F.encode(ascii_text, "UTF-8")).alias("payload"),
+        # image AND audio rows carry the deterministic payload (video stays
+        # payload-free — its decode is the honest NotImplementedError)
+        F.when(kind != "video", F.encode(ascii_text, "UTF-8")).alias("payload"),
         F.when(kind == "image", F.lit("image/png"))
         .when(kind == "audio", F.lit("audio/ogg"))
         .otherwise(F.lit("video/mp4")).alias("mime"),

@@ -452,3 +452,26 @@ def test_pack_sequences_invariants(spark):
 
     out2 = pack_sequences(docs.repartition(13), seq_len=64).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_audio_features_hand_computed(spark):
+    """Audio fake-decode stats vs hand-worked bytes: '@' (64) → sample 0,
+    ' ' (32) → −32, 'x' (120) → +56; zero_cross counts strict sign flips
+    (zeros break runs without flipping)."""
+    from insights_spark.text.multimodal import audio_features
+
+    payload = b" x @x "  # samples: -32, +56, -32, 0, +56, -32
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload)), (2, "audio", None),
+         (3, "image", bytearray(b"zz"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert set(rows) == {1, 2}  # image filtered; NULL payload passes through
+    r = rows[1]
+    assert r["n_samples"] == 6
+    assert r["peak"] == 56
+    assert r["energy"] == 32**2 + 56**2 + 32**2 + 0 + 56**2 + 32**2
+    # flips: (-32,+56), (+56,-32), (+56,-32) → 3; (-32,0) and (0,+56) are not
+    assert r["zero_cross"] == 3
+    assert rows[2]["n_samples"] is None
