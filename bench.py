@@ -89,8 +89,15 @@ def main() -> None:
     force(qs["pip_countries"](spark, sf_dir))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    # wall-clock budget (sec) for the rep loop: in a throttled window one
+    # pass can cost 5-10× the quiet number; after the FIRST complete pass,
+    # further reps only run while the budget holds — min-of-N when quiet,
+    # graceful single-pass degradation when contended (never a timeout kill
+    # with no JSON line at all)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
     rep_totals: list[float] = []
+    loop_t0 = time.perf_counter()
     for _rep in range(reps):
         rep_total = 0.0
         for name in HEADLINE:
@@ -101,6 +108,8 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
         rep_totals.append(round(rep_total, 3))
+        if time.perf_counter() - loop_t0 > budget:
+            break
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -109,11 +118,14 @@ def main() -> None:
     # (min-of-reps wall time, same discipline as the suite)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     flagship_sec = None
+    fl_t0 = time.perf_counter()
     for _rep in range(reps):
         t0 = time.perf_counter()
         force(qs["flagship_tile_density"](spark, sf_dir))
         dt = time.perf_counter() - t0
         flagship_sec = dt if flagship_sec is None else min(flagship_sec, dt)
+        if time.perf_counter() - fl_t0 > 60.0:
+            break
     rows_per_sec = round(n_events / flagship_sec, 1)
 
     print(
