@@ -600,6 +600,30 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_interval_join(spark, sf_dir):
+    """Temporal interval-overlap join (the time-domain within_distance):
+    even-id event intervals × odd-id event intervals, chunk-bucketed
+    equi-join + exact overlap verify — never the all-pairs theta-join.
+    Interval length = (event_id mod 7 + 1) minutes; chunk = 10 min.
+    Oracle: the plain brute-force range join (bucketing must be
+    result-invisible)."""
+    from insights_spark.ops.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.make_dt_interval(
+            mins=F.pmod(F.col("event_id"), F.lit(7)) + 1
+        )).alias("end_ts"),
+    )
+    left = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    right = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    return interval_join(
+        left, right, chunk_seconds=600,
+        left_cols=("event_id", "start_ts", "end_ts"),
+        right_cols=("event_id", "start_ts", "end_ts"),
+    ).select("a", "b")
+
+
 def _q_rolling_activity(spark, sf_dir):
     """RANGE-frame sliding window: per event, the same user's event count
     in the trailing 6 h (value-based frame → tie-order-independent, no
@@ -1471,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": _q_union_distinct,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "rolling_activity": _q_rolling_activity,
         "semi_join_salted": _q_semi_join_salted,
         "train_split": _q_train_split,
@@ -2510,6 +2535,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(least((seq_id + 1) * 512, strt + n)
                     - greatest(seq_id * 512, strt) AS BIGINT) AS n_toks
         FROM s
+    """
+    out["interval_join"] = """
+        WITH iv AS (
+          SELECT event_id, ts AS start_ts,
+                 ts + to_minutes(mod(event_id, 7) + 1) AS end_ts
+          FROM events)
+        SELECT l.event_id AS a, r.event_id AS b
+        FROM iv l JOIN iv r
+          ON mod(l.event_id, 2) = 0 AND mod(r.event_id, 2) = 1
+         AND l.start_ts <= r.end_ts AND r.start_ts <= l.end_ts
     """
     out["asof_join"] = """
         WITH snaps AS (

@@ -541,3 +541,34 @@ def test_asof_join_nulls_ties_and_missing(spark):
     assert got[2] == (4, "later")
     assert got[3] == (None, None)    # earliest right row is t(3) > t(2)
     assert got[4] == (None, None)    # key 99 absent from right
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Chunk-bucketed interval join == python brute force across chunk
+    lengths (bucketing must be result-invisible), incl. boundary-touching
+    (end == start) and degenerate (end < start) intervals."""
+    from datetime import datetime, timedelta
+
+    from insights_spark.ops.intervals import interval_join
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda s, e: (t0 + timedelta(minutes=s), t0 + timedelta(minutes=e))
+    lrows = [(i,) + mk(i * 3, i * 3 + (i % 5) * 4) for i in range(40)]
+    rrows = [(100 + i,) + mk(i * 4 + 1, i * 4 + 1 + (i % 3) * 7)
+             for i in range(30)]
+    rrows.append((999,) + mk(50, 40))  # degenerate: end < start
+    L = spark.createDataFrame(lrows, "id long, start_ts timestamp_ntz, end_ts timestamp_ntz")
+    R = spark.createDataFrame(rrows, "id long, start_ts timestamp_ntz, end_ts timestamp_ntz")
+    want = sorted(
+        (a, b)
+        for a, als, ale in lrows
+        for b, brs, bre in rrows
+        # empty-interval rule: end < start matches nothing (the raw
+        # predicate alone could still hold against a long partner)
+        if als <= ale and brs <= bre and als <= bre and brs <= ale
+    )
+    for chunk in (60, 600, 3600):
+        got = sorted((r["a"], r["b"]) for r in
+                     interval_join(L, R, chunk_seconds=chunk).collect())
+        assert got == want, chunk
+    assert all(b != 999 for _a, b in want)  # degenerate matched nothing
