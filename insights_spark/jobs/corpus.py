@@ -15,10 +15,11 @@ Stages, each incremental in O(batch ∪ touched-index):
   2. dedup      exact dedup of the batch against ITSELF and against the
                 ALREADY-ADMITTED corpus: batch norm-hashes left-anti-join
                 the corpus dedup index (a (norm_hash) table — the only
-                state the stage reads), then the index is appended. Never
-                rescans admitted documents.
-  3. corpus     admitted docs appended, partitioned by `split` — the
-                train/test file layout downstream tokenizers read.
+                state the stage reads), then the batch's hashes land in
+                their own index partition. Never rescans admitted docs.
+  3. corpus     admitted docs written to a per-batch partition (further
+                partitioned by `split`) — the train/test file layout
+                downstream tokenizers read.
   4. postings   the phrase inverted index, stored PARTITIONED BY a 64-way
                 term-hash bucket; a batch merges only the buckets its
                 terms touch (read touched buckets → union → re-aggregate →
@@ -27,8 +28,19 @@ Stages, each incremental in O(batch ∪ touched-index):
   5. accounting per-(split, lang_pred) doc/token counters, merge-SUM.
 
 Sequence = max(doc_id) of the processed batch; ``--resume`` admits only
-doc_id > checkpoint. Batch re-runs are idempotent: the dedup index makes a
-replayed doc a duplicate of itself (ON CONFLICT DO NOTHING semantics).
+doc_id > checkpoint.
+
+Crash safety (idempotent replay): corpus and dedup-index rows land in a
+per-attempt ``batch=<id>`` partition written with OVERWRITE, where the id
+derives from the resume checkpoint — a crashed attempt and its retry
+compute the SAME batch id and the SAME admitted set (the dedup anti-join
+excludes the attempt's own index partition), so the retry overwrites the
+partial output instead of appending next to it. The postings merge is
+idempotent by construction (posting lists are de-duplicated on merge),
+and accounting is guarded by a per-batch stage checkpoint. The one
+residual window: a crash BETWEEN the accounting merge and its stage
+commit double-counts accounting counters (observability numbers only —
+corpus/index/postings data cannot duplicate).
 """
 
 from __future__ import annotations
@@ -82,6 +94,10 @@ def run(
 
     last = ckpt.last_sequence(PIPELINE, "corpus") if resume else None
     batch = docs if last is None else docs.filter(F.col("doc_id") > last)
+    # deterministic per-attempt batch id: a crashed attempt's retry reads
+    # the same (uncommitted) checkpoint, recomputes the same batch, and
+    # OVERWRITES the same batch partitions — appends cannot double up
+    bid = "full" if last is None else f"b{last}"
 
     # 1. stamp (map-only)
     stamped = _stamp(batch, min_tokens, langs).persist()
@@ -94,7 +110,15 @@ def run(
         ),
     ).filter(F.col("_rn") == 1).drop("_rn")
     if os.path.isdir(paths["dedup_index"]):
-        seen = spark.read.parquet(paths["dedup_index"])
+        # exclude THIS attempt's own batch partition: if a prior crashed
+        # attempt already wrote the index rows, the anti-join must not see
+        # them, or the retry would admit nothing and overwrite the corpus
+        # batch with an empty set (silent data loss on replay)
+        seen = (
+            spark.read.parquet(paths["dedup_index"])
+            .filter(F.col("batch") != bid)
+            .select("_norm_hash")
+        )
         admitted = in_batch.join(seen, "_norm_hash", "left_anti")
     else:
         admitted = in_batch
@@ -107,14 +131,17 @@ def run(
     admitted = admitted.localCheckpoint()
     lin.record("dedup", stamped, admitted)
 
-    # 3. corpus append, partitioned by split
+    # 3. corpus + index, batch-scoped OVERWRITE (idempotent on replay).
+    # Writes are skipped for an empty admitted set so a post-success
+    # replay (empty batch) cannot leave parquet-less partition dirs behind.
     out_cols = [c for c in admitted.columns if c != "_norm_hash"]
-    admitted.select(*out_cols).write.mode("append").partitionBy(
-        "split"
-    ).parquet(paths["corpus"])
-    admitted.select("_norm_hash").distinct().write.mode("append").parquet(
-        paths["dedup_index"]
-    )
+    if not admitted.isEmpty():
+        admitted.select(*out_cols).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(os.path.join(paths["corpus"], f"batch={bid}"))
+        admitted.select("_norm_hash").distinct().write.mode("overwrite").parquet(
+            os.path.join(paths["dedup_index"], f"batch={bid}")
+        )
 
     # 4. postings: merge only touched term-hash buckets
     new_post = inverted_index(
@@ -135,7 +162,11 @@ def run(
                             lambda x: x.cast("long")),
             )
             .groupBy("bucket", "term")
-            .agg(F.array_sort(F.flatten(F.collect_list("_ids"))).alias("_all"))
+            # array_distinct: a replayed crashed attempt re-merges the same
+            # batch postings; de-duplicating ids makes that merge idempotent
+            .agg(F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_ids")))
+            ).alias("_all"))
             .select(
                 "bucket", "term",
                 F.size("_all").cast("bigint").alias("df"),
@@ -166,17 +197,23 @@ def run(
         ).partitionBy("bucket").parquet(paths["postings"])
     lin.record("postings", admitted, new_post)
 
-    # 5. accounting merge-sum
-    acct = admitted.groupBy("split", "lang_pred").agg(
-        F.count(F.lit(1)).cast("bigint").alias("docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-    )
-    merge_sum_parquet(acct, paths["accounting"], ["split", "lang_pred"],
-                      ["docs", "total_tokens"])
-
+    # 5. accounting merge-sum, guarded by a per-batch stage checkpoint so a
+    # replayed attempt that already merged this batch's counters skips the
+    # merge instead of double-counting (residual window: crash between the
+    # merge and the stage commit — documented in the module docstring)
     seq_row = batch.agg(F.max("doc_id").alias("m")).first()
-    if seq_row and seq_row["m"] is not None:
-        ckpt.commit(PIPELINE, "corpus", int(seq_row["m"]))
+    seq = int(seq_row["m"]) if seq_row and seq_row["m"] is not None else None
+    if seq is not None and ckpt.last_sequence(PIPELINE, "corpus_accounting") != seq:
+        acct = admitted.groupBy("split", "lang_pred").agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        merge_sum_parquet(acct, paths["accounting"], ["split", "lang_pred"],
+                          ["docs", "total_tokens"])
+        ckpt.commit(PIPELINE, "corpus_accounting", seq)
+
+    if seq is not None:
+        ckpt.commit(PIPELINE, "corpus", seq)
     stamped.unpersist()
     return paths
 

@@ -93,7 +93,18 @@ def asof_join(
     by ``right_order`` ascending — the LARGEST value wins (pass e.g. a
     version/id column; defaults to the first right_col).
     """
-    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    if right_cols is not None and not right_cols:
+        raise ValueError("asof_join: right_cols, when passed, must be non-empty")
+    rcols = (list(right_cols) if right_cols is not None
+             else [c for c in right.columns if c not in (on, right_ts)])
+    if not rcols:
+        # right carries nothing beyond (key, ts): surface the matched right
+        # timestamp itself so the join still returns something useful, under
+        # a name that cannot collide with a left column
+        right = right.withColumn(f"_asof_{right_ts}", F.col(right_ts))
+        rcols = [f"_asof_{right_ts}"]
+    # default equal-ts tiebreak: first right attribute — never an
+    # IndexError now (and the column-order dependence is documented above)
     ordc = right_order or rcols[0]
     # the right attributes travel as ONE struct: last(ignorenulls) must
     # pick the whole latest right ROW — per-attribute lasts would

@@ -187,16 +187,23 @@ def stream_source_cap(
 
     def cap_fn(key, pdfs, state):
         n = state.get[0] if state.exists else 0
-        admitted = []
-        for pdf in pdfs:
-            if n >= max_per_source:
-                break
-            take = pdf.sort_values(id_col).head(max_per_source - n)
-            n += len(take)
-            admitted.append(take[[id_col]])
-        state.update((n,))
-        if admitted:
-            out = pd.concat(admitted)
+        if n >= max_per_source:
+            state.update((n,))
+            return
+        # ONE sort over the key's whole micro-batch: the runtime may split
+        # a key's rows across several Arrow chunks, and sorting each chunk
+        # independently would admit first-chunks-first — nondeterministic
+        # membership for groups larger than one chunk. Concatenating is
+        # bounded by the key's per-micro-batch volume (not stream history).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((n,))
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        take = rows.sort_values(id_col).head(max_per_source - n)
+        state.update((n + len(take),))
+        if len(take):
+            out = take[[id_col]].copy()
             out.insert(0, source_col, key[0])
             yield out
 

@@ -80,7 +80,12 @@ def train_test_split(
     `split` so the two corpora land in separate file sets with zero extra
     shuffle beyond the write's own layout.
     """
-    bucket = F.pmod(F.col(id_col) * 1000003 + seed, F.lit(1000))
+    # wrap the id into the modulus BEFORE multiplying: (id mod m)·k ≡ id·k
+    # (mod m), so values are identical, but the product can no longer
+    # overflow int64 at 10^10-doc id scale (where Spark would wrap silently
+    # and ANSI engines would error — the hashes would diverge cross-engine)
+    bucket = F.pmod(F.pmod(F.col(id_col), F.lit(1000)) * 1000003 + seed,
+                    F.lit(1000))
     return docs.withColumn(
         "split",
         F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")),
@@ -107,7 +112,10 @@ def per_source_cap(
     """
     from pyspark.sql.window import Window
 
-    h = F.pmod(F.col(id_col) * 2654435761 + 17, F.lit(1 << 31))
+    # (id mod 2³¹)·k ≡ id·k (mod 2³¹): same values, but the product stays
+    # ≤ (2³¹−1)·2654435761 < 2⁶³ — no silent int64 wrap at 10^10-doc ids
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(1 << 31)) * 2654435761 + 17,
+               F.lit(1 << 31))
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("_rk", F.row_number().over(w))
@@ -133,7 +141,8 @@ def stratified_sample(
     """
     from pyspark.sql.window import Window
 
-    h = F.pmod(F.col(id_col) * 2654435761 + 29, F.lit(1 << 31))
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(1 << 31)) * 2654435761 + 29,
+               F.lit(1 << 31))  # overflow-safe, value-identical (see cap)
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("_rk", F.row_number().over(w))

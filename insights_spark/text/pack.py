@@ -66,7 +66,14 @@ def pack_sequences(
         .orderBy(F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("_cum", F.sum("n_toks").over(w))
+    # Pin ONE evaluation of the range exchange: repartitionByRange samples
+    # its boundaries per-execution (RDD-id-derived seed), so the totals
+    # collect below and the final output could otherwise see DIFFERENT
+    # _pid assignments for boundary rows once inputs exceed the sampler —
+    # silently wrong seq_id/tok_start exactly at scale (test-scale inputs
+    # are fully sampled, so oracles can't catch it). localCheckpoint
+    # materializes the partitioning once; both phases read the same copy.
+    local = part.withColumn("_cum", F.sum("n_toks").over(w)).localCheckpoint()
 
     # phase 2: per-partition totals → driver prefix sum → broadcast offsets.
     # One row per partition; range partitioning keeps ids contiguous, so

@@ -181,6 +181,49 @@ def embedding_lsh_candidates(
     )
 
 
+def embedding_near_dups_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the SCALE route: RH-LSH candidate
+    generation → exact cosine verify on candidates only. Output (a, b,
+    cosine) with a < b and cosine ≥ threshold — the same contract as
+    ``embedding_near_dups`` restricted to LSH-recalled pairs (precision is
+    exact by construction; recall is the banded collision probability
+    1 − (1 − p^r)^bands, p = 1 − θ/π).
+
+    100 TB posture: the candidate join is keyed on (band, slice) buckets —
+    never all-pairs — and the verify joins are keyed on the pair endpoints;
+    both shuffles are bounded by the candidate volume, which the band/slice
+    geometry controls (r bits/band → random-pair collision ≈ bands·2^−r).
+    The exact cosine uses the sequential fold (DuckDB list_dot_product
+    parity), folded once per endpoint row, never per pair.
+    """
+    cand = candidates if candidates is not None else embedding_lsh_candidates(
+        vectors, n_bits=n_bits, bands=bands,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    va = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+    ).withColumn("_na", norm(F.col("_va")))
+    vb = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+    ).withColumn("_nb", norm(F.col("_vb")))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def sample_centroids(
     vectors: DataFrame,
     n_total: int,
