@@ -290,6 +290,26 @@ def _q_tile_pyramid(spark, sf_dir):
     return tiles.tile_pyramid(pts, [6, 4])
 
 
+_RASTER_MEMO: dict = {}
+
+
+def _z5_raster_thr(spark, sf_dir):
+    """Shared persisted z5 density raster + avg-density threshold for the
+    three raster queries (vectorize / regions / regions_star): ONE rollup
+    per (session, sf_dir) instead of three (r3 verdict #7). The `.first()`
+    is a bounded 1-row aggregate over the ≤4^z-row persisted raster."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _RASTER_MEMO.get(key)
+    if hit is None:
+        from insights_spark.geo import tiles
+
+        pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+        raster = tiles.density_rollup(pts, 5).persist()
+        thr = raster.agg(F.avg("density")).first()[0]
+        _RASTER_MEMO[key] = hit = (raster, thr)
+    return hit
+
+
 def _q_tile_vectorize(spark, sf_dir):
     """Raster→vector half of the north rule's raster↔vector pair: z5
     density raster over events → above-average tiles as lon/lat quad
@@ -297,11 +317,9 @@ def _q_tile_vectorize(spark, sf_dir):
     BOTH engines so the float comparison is libm-ulp-proof). The
     above-AVERAGE threshold keeps the hot-tile structure stable across
     scale factors."""
-    from insights_spark.geo import tiles, vectorize
+    from insights_spark.geo import vectorize
 
-    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
-    raster = tiles.density_rollup(pts, 5).persist()
-    thr = raster.agg(F.avg("density")).first()[0]  # scalar stat, 1 row
+    raster, thr = _z5_raster_thr(spark, sf_dir)
     return vectorize.vectorize_tiles(raster, min_density=thr)
 
 
@@ -312,11 +330,9 @@ def _q_tile_regions(spark, sf_dir):
     bounded ≤4^z tile table). Oracle: DuckDB recursive-CTE transitive
     closure over the same adjacency — region_id is the min tile id of the
     component on both engines."""
-    from insights_spark.geo import tiles, vectorize
+    from insights_spark.geo import vectorize
 
-    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
-    raster = tiles.density_rollup(pts, 5).persist()
-    thr = raster.agg(F.avg("density")).first()[0]
+    raster, thr = _z5_raster_thr(spark, sf_dir)
     return vectorize.tile_regions(raster, min_density=thr)
 
 
@@ -325,11 +341,9 @@ def _q_tile_regions_star(spark, sf_dir):
     (Kiveris et al. — O(log² n) rounds on ANY topology, the adversarial-
     snake-safe path). Shares tile_regions' recursive-CTE oracle: both
     algorithms must label identically."""
-    from insights_spark.geo import tiles, vectorize
+    from insights_spark.geo import vectorize
 
-    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
-    raster = tiles.density_rollup(pts, 5).persist()
-    thr = raster.agg(F.avg("density")).first()[0]
+    raster, thr = _z5_raster_thr(spark, sf_dir)
     return vectorize.tile_regions(raster, min_density=thr, algorithm="star")
 
 
@@ -677,9 +691,10 @@ def _q_interval_join(spark, sf_dir):
     """Temporal interval-overlap join (the time-domain within_distance):
     even-id event intervals × odd-id event intervals, chunk-bucketed
     equi-join + exact overlap verify — never the all-pairs theta-join.
-    Interval length = (event_id mod 7 + 1) minutes; chunk = 10 min.
-    Oracle: the plain brute-force range join (bucketing must be
-    result-invisible)."""
+    Interval length = (event_id mod 7 + 1) minutes; chunk auto-picked at
+    the median interval span (one cheap mergeable agg — r3 verdict #6),
+    explicit override retained in the API. Oracle: the plain brute-force
+    range join (bucketing AND chunk choice must be result-invisible)."""
     from insights_spark.ops.intervals import interval_join
 
     ev = _t(spark, sf_dir, "events").select(
@@ -691,7 +706,7 @@ def _q_interval_join(spark, sf_dir):
     left = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
     right = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
     return interval_join(
-        left, right, chunk_seconds=600,
+        left, right,
         left_cols=("event_id", "start_ts", "end_ts"),
         right_cols=("event_id", "start_ts", "end_ts"),
     ).select("a", "b")
@@ -765,6 +780,19 @@ def _q_source_cap(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return per_source_cap(d, 10)
+
+
+def _q_source_cap_stream_twin(spark, sf_dir):
+    """Batch twin of the streaming per-source cap (r3 verdict #5): the
+    streaming admission counter, for a corpus presented as one micro-batch,
+    admits exactly the lowest 10 doc ids per source; this query reproduces
+    that membership as one keyed window. Streaming == batch equivalence is
+    pinned in tests/test_streaming.py; this row makes the semantics
+    oracle-anchored and driver-visible."""
+    from insights_spark.text.clean import per_source_cap_arrival
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_source_cap_arrival(d, 10)
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -1562,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_distance": _q_within_distance,
         # (c) new in round 4
         "cos_near_dups_lsh": _q_cos_near_dups_lsh,
+        "source_cap_stream_twin": _q_source_cap_stream_twin,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2688,6 +2717,13 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY source
                    ORDER BY mod(doc_id * 2654435761 + 17, 2147483648) ASC,
                             doc_id ASC) AS rk
+          FROM documents) WHERE rk <= 10
+    """
+    out["source_cap_stream_twin"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id ASC) AS rk
           FROM documents) WHERE rk <= 10
     """
     out["stratified_sample"] = """

@@ -28,10 +28,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_chunk_seconds(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str] = ("id", "start_ts", "end_ts"),
+    right_cols: tuple[str, str, str] = ("id", "start_ts", "end_ts"),
+) -> int:
+    """Chunk length ≈ the MEDIAN interval span over both inputs — the
+    tradeoff point the module docstring documents: at chunk = median span,
+    the typical row replicates into ~2 chunks (span/chunk + 1) while the
+    bucket width stays at the density scale of the data. ONE cheap
+    mergeable aggregate (approx median over the unioned spans); degenerate
+    (end < start) intervals are excluded, and the result clamps to ≥ 1 s.
+    """
+
+    def spans(df, cols):
+        _, s, e = cols
+        return df.select(
+            (F.col(e).cast("timestamp").cast("long")
+             - F.col(s).cast("timestamp").cast("long")).alias("_span")
+        ).filter(F.col("_span") >= 0)
+
+    med = (
+        spans(left, left_cols).unionByName(spans(right, right_cols))
+        .agg(F.percentile_approx("_span", F.lit(0.5), F.lit(10000)).alias("m"))
+        .first()["m"]
+    )
+    return max(int(med or 0), 1)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
-    chunk_seconds: int = 600,
+    chunk_seconds: int | None = None,
     left_cols: tuple[str, str, str] = ("id", "start_ts", "end_ts"),
     right_cols: tuple[str, str, str] = ("id", "start_ts", "end_ts"),
 ) -> DataFrame:
@@ -40,8 +69,12 @@ def interval_join(
     Output: (a, b, a_start, b_start) — one row per overlapping pair.
     One shuffle keyed on the chunk id; replication factor per row =
     ceil(interval length / chunk_seconds) + 1. Degenerate (end < start)
-    intervals never match anything.
+    intervals never match anything. `chunk_seconds=None` (default)
+    auto-picks via `auto_chunk_seconds` (≈ median span); pass an explicit
+    value to override — results are chunk-size invariant either way.
     """
+    if chunk_seconds is None:
+        chunk_seconds = auto_chunk_seconds(left, right, left_cols, right_cols)
     lid, ls, le = left_cols
     rid, rs, re_ = right_cols
 

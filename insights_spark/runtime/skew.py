@@ -59,6 +59,67 @@ def top_keys(df: DataFrame, key_cols: list[str], threshold_rows: int) -> DataFra
     )
 
 
+def salted_group_apply(
+    df: DataFrame,
+    key_cols: list[str],
+    partial_fn,
+    partial_schema: str,
+    merge_aggs: dict[str, Column],
+    salt_source_cols: list[str],
+    buckets: int = 16,
+    hot_threshold_rows: int | None = None,
+) -> DataFrame:
+    """Two-level ``applyInPandas`` for per-key Python kernels — the
+    aggregation class where salting is genuinely load-bearing.
+
+    Decomposable JVM aggregates rarely skew: map-side combine collapses a
+    hot key to one partial row per map task before the shuffle. A custom
+    Arrow kernel (geometry construction, per-changeset stats — the
+    reference's mega-changeset profile, README.md:77,193) has NO map-side
+    combine, and AQE cannot split an AGGREGATION partition the way it
+    splits a skewed join side — so one mega-key serializes its entire row
+    set through ONE Python worker. Here the kernel runs per (key, salt):
+    the hot key streams through `buckets` workers in parallel, and a cheap
+    JVM-side second level merges the bounded partials (one row per (key,
+    salt)). Decomposability of the kernel is the caller's contract, same
+    as `salted_agg`.
+
+    `partial_fn(pdf) -> pdf` must emit one row per group carrying the key
+    columns plus partial stats; `merge_aggs` maps output name → second-
+    level aggregate over those partial columns.
+
+    SALT ONLY THE HOT KEYS (`hot_threshold_rows`): blanket salting
+    multiplies the GROUP COUNT by `buckets`, and applyInPandas pays a
+    fixed per-group cost (Arrow slice + pandas frame) — on a
+    many-small-keys profile that overhead dwarfs the straggler it removes
+    (measured 27× SLOWER than plain at 10k cold keys × 32 salts,
+    bench/skew.py). With a threshold, keys are first measured (`top_keys`,
+    one cheap count — at 100 TB you measure hot keys, never guess) and
+    only keys above it get a real salt; cold keys keep salt 0, so the
+    group count stays ~|keys| + buckets·|hot keys|.
+    """
+    salted = with_salt(df, salt_source_cols, buckets)
+    if hot_threshold_rows is not None:
+        hot = top_keys(df, key_cols, hot_threshold_rows).withColumn(
+            "_hot", F.lit(1)
+        )
+        salted = (
+            salted.join(F.broadcast(hot), key_cols, "left")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_hot").isNotNull(), F.col("_salt"))
+                .otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+    partial = salted.groupBy(*key_cols, "_salt").applyInPandas(
+        partial_fn, partial_schema
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[c.alias(name) for name, c in merge_aggs.items()]
+    )
+
+
 def salted_join_skewed(
     fact: DataFrame,
     dim: DataFrame,

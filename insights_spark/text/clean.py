@@ -124,6 +124,32 @@ def per_source_cap(
     )
 
 
+def per_source_cap_arrival(
+    docs: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain cap with ASCENDING-ID admission — the batch twin of
+    ``streaming.ingest.stream_source_cap``: a whole corpus presented as one
+    micro-batch admits exactly the lowest `max_per_source` ids per source,
+    and this operator reproduces that membership as one keyed window
+    (equivalence pinned in tests/test_streaming.py, and driver-visible as
+    the `source_cap_stream_twin` oracle query). Use the hash-ranked
+    `per_source_cap` when membership must be content-stable under
+    re-ingestion order; use this one when batch must replay exactly what
+    the streaming admission decided.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_source)
+        .drop("_rk")
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     per_stratum: int,

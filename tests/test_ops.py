@@ -572,3 +572,20 @@ def test_interval_join_matches_bruteforce(spark):
                      interval_join(L, R, chunk_seconds=chunk).collect())
         assert got == want, chunk
     assert all(b != 999 for _a, b in want)  # degenerate matched nothing
+
+    # auto-pick (chunk_seconds=None): same result, and the picked chunk
+    # sits in the documented replication-vs-density band — within a small
+    # constant of the median interval span (typical-row replication ≈ 2)
+    from insights_spark.ops.intervals import auto_chunk_seconds
+
+    got_auto = sorted((r["a"], r["b"]) for r in
+                      interval_join(L, R).collect())
+    assert got_auto == want
+    spans = sorted(
+        (e - s).total_seconds()
+        for _i, s, e in lrows + rrows[:-1]   # exclude the degenerate row
+        if e >= s
+    )
+    median = spans[len(spans) // 2]
+    auto = auto_chunk_seconds(L, R)
+    assert median / 2 <= auto <= median * 2 + 1

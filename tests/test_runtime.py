@@ -55,6 +55,89 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def _skewed_df(spark, n=100_000, n_cold_keys=9999):
+    """Hot-key fixture: key 0 holds 50% of rows (mega-changeset profile),
+    the rest spread uniformly over `n_cold_keys` keys."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(n_cold_keys)) + 1)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+        (F.col("id") % 1000).cast("long").alias("v"),
+    )
+
+
+def test_salting_spreads_hot_key_partitions(spark):
+    """X10 evidenced as BENEFIT, not just equivalence: on a fixture where
+    one key holds 50% of rows, the salted exchange's largest hash
+    partition must be ≤ 1/8 of the unsalted exchange's hot partition.
+    This is the exact layout both the salted battery's first shuffle
+    (keyed (k, _salt) vs (k)) and salted_join_skewed's fact-side shuffle
+    use, measured mechanically via hash repartitioning."""
+    n, parts, buckets = 100_000, 32, 32
+    df = _skewed_df(spark, n)
+
+    def max_part(d, *cols):
+        return (
+            d.repartition(parts, *[F.col(c) for c in cols])
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count()
+            .agg(F.max("count")).first()[0]
+        )
+
+    plain = max_part(df, "k")
+    salted = max_part(with_salt(df, ["payload"], buckets), "k", "_salt")
+    assert plain >= n * 0.5          # the hot key really concentrates
+    assert salted <= plain / 8       # and salting really spreads it
+
+
+def test_salted_group_apply_matches_plain(spark):
+    """Two-level applyInPandas == plain per-key kernel on the hot-key
+    fixture (integer stats — exact equality, no FP order games)."""
+    from insights_spark.runtime.skew import salted_group_apply
+
+    df = _skewed_df(spark, 20_000)
+
+    def partial(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "k": [pdf["k"].iloc[0]],
+            "_salt": [pdf["_salt"].iloc[0] if "_salt" in pdf else 0],
+            "n": [len(pdf)],
+            "vmin": [int(pdf["v"].min())],
+            "vmax": [int(pdf["v"].max())],
+            "vsum": [int(pdf["v"].sum())],
+        })
+
+    schema = "k long, _salt int, n long, vmin long, vmax long, vsum long"
+    merge = {"n": F.sum("n"), "vmin": F.min("vmin"),
+             "vmax": F.max("vmax"), "vsum": F.sum("vsum")}
+    got = {
+        r["k"]: (r["n"], r["vmin"], r["vmax"], r["vsum"])
+        for r in salted_group_apply(
+            df, ["k"], partial, schema, merge, ["payload"], buckets=8,
+        ).collect()
+    }
+    # hot-only salting (the production path): identical results
+    got_hot = {
+        r["k"]: (r["n"], r["vmin"], r["vmax"], r["vsum"])
+        for r in salted_group_apply(
+            df, ["k"], partial, schema, merge, ["payload"], buckets=8,
+            hot_threshold_rows=1000,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["vmin"], r["vmax"], r["vsum"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"), F.sum("v").alias("vsum"),
+        ).collect()
+    }
+    assert got == want
+    assert got_hot == want
+
+
 def test_top_keys(spark):
     df = spark.createDataFrame(
         [(1,)] * 100 + [(2,)] * 5 + [(3,)] * 3, "k int"

@@ -201,3 +201,39 @@ def test_stream_source_cap_state_across_batches(spark, tmp_path):
     for ids in per_src.values():
         assert sum(1 for i in ids if i < 100) == 4
         assert sum(1 for i in ids if i >= 100) == 2
+
+
+def test_stream_source_cap_single_batch_equals_batch_twin(spark, tmp_path):
+    """Streaming==batch parity for the per-source cap (r3 verdict #5): a
+    corpus presented as ONE micro-batch admits exactly the membership of
+    the batch twin `per_source_cap_arrival` (lowest ids per source) — the
+    same pin session_stream has against sessionize. The twin is the
+    oracle-anchored driver query `source_cap_stream_twin`."""
+    from insights_spark.streaming import ingest
+    from insights_spark.text.clean import per_source_cap_arrival
+
+    docs = spark.createDataFrame(
+        [(i * 7 % 40, f"s{i % 3}") for i in range(40)],
+        "doc_id long, source string",
+    ).distinct()
+    docs_dir = str(tmp_path / "docs1")
+    docs.coalesce(1).write.parquet(docs_dir)   # one file -> one micro-batch
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string").parquet(docs_dir)
+    )
+    q = (
+        ingest.stream_source_cap(stream, max_per_source=5)
+        .writeStream.format("memory")
+        .queryName("cap_twin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_twin"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["source"], r["doc_id"])
+           for r in spark.sql("SELECT source, doc_id FROM cap_twin_test").collect()}
+    want = {(r["source"], r["doc_id"])
+            for r in per_source_cap_arrival(docs, 5).collect()}
+    assert got == want and len(want) == 15
