@@ -904,12 +904,14 @@ def _q_knn_cell_local(spark, sf_dir):
     and shares the `knn` oracle SQL."""
     from insights_spark.geo.knn import knn_cell_local
 
-    # res=2/rings=2: cert radius 2.5·edge(2) ≈ 3.57° — at sf0.1 density
-    # 14995/15000 queries certify in the first pass with 2.6× fewer join
-    # pairs than res=1/rings=1 (348k vs 905k); the uncertified tail rides
-    # the broadcast fallback
+    # res=None → density-matched auto pick (auto_cell_res): at sf0.1 it
+    # lands on the hand-tuned res 2 (cert radius 2.5·edge ≈ 3.57°,
+    # 14995/15000 first-pass certifications); at sf1's 10× density it steps
+    # finer, keeping ring-join pairs ∝ n instead of ∝ n·density (the 21×
+    # sf1 tail the r4 scale-step measured). Certified-exact output is
+    # res-invariant, so the oracle is untouched by the pick.
     pts = _points(_t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")
-    return knn_cell_local(pts, k=3, id_col="c_custkey", res=2, rings=2)
+    return knn_cell_local(pts, k=3, id_col="c_custkey", res=None, rings=2)
 
 
 def _q_geohash_cells(spark, sf_dir):
@@ -975,8 +977,14 @@ def _q_ann_ivf(spark, sf_dir):
     REGARDLESS of n (round-2 verdict fix: the old 1/16-fraction sample made
     the gate itself O(n²/16) at scale). The sample is picked by the same
     hash-threshold trick as `sample_centroids`: h(vec_id)·n < target·M —
-    a map-side filter joined to the 1-row count, no sort, no collect."""
-    from insights_spark.text.simsearch import cosine_topk, cosine_topk_bucketed
+    a map-side filter joined to the 1-row count, no sort, no collect.
+    r4: the exact pass runs as the numpy-matmul SCAN (cosine_topk_sample,
+    one pass over the vectors, no per-pair interpreted fold — the sf1
+    scale-step measured the fold-based gate at 115 s vs ~4 s); valid here
+    because this oracle checks counts + gate booleans, never hashed float
+    scores (those stay with the fold-based `ann_topk`)."""
+    from insights_spark.text.simsearch import (
+        cosine_topk_bucketed, cosine_topk_sample)
 
     emb = _t(spark, sf_dir, "embeddings")
     approx = cosine_topk_bucketed(emb, k=5, nprobe=3)
@@ -990,7 +998,7 @@ def _q_ann_ivf(spark, sf_dir):
         )
         .drop("_n")
     )
-    exact = cosine_topk(emb, queries=sample, k=5)
+    exact = cosine_topk_sample(emb, queries=sample, k=5)
     hit = exact.join(
         approx.select("id", "neighbor_id").withColumn("_h", F.lit(1)),
         ["id", "neighbor_id"], "left",

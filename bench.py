@@ -16,6 +16,17 @@ identical runs (BENCH.md §0), so a single pass is not a credible number.
 The suite runs R interleaved repetitions and reports the MINIMUM per query
 — `value` is the sum of per-query minima; `rep_totals` carries the raw
 per-pass sums so a contended window is visible in the artifact itself.
+
+SCALE STEP (r4): after the sf0.1 suite, one pass of the same queries runs
+at sf1 (a deterministic 10× derivation of sf0.1 — tools/make_sf1.py,
+generated on first use) under its own wall-clock budget
+($SPARK_GRAFT_SF1_BUDGET, default 180 s — the quiet-window sf1 pass costs
+~60 s after the r4 split-sizing/auto-res/matmul-gate fixes;
+$SPARK_GRAFT_SF1=0 disables).
+The JSON grows `queries_sf1`, `scaling_sf1` (per-query sf1/sf0.1 ratio;
+~10 ≈ linear in data) and `sf1_excluded` — queries whose OUTPUT is
+super-linear by construction are excluded with named reasons, never
+silently dropped.
 """
 
 from __future__ import annotations
@@ -128,21 +139,79 @@ def main() -> None:
             break
     rows_per_sec = round(n_events / flagship_sec, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (PIP+tiles+knn+dedup+ann)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "throughput_rows_per_sec": rows_per_sec,
-                "cpus": cpus,
-                "reps": reps,
-                "rep_totals": rep_totals,
-            }
+    # ---- sf1 scale step (single pass, budget-guarded) ----
+    sf1_queries: dict[str, float] = {}
+    sf1_excluded = {
+        "within_distance": "result pair set grows ~quadratically in point "
+        "density at fixed radius — the OUTPUT is 100× at 10× data; a bench "
+        "row would time the answer's size, not the plan",
+        "cos_near_dups": "documented O(n²) exact baseline; the scale route "
+        "is cos_near_dups_lsh",
+        "cos_near_dups_lsh": "gate geometry (6×6-bit bands) is "
+        "recall-calibrated on structureless RANDOM vectors, where candidate "
+        "volume is ∝0.13·n² by construction; production scales bits/band "
+        "with log n — timed here as cos_near_dups_lsh_g10 (10-bit bands)",
+    }
+    sf1_truncated: list[str] = []
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "make_sf1",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "make_sf1.py"),
         )
-    )
+        _m = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_m)
+        sf1_dir = _m.ensure(
+            os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
+        sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "180"))
+        sf1_t0 = time.perf_counter()
+        todo = [n for n in HEADLINE if n not in sf1_excluded]
+        todo.append("cos_near_dups_lsh_g10")
+        for name in todo:
+            if time.perf_counter() - sf1_t0 > sf1_budget:
+                sf1_truncated = [n for n in todo if n not in sf1_queries]
+                break
+            t0 = time.perf_counter()
+            if name == "cos_near_dups_lsh_g10":
+                from insights_spark.text.simsearch import (
+                    embedding_lsh_candidates, embedding_near_dups_lsh)
+
+                emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+                # persist candidates exactly like the registered query does
+                cnd = embedding_lsh_candidates(emb, n_bits=60, bands=6).persist()
+                force(embedding_near_dups_lsh(emb, threshold=0.4,
+                                              n_bits=60, bands=6,
+                                              candidates=cnd))
+                cnd.unpersist()
+            else:
+                force(qs[name](spark, sf1_dir))
+            sf1_queries[name] = round(time.perf_counter() - t0, 3)
+
+    scaling = {
+        n: round(sf1_queries[n] / timings[n], 1)
+        for n in sf1_queries if n in timings and timings[n] > 0
+    }
+
+    out = {
+        "metric": "headline suite wall time (PIP+tiles+knn+dedup+ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput_rows_per_sec": rows_per_sec,
+        "cpus": cpus,
+        "reps": reps,
+        "rep_totals": rep_totals,
+    }
+    if sf1_queries:
+        out["queries_sf1"] = sf1_queries
+        out["scaling_sf1"] = scaling
+        out["sf1_excluded"] = sf1_excluded
+        if sf1_truncated:
+            out["sf1_truncated"] = sf1_truncated
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -113,23 +113,47 @@ def main() -> None:
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     # --- per-key Python kernel: the load-bearing case ---
+    # Mega-key fixture: the kernel demo needs the REFERENCE's profile — a
+    # handful of huge keys among moderate ones (a 1M-element Indonesia
+    # changeset vs thousands of ordinary ones), NOT the 10k-small-keys
+    # shape above, where per-group Arrow overhead dominates and salting
+    # (any flavor) cannot win. Kernel = sort-based per-key median: real
+    # per-row work, decomposable via per-salt partial sort + merge-by-
+    # weighted-median is NOT exact, so the partial carries count+sum+sorted
+    # extremes — we merge count/sum/min/max (exact, decomposable).
+    # 10× the base fixture: at 2M rows the 1M-row straggler costs ~1 s and
+    # the salted path's fixed overhead (top_keys count + broadcast join +
+    # second-level agg) eats the win; at 20M the hot key serializes ~10 s
+    # of Arrow+sort through one worker and salting pays for itself
+    n_mega = N_ROWS * 10
+    mega = spark.range(n_mega).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(200)) + 1)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+        (F.col("id") % 1_000_003).cast("long").alias("v"),
+    ).persist()
+    mega.count()
+
     def partial(pdf):
+        import numpy as np
         import pandas as pd
 
+        v = np.sort(pdf["v"].to_numpy())   # O(n log n): real per-row work
         return pd.DataFrame({
             "k": [pdf["k"].iloc[0]],
             "_salt": [pdf["_salt"].iloc[0] if "_salt" in pdf else 0],
-            "n": [len(pdf)],
-            "vmin": [int(pdf["v"].min())],
-            "vmax": [int(pdf["v"].max())],
-            "vsum": [int(pdf["v"].sum())],
+            "n": [len(v)],
+            "vmin": [int(v[0])],
+            "vmax": [int(v[-1])],
+            "vsum": [int(v.sum())],
         })
 
     schema = "k long, _salt int, n long, vmin long, vmax long, vsum long"
 
     def kernel_plain():
         sink(
-            df.withColumn("_salt", F.lit(0)).groupBy("k")
+            mega.withColumn("_salt", F.lit(0)).groupBy("k")
             .applyInPandas(partial, schema)
             .drop("_salt")
         )
@@ -137,17 +161,22 @@ def main() -> None:
     merge = {"n": F.sum("n"), "vmin": F.min("vmin"),
              "vmax": F.max("vmax"), "vsum": F.sum("vsum")}
     timings["kernel_plain"] = timed(kernel_plain)
-    # blanket salting (every key × buckets groups): the measured ANTI-pattern
-    # (single pass — it is ~27× slower; no need to burn reps proving it)
+    # hot-only salting: measure hot keys first (top_keys), salt only those
+    timings["kernel_salted_hot_only"] = timed(lambda: sink(
+        salted_group_apply(mega, ["k"], partial, schema, merge,
+                           ["payload"], buckets=BUCKETS,
+                           hot_threshold_rows=n_mega // 100)))
+    # blanket salting on the MANY-SMALL-KEYS fixture: the measured
+    # ANTI-pattern (single pass — ~27× slower than plain from per-group
+    # Arrow overhead at 10k keys × 32 salts; no need to burn reps on it)
     t0 = time.perf_counter()
     sink(salted_group_apply(df, ["k"], partial, schema, merge,
                             ["payload"], buckets=BUCKETS))
-    timings["kernel_salted_all_keys"] = round(time.perf_counter() - t0, 3)
-    # hot-only salting: measure hot keys first (top_keys), salt only those
-    timings["kernel_salted_hot_only"] = timed(lambda: sink(
-        salted_group_apply(df, ["k"], partial, schema, merge,
-                           ["payload"], buckets=BUCKETS,
-                           hot_threshold_rows=N_ROWS // 100)))
+    timings["kernel_salted_all_keys_10k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sink(df.withColumn("_salt", F.lit(0)).groupBy("k")
+         .applyInPandas(partial, schema).drop("_salt"))
+    timings["kernel_plain_10k"] = round(time.perf_counter() - t0, 3)
 
     # --- mechanical layout ratio (what the pytest asserts ≥ 8) ---
     def max_part(d, *cols):
@@ -169,6 +198,8 @@ def main() -> None:
         "timings_sec": timings,
         "kernel_speedup_hot_only": round(
             timings["kernel_plain"] / timings["kernel_salted_hot_only"], 2),
+        "n_rows_kernel": N_ROWS * 10,
+        "n_cold_keys_kernel": 200,
         "max_task_input_plain": plain_max,
         "max_task_input_salted": salted_max,
         "max_task_ratio": round(plain_max / salted_max, 1),

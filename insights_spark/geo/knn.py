@@ -159,13 +159,65 @@ def cert_radius_deg(res: int, rings: int) -> float:
     return s * (1.5 * rings - 0.5)
 
 
+def auto_cell_res(
+    points: DataFrame,
+    k: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    target_per_cell: float | None = None,
+    min_res: int = 0,
+    max_res: int = 6,
+    sample_cap: int = 100_000,
+) -> int:
+    """Measure, don't guess — the `top_keys` discipline applied to space:
+    the smallest hex resolution whose mean occupied-cell density is ≤
+    `target_per_cell` (default 4·k: enough candidates per cell to certify
+    most queries at rings=2), estimated on a deterministic hash sample.
+
+    Why it matters at scale: the ring join's pair volume is Σ_cell
+    q_c·cand_c ∝ n·density. A FIXED res makes density — and therefore
+    pairs — grow linearly with data volume in the same area, i.e. total
+    pair work grows QUADRATICALLY (the sf0.1→sf1 scale-step measured
+    knn_cell_local 21× on 10× data). Stepping res with density (aperture-7:
+    one res step divides cell area by 7) pins per-cell density, keeping the
+    join linear in n. Occupied-cell counts on the sample under-count the
+    full data's occupancy, so the density estimate is conservative (errs
+    toward finer cells — cheaper joins, slightly larger fallback tail).
+
+    Cost: one count + ONE aggregate (a countDistinct per candidate res)
+    over ≤ `sample_cap` rows.
+    """
+    target = target_per_cell if target_per_cell is not None else 4.0 * k
+    n = points.count()
+    if n == 0:
+        return min_res
+    frac_mod = max(1, n // sample_cap)
+    samp = points
+    if frac_mod > 1:
+        samp = points.filter(
+            F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)),
+                   F.lit(frac_mod)) == 0
+        )
+    counts = samp.agg(*[
+        F.countDistinct(
+            cells.hex_udf(r, use_h3=False)(F.col(lon_col), F.col(lat_col))
+        ).alias(f"c{r}")
+        for r in range(min_res, max_res + 1)
+    ]).first()
+    for r in range(min_res, max_res + 1):
+        occupied = counts[f"c{r}"]
+        if occupied and n / occupied <= target:
+            return r
+    return max_res
+
+
 def knn_cell_local(
     points: DataFrame,
     k: int,
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
-    res: int = 6,
+    res: int | None = 6,
     rings: int = 1,
     exact: bool = True,
 ) -> DataFrame:
@@ -202,6 +254,11 @@ def knn_cell_local(
         F.col(lon_col).cast("double").alias("lon"),
         F.col(lat_col).cast("double").alias("lat"),
     )
+    if res is None:
+        # density-matched resolution (`res=None`): certified-exact results
+        # are res-INVARIANT, so the pick only shapes the plan, never the
+        # answer — see auto_cell_res for the scale argument
+        res = auto_cell_res(pts, k=k)
     pairs = _cell_pairs(pts, pts, res, rings)
     w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
     first = (

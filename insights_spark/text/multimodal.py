@@ -52,14 +52,23 @@ IMAGE_FEATURES = StructType(
 _FAKE_PIXELS = 16 * 16 * 3  # fake decode target: 16x16 RGB = 768 bytes
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode → HxWx3 uint8. Real codec when PIL exists; otherwise a
+def _decode_image(payload: bytes, use_codec: bool | None = None) -> np.ndarray:
+    """Decode → HxWx3 uint8. `use_codec=None` auto-detects PIL; True
+    REQUIRES it (clear ImportError, no silent fake); False forces the
     DETERMINISTIC FAKE: the payload bytes themselves, cycled/truncated to
     exactly 768 bytes and viewed as a 16x16 RGB image. Payload-derived (not
     RNG-seeded) so the feature histogram is plain byte-bucket counting any
     SQL engine can reproduce — which is what makes the driver oracle for
-    `multimodal_features` possible."""
-    if _PIL is not None:  # pragma: no cover
+    `multimodal_features` possible. The oracle-registered query pins
+    use_codec=False: installing Pillow must never silently change an
+    oracle-checked result."""
+    want_codec = _PIL is not None if use_codec is None else use_codec
+    if want_codec:
+        if _PIL is None:
+            raise ImportError(
+                "use_codec=True requires Pillow (pip install -r "
+                "requirements-extras.txt)"
+            )
         import io
 
         return np.asarray(_PIL.open(io.BytesIO(payload)).convert("RGB"))
@@ -67,7 +76,9 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return arr.reshape(16, 16, 3)
 
 
-def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+def image_features(
+    media: DataFrame, feat_dim: int = 8, use_codec: bool | None = None
+) -> DataFrame:
     """Decode + feature-extract images: channel-value histogram.
 
     Output per image: exact integer bin counts (`hist`, bins of width
@@ -89,7 +100,7 @@ def image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     rows.append((int(mid), None, None, None))
                     continue
                 b = bytes(payload)
-                img = _decode_image(b)
+                img = _decode_image(b, use_codec)
                 hist = np.bincount(img.reshape(-1) >> shift, minlength=feat_dim)
                 feat = (hist / max(img.size, 1)).astype(np.float32)
                 rows.append((int(mid), len(b), hist.astype(np.int32).tolist(),

@@ -147,6 +147,34 @@ def test_knn_exact_vs_cell_local(spark):
     assert exact == local
 
 
+def test_auto_cell_res_tracks_density(spark):
+    """auto_cell_res steps FINER as density grows (10× points in the same
+    box must not pick a coarser res), and knn_cell_local(res=None) stays
+    certified-exact — the res pick shapes the plan, never the answer."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    def mk(n):
+        return spark.createDataFrame(
+            [(int(i), float(10 + rng.uniform(0, 5)), float(rng.uniform(0, 5)))
+             for i in range(n)],
+            "id long, lon double, lat double",
+        )
+
+    small, big = mk(300), mk(3000)
+    r_small = knn.auto_cell_res(small, k=3)
+    r_big = knn.auto_cell_res(big, k=3)
+    assert r_big >= r_small
+    assert r_big > 0          # 3000 pts in a 5°box must not stay at res 0
+
+    exact = {(r["id"], r["rank"]): r["neighbor_id"]
+             for r in knn.knn_exact(small, k=3).collect()}
+    auto = {(r["id"], r["rank"]): r["neighbor_id"]
+            for r in knn.knn_cell_local(small, k=3, res=None, rings=2).collect()}
+    assert auto == exact
+
+
 def test_knn_certified_exact_covers_sparse_points(spark):
     """Two far-apart clusters + one isolated point: the isolated point finds
     nothing in the ring-bounded pass (exact=False), but certified-exact mode
@@ -430,6 +458,7 @@ def test_tile_regions_nonconvergence_raises(spark):
         vectorize.tile_regions(snake, min_density=1, max_sweeps=0)
 
 
+@pytest.mark.extras
 def test_real_h3_parity_gate():
     """When the optional h3 package is importable, the use_h3=True branch
     must uphold the same structural invariants as the axial path: valid

@@ -143,6 +143,23 @@ def test_cosine_topk_exact(spark):
     assert out[(3, 1)] == 5
 
 
+def test_cosine_topk_sample_matches_fold_path(spark):
+    """The matmul-scan exact pass (cosine_topk_sample — the recall-gate
+    shape) must return the identical (id, rank) → neighbor assignment as
+    the fold-based cosine_topk on a tie-free fixture; ranks contiguous,
+    self excluded."""
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sample = df.filter(F.col("vec_id") % 7 == 0)
+    want = {(r["id"], r["rank"]): r["neighbor_id"]
+            for r in simsearch.cosine_topk(df, queries=sample, k=4).collect()}
+    got = {(r["id"], r["rank"]): r["neighbor_id"]
+           for r in simsearch.cosine_topk_sample(df, sample, k=4).collect()}
+    assert got == want
+    assert all(i != n for (i, _rk), n in got.items())
+
+
 def test_cosine_topk_bucketed_recall(spark):
     rng = np.random.default_rng(2)
     # 3 well-separated clusters → bucket recall is perfect

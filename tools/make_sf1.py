@@ -3,14 +3,14 @@
 The driver ships sf{0.001,0.01,0.1}; the scale-step bench needs one more
 decade to expose super-linear tails (quadratic pair growth, global-state
 operators) that sf0.1 cannot see. /root/testdata is read-only, so sf1 is
-DERIVED, deterministically, from sf0.1 — no external data, no RNG state:
+DERIVED, deterministically, from sf0.1 — no external data, fixed seeds:
 
   * fact/dim keys are offset per copy c ∈ [0, 10) by c·(max_key+1), so
     foreign-key joins (orders→customer, lineitem→part/supplier,
     events→user) keep exactly the sf0.1 match profile at 10× cardinality;
   * region/nation stay as-is (bounded dims, like TPC-H);
-  * document text is WORD-PERMUTED per copy (deterministic positional
-    shuffle keyed on (copy, position), same for every doc in a copy) plus
+  * document text is WORD-PERMUTED per copy (seeded Fisher-Yates keyed on
+    (copy, doc length), same for every same-length doc in a copy) plus
     a per-doc marker token: copies are distinct from their originals and
     contribute no cross-copy near-dup pairs (different copies use
     different permutations), while near-dup pairs WITHIN a copy mirror
@@ -31,6 +31,8 @@ from __future__ import annotations
 import os
 import sys
 
+import random
+
 import duckdb
 import numpy as np
 import pyarrow as pa
@@ -38,6 +40,9 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
+
+
+_perm_cache: dict = {}
 
 
 def ensure(out_dir: str = "/tmp/spark_graft_sf1") -> str:
@@ -112,11 +117,21 @@ def ensure(out_dir: str = "/tmp/spark_graft_sf1") -> str:
                     new = txt
                 else:
                     words = txt.split(" ")
-                    order = sorted(
-                        range(len(words)),
-                        key=lambda i: ((i * 2654435761 + c * 7919)
-                                       % 2147483647, i),
-                    )
+                    # permutation per (copy, length), seeded-RNG shuffled and
+                    # cached. Arithmetic key schemes (i·K + f(c) mod M, even
+                    # scramble-mixed) keep the ORDER lattice-like across
+                    # copies — copies came out as rotations of one another
+                    # (measured: 180k spurious cross-copy near-dup pairs,
+                    # cross-copy trigram jaccard 0.93). A seeded Fisher-Yates
+                    # is genuinely decorrelated per copy; keying by length
+                    # (not doc) keeps within-copy near-dup pairs aligned, so
+                    # the copy mirrors copy 0's near-dup structure.
+                    order = _perm_cache.get((c, len(words)))
+                    if order is None:
+                        r = random.Random(c * 1_000_003 + len(words))
+                        order = list(range(len(words)))
+                        r.shuffle(order)
+                        _perm_cache[(c, len(words))] = order
                     new = " ".join([words[i] for i in order]
                                    + [f"c{c}x{did}"])
                 out_rows["doc_id"].append(did + c * D)
@@ -134,6 +149,9 @@ def ensure(out_dir: str = "/tmp/spark_graft_sf1") -> str:
                 "n_chars": pa.array(out_rows["n_chars"], type=pa.int64()),
             }),
             docs_dst,
+            # small row groups: a single-row-group file is unsplittable —
+            # every Spark read of the table would serialize on ONE task
+            row_group_size=2000,
         )
 
     dst = f"{out_dir}/embeddings.parquet"
@@ -163,6 +181,7 @@ def ensure(out_dir: str = "/tmp/spark_graft_sf1") -> str:
                 "label": pa.array(np.concatenate(out_labels), type=pa.int32()),
             }),
             dst,
+            row_group_size=1000,   # splittable reads (see documents note)
         )
     con.close()
     return out_dir
