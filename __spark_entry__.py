@@ -795,6 +795,29 @@ def _q_source_cap_stream_twin(spark, sf_dir):
     return per_source_cap_arrival(d, 10)
 
 
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (LLM-pipeline hygiene): flag corpus docs
+    containing any benchmark 13-gram. The benchmark set is synthesized
+    in-query (every 97th doc contributes its tokens 4-16 as one eval item)
+    so the check is self-contained and deterministic; at scale the
+    benchmark side is the broadcast-small side by construction. Output:
+    (doc_id, n_bench_grams) per contaminated doc — each source doc flags
+    itself (it contains its own span), plus any verbatim copies."""
+    from insights_spark.text.decontam import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    bench = (
+        d.filter(F.col("text").isNotNull())
+        .filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+        .filter(F.size(toks) >= 16)
+        .select(F.array_join(F.slice(toks, 4, 13), " ").alias("text"))
+    )
+    return contaminated_docs(d, bench, n=13)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Balanced per-language sample (20/stratum): the training-mix
     balancing draw, hash-rank deterministic."""
@@ -1599,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) new in round 4
         "cos_near_dups_lsh": _q_cos_near_dups_lsh,
         "source_cap_stream_twin": _q_source_cap_stream_twin,
+        "decontam": _q_decontam,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2726,6 +2750,23 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY mod(doc_id * 2654435761 + 17, 2147483648) ASC,
                             doc_id ASC) AS rk
           FROM documents) WHERE rk <= 10
+    """
+    _pg = _POLY_HASH.format(s="array_to_string(list_slice(t, {a}, {b}), ' ')")
+    out["decontam"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS t
+          FROM documents WHERE text IS NOT NULL),
+        bench AS (
+          SELECT DISTINCT {_pg.format(a='4', b='16')} AS gh
+          FROM tok WHERE mod(doc_id, 97) = 0 AND len(t) >= 16),
+        dg AS (
+          SELECT DISTINCT doc_id, {_pg.format(a='i + 1', b='i + 13')} AS gh
+          FROM (SELECT doc_id, t, unnest(range(len(t) - 12)) AS i
+                FROM tok WHERE len(t) >= 13))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_grams
+        FROM dg JOIN bench USING (gh) GROUP BY doc_id
     """
     out["source_cap_stream_twin"] = """
         SELECT doc_id, source FROM (

@@ -17,9 +17,9 @@ The suite runs R interleaved repetitions and reports the MINIMUM per query
 — `value` is the sum of per-query minima; `rep_totals` carries the raw
 per-pass sums so a contended window is visible in the artifact itself.
 
-SCALE STEP (r4): after the sf0.1 suite, one pass of the same queries runs
-at sf1 (a deterministic 10× derivation of sf0.1 — tools/make_sf1.py,
-generated on first use) under its own wall-clock budget
+SCALE STEP (r4): after the sf0.1 suite, the same queries run at sf1 (a
+deterministic 10× derivation of sf0.1 — tools/make_sf1.py, generated on
+first use), min-of-2 under its own wall-clock budget
 ($SPARK_GRAFT_SF1_BUDGET, default 180 s — the quiet-window sf1 pass costs
 ~60 s after the r4 split-sizing/auto-res/matmul-gate fixes;
 $SPARK_GRAFT_SF1=0 disables).
@@ -169,11 +169,8 @@ def main() -> None:
         sf1_t0 = time.perf_counter()
         todo = [n for n in HEADLINE if n not in sf1_excluded]
         todo.append("cos_near_dups_lsh_g10")
-        for name in todo:
-            if time.perf_counter() - sf1_t0 > sf1_budget:
-                sf1_truncated = [n for n in todo if n not in sf1_queries]
-                break
-            t0 = time.perf_counter()
+
+        def run_one(name):
             if name == "cos_near_dups_lsh_g10":
                 from insights_spark.text.simsearch import (
                     embedding_lsh_candidates, embedding_near_dups_lsh)
@@ -187,7 +184,20 @@ def main() -> None:
                 cnd.unpersist()
             else:
                 force(qs[name](spark, sf1_dir))
-            sf1_queries[name] = round(time.perf_counter() - t0, 3)
+
+        # min-of-2 while the budget holds (same throttling rationale as the
+        # sf0.1 rep loop: a single contended pass would record 10×-phantom
+        # scaling ratios); pass 2 only runs inside the remaining budget
+        for _rep in range(2):
+            for name in todo:
+                if time.perf_counter() - sf1_t0 > sf1_budget:
+                    break
+                t0 = time.perf_counter()
+                run_one(name)
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in sf1_queries or dt < sf1_queries[name]:
+                    sf1_queries[name] = dt
+        sf1_truncated = [n for n in todo if n not in sf1_queries]
 
     scaling = {
         n: round(sf1_queries[n] / timings[n], 1)

@@ -111,6 +111,31 @@ def test_lang_id(spark, docs):
     assert out[7] is None  # empty text → no prediction
 
 
+def test_decontam_flags_planted_overlap(spark):
+    """Benchmark decontamination: a doc containing the eval item's full
+    n-gram window verbatim is flagged (case/whitespace-normalized); a doc
+    sharing only n-1 of the n tokens is NOT; a doc with the same tokens in
+    a different order is NOT; counts are per distinct benchmark gram."""
+    from insights_spark.text.decontam import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta outro"),      # verbatim → hit
+            (2, "ALPHA  beta Gamma\tdelta"),                # normalized → hit
+            (3, "alpha beta gamma epsilon delta"),          # broken window
+            (4, "delta gamma beta alpha"),                  # wrong order
+            (5, None),                                      # null-safe
+            (6, "alpha beta"),                              # too short
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_bench_grams"]
+           for r in contaminated_docs(docs, bench, n=4).collect()}
+    assert got == {1: 1, 2: 1}
+
+
 def test_doc_fingerprint_matches_python(spark, docs):
     got = {r["doc_id"]: r["fp"] for r in
            docs.select("doc_id", quality.doc_fingerprint(F.col("text")).alias("fp")).collect()}
