@@ -1083,6 +1083,121 @@ def _q_audio_features(spark, sf_dir):
     return audio_features(media).filter(F.col("n_samples").isNotNull())
 
 
+def _q_frame_schedule(spark, sf_dir):
+    """Multimodal video path: the frame-sampling SCHEDULE (which frames to
+    decode, at what timestamps) computed from metadata alone — the plan
+    never touches payload bytes, so Parquet column pruning keeps the scan
+    payload-free (the decode itself is the honest NotImplementedError
+    without a codec; text/multimodal.py:212). Completes the multimodal
+    triple: image histogram, audio waveform stats, video frame schedule.
+    Reference parity: the insights pipeline treats raster/media payloads
+    as opaque blobs and schedules work from metadata (SURVEY §2.11)."""
+    from insights_spark.text.multimodal import frame_sample, media_from_docs
+
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_ms=1000).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
+def _q_rep_filters(spark, sf_dir):
+    """Gopher-style repetition quality gates (duplicate-token fraction,
+    duplicate-token char fraction, top-2-gram char fraction, duplicate-
+    2-gram char fraction) — the standard web-crawl repetition filters.
+    Two doc-keyed aggregations over exploded terms; no Python. Fractions
+    are integer-sum / integer-sum single divisions, so DuckDB reproduces
+    the doubles bit-exactly."""
+    from insights_spark.text.quality import repetition_scores
+
+    return repetition_scores(
+        _t(spark, sf_dir, "documents"), gram_n=2
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_token_char_frac",
+        F.col("top_gram_char_frac").alias("top_2gram_char_frac"),
+        F.col("dup_gram_char_frac").alias("dup_2gram_char_frac"),
+    )
+
+
+def _q_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate detection: cross-document duplicate
+    10-token segments flagged by document frequency (df >= 2), rolled up
+    to per-doc boilerplate fraction + post-removal token accounting. One
+    content-keyed aggregation builds the (small) boilerplate dictionary;
+    AQE broadcasts it back onto the segment stream."""
+    from insights_spark.text.clean import boilerplate_flags
+
+    return boilerplate_flags(_t(spark, sf_dir, "documents"))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII hygiene pass: per-doc email/phone/IPv4 counts + typed-token
+    redaction (text/pii.py — map-only JVM regex, zero shuffle). The
+    fixture text is PII-free word soup, so the query deterministically
+    plants PII in ~3/13 of docs first (keyed on doc_id alone) — the
+    redaction path is exercised non-vacuously and the oracle replants
+    identically."""
+    from insights_spark.text.pii import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(13))
+    did = F.col("doc_id").cast("string")
+    aug = (
+        F.when(
+            m == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), did,
+                     F.lit("@example.com now")),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"), F.lit(" call (555) 010-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                       4, "0"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.col("text"), F.lit(" from 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit("."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return pii_scrub(d.select("doc_id", aug.alias("text")))
+
+
+def _q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: best-quality-first docs until 8000
+    cumulative tokens (text/clean.py:budget_select). The global ordered
+    prefix sum runs as the two-phase distributed scan (pack.global_cumsum),
+    NOT a single-partition window — same plan discipline as
+    pack_sequences, now keyed on a computed quality order."""
+    from insights_spark.text.clean import budget_select
+
+    return budget_select(_t(spark, sf_dir, "documents"), token_budget=8000)
+
+
+def _q_classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier (text/classify.py): token
+    stream broadcast-joined to a weight table, doc-keyed integer rollup,
+    ONE final division (no order-dependent float sums → engine-exact
+    score), threshold on the exact integer sum. The weight table derives
+    in-query from the corpus vocabulary (a real run broadcasts its
+    exported model instead)."""
+    from insights_spark.text.classify import classifier_score
+
+    return classifier_score(_t(spark, sf_dir, "documents"))
+
+
 def _q_country_insights(spark, sf_dir):
     """A10 — per-country building counts as-of a cutoff: latest version per
     (type, id) strictly before the month (J5 as-of), THEN the building/type/
@@ -1623,6 +1738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_near_dups_lsh": _q_cos_near_dups_lsh,
         "source_cap_stream_twin": _q_source_cap_stream_twin,
         "decontam": _q_decontam,
+        "frame_schedule": _q_frame_schedule,
+        "rep_filters": _q_rep_filters,
+        "boilerplate": _q_boilerplate,
+        "pii_scrub": _q_pii_scrub,
+        "budget_select": _q_budget_select,
+        "classifier_score": _q_classifier_score,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2659,6 +2780,138 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["rep_filters"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKENS} AS toks,
+                          length(regexp_replace(lower(text), '\\s+', '', 'g'))
+                            AS tok_chars
+                   FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, t AS tok, count(*) AS c
+                FROM d, unnest(toks) u(t) GROUP BY doc_id, t),
+        ta AS (SELECT doc_id, sum(c) AS n_toks,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_toks,
+                      sum(CASE WHEN c > 1 THEN c * length(tok) ELSE 0 END)
+                        AS dup_tok_chars
+               FROM tok GROUP BY doc_id),
+        g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+              FROM d, unnest(range(1, len(toks))) t(i)),
+        gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        ga AS (SELECT doc_id,
+                      sum(CASE WHEN c > 1 THEN c * (length(gram) - 1)
+                          ELSE 0 END) AS dup_gram_chars
+               FROM gc GROUP BY doc_id),
+        gt AS (SELECT doc_id, c, gram,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, gram ASC) AS rn
+               FROM gc)
+        SELECT d.doc_id,
+               CAST(coalesce(ta.n_toks, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN coalesce(ta.n_toks, 0) > 0
+                    THEN ta.dup_toks / ta.n_toks ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN d.tok_chars > 0
+                    THEN coalesce(ta.dup_tok_chars, 0) / d.tok_chars
+                    ELSE 0.0 END AS dup_token_char_frac,
+               CASE WHEN d.tok_chars > 0 AND tg.gram IS NOT NULL
+                    THEN tg.c * (length(tg.gram) - 1) / d.tok_chars
+                    ELSE 0.0 END AS top_2gram_char_frac,
+               CASE WHEN d.tok_chars > 0
+                    THEN coalesce(ga.dup_gram_chars, 0) / d.tok_chars
+                    ELSE 0.0 END AS dup_2gram_char_frac
+        FROM d
+        LEFT JOIN ta USING (doc_id)
+        LEFT JOIN ga USING (doc_id)
+        LEFT JOIN (SELECT doc_id, c, gram FROM gt WHERE rn = 1) tg USING (doc_id)
+    """
+    out["boilerplate"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents
+                   WHERE text IS NOT NULL AND len({_TOKENS}) > 0),
+        seg AS (SELECT doc_id,
+                       array_to_string(toks[(j-1)*10+1:j*10], ' ') AS line
+                FROM d, unnest(range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT)
+                                        + 1)) t(j)),
+        dfc AS (SELECT line, count(DISTINCT doc_id) AS dfd FROM seg
+                GROUP BY line),
+        fl AS (SELECT s.doc_id, s.line, (dfc.dfd >= 2) AS isb
+               FROM seg s JOIN dfc USING (line))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS boiler_segs,
+               sum(CASE WHEN isb THEN 1 ELSE 0 END) / count(*) AS boiler_frac,
+               CAST(sum(CASE WHEN isb THEN 0
+                        ELSE len(string_split(line, ' ')) END) AS BIGINT)
+                 AS kept_tokens
+        FROM fl GROUP BY doc_id
+    """
+    from insights_spark.text.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    out["pii_scrub"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE doc_id % 13
+                   WHEN 0 THEN text || ' contact user' ||
+                               CAST(doc_id AS VARCHAR) || '@example.com now'
+                   WHEN 1 THEN text || ' call (555) 010-' ||
+                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   WHEN 2 THEN text || ' from 10.0.' ||
+                               CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                               CAST(doc_id % 256 AS VARCHAR) || ' logged'
+                   ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT)
+                 AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{IPV4_RE}', '<IP>', 'g') AS redacted
+        FROM aug
+    """
+    out["budget_select"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents
+                   WHERE text IS NOT NULL),
+        d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     len(list_distinct(toks))::DOUBLE / len(toks) AS uniq
+              FROM t WHERE len(toks) > 0),
+        c AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY uniq DESC, doc_id)
+                       AS cum_tokens
+              FROM d)
+        SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= 8000
+    """
+    out["classifier_score"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents
+                   WHERE text IS NOT NULL),
+        tr AS (SELECT doc_id, t AS tok FROM d, unnest(toks) u(t)),
+        vocab AS (SELECT DISTINCT tok FROM tr),
+        w AS (SELECT tok,
+                     CAST(({_POLY_HASH.format(s='tok')}) % 97 - 48 AS BIGINT)
+                       AS w
+              FROM vocab),
+        s AS (SELECT doc_id, sum(w.w) AS sw, count(*) AS n
+              FROM tr JOIN w USING (tok) GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               sw / (97.0 * n) AS score,
+               sw > 0 AS keep
+        FROM s
+    """
+    out["frame_schedule"] = """
+        WITH v AS (
+          SELECT doc_id AS media_id,
+                 3000 + (doc_id % 7) * 500 AS duration_ms
+          FROM documents WHERE doc_id % 3 = 2)
+        SELECT media_id,
+               CAST(gs AS INT) AS frame_idx,
+               CAST(gs * 1000 AS BIGINT) AS ts_ms
+        FROM v, unnest(generate_series(0,
+                 greatest(CAST(floor(duration_ms / 1000.0) AS BIGINT) - 1, 0)))
+               AS t(gs)
     """
     out["audio_features"] = """
         WITH aud AS (

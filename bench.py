@@ -76,6 +76,15 @@ HEADLINE = [
     "prepare_corpus",
     "asof_join",
     "pack_sequences",
+    # round-4 additions: benchmark decontamination, Gopher repetition gates,
+    # CCNet-style boilerplate, metadata-only frame schedule
+    "decontam",
+    "rep_filters",
+    "boilerplate",
+    "frame_schedule",
+    "pii_scrub",
+    "budget_select",
+    "classifier_score",
 ]
 
 

@@ -34,8 +34,15 @@ _PRE_OPEN = b"<pre>"
 _PRE_CLOSE = b"</pre>"
 
 
-def payload_of(html: bytes) -> bytes:
-    """Strip the HTML boilerplate: the OSM XML payload lives in <pre>…</pre>."""
+def payload_of(html: bytes | None) -> bytes:
+    """Strip the HTML boilerplate: the OSM XML payload lives in <pre>…</pre>.
+
+    NULL/empty payloads yield b"" — the skip-and-count path, same as a page
+    with no <pre> block (a fetch that returned no body must not kill the job).
+    """
+    if not html:
+        return b""
+    html = bytes(html)
     start = html.find(_PRE_OPEN)
     end = html.rfind(_PRE_CLOSE)
     if start == -1 or end == -1:
@@ -55,7 +62,7 @@ def _batch_extract(pdf: pd.DataFrame) -> list[dict]:
 
     out = []
     for url, html in zip(pdf["url"], pdf["html"]):
-        payload = payload_of(bytes(html))
+        payload = payload_of(html)
         if not payload:
             continue
         try:
@@ -72,7 +79,7 @@ def _batch_extract_changesets(pdf: pd.DataFrame) -> tuple[list[dict], list[dict]
     changesets: list[dict] = []
     comments: list[dict] = []
     for _url, html in zip(pdf["url"], pdf["html"]):
-        payload = payload_of(bytes(html))
+        payload = payload_of(html)
         if not payload:
             continue
         try:
@@ -120,7 +127,7 @@ def _batch_extract_elements(pdf: pd.DataFrame) -> list[dict]:
 
     rows: list[dict] = []
     for _url, html in zip(pdf["url"], pdf["html"]):
-        payload = payload_of(bytes(html))
+        payload = payload_of(html)
         if not payload:
             continue
         try:

@@ -175,3 +175,115 @@ def stratified_sample(
         .filter(F.col("_rk") <= per_stratum)
         .drop("_rk")
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection: take documents in quality order
+    (descending unique-token ratio, the repetition-penalizing proxy every
+    web pipeline has some flavor of; ``id_col`` tiebreak) until the
+    cumulative token count reaches ``token_budget`` — the "best N tokens"
+    draw a training run makes from an over-sized corpus.
+
+    The crux at 100 TB is the GLOBAL ordered cumulative sum; this reuses
+    the two-phase distributed scan (``pack.global_cumsum`` — range
+    partition on the quality key, per-partition window, bounded totals
+    collect, broadcast offsets) instead of the banned single-partition
+    ``sum() OVER (ORDER BY quality)`` window. Selection is the inclusive
+    prefix: docs whose cumulative total (including themselves) fits the
+    budget. Token-less docs can't contribute and are dropped.
+
+    Output: (id, n_tokens, cum_tokens), the selected set.
+    """
+    from .pack import global_cumsum
+    from .quality import tokens
+
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    d = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n_tok.cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(tok)) / n_tok).alias("_uniq"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    cum = global_cumsum(
+        d, "n_tokens", [F.desc("_uniq"), F.asc(id_col)], out_col="cum_tokens"
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= int(token_budget))
+        .select(id_col, "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
+
+
+def boilerplate_flags(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate detection: cross-document duplicate
+    segments (nav bars, cookie banners, footers) flagged by document
+    frequency. The fixture text has no newlines, so "lines" are
+    deterministic ``seg_tokens``-token windows of the token stream — the
+    same primitive, content-defined instead of layout-defined.
+
+    Shape: segment → one content-keyed aggregation (distinct-doc count
+    per segment) → the small ``df >= min_df`` boilerplate dictionary
+    joined back (AQE broadcasts it when it fits — the dictionary is the
+    frequent-ITEM set, orders of magnitude smaller than the corpus) →
+    one doc-keyed rollup. Shuffle volume is O(corpus tokens), keyed by
+    segment content, so hot boilerplate lines cost one combiner row per
+    partition, not a hot reduce task (count-distinct partial aggregates
+    map-side).
+
+    Output per doc with ≥1 segment: (id, n_segs, boiler_segs,
+    boiler_frac, kept_tokens) where kept_tokens counts tokens outside
+    flagged segments — the post-removal length accounting a cleaning
+    pipeline needs before re-budgeting.
+    """
+    from .quality import tokens
+
+    s = seg_tokens
+    toks = tokens(F.col(text_col))
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("toks") / F.lit(float(s))).cast("int")),
+        lambda j: F.concat_ws(" ", F.slice(F.col("toks"), (j - 1) * s + 1, s)),
+    )
+    seg_rows = base.select(id_col, F.explode(segs).alias("line"))
+    boiler = (
+        seg_rows.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line", F.lit(True).alias("_isb"))
+    )
+    flagged = seg_rows.join(boiler, "line", "left")
+    isb = F.coalesce(F.col("_isb"), F.lit(False))
+    seg_toks = F.size(F.split(F.col("line"), " "))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(isb.cast("int")).alias("boiler_segs"),
+            F.sum(F.when(~isb, seg_toks).otherwise(F.lit(0))).alias("kept_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_segs").cast("long").alias("n_segs"),
+            F.col("boiler_segs").cast("long").alias("boiler_segs"),
+            (F.col("boiler_segs") / F.col("n_segs")).alias("boiler_frac"),
+            F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        )
+    )

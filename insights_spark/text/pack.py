@@ -37,6 +37,55 @@ from pyspark.sql.window import Window
 from .quality import token_count
 
 
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_exprs: list,
+    out_col: str = "_cum_global",
+    partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL inclusive cumulative sum of ``value_col`` in ``order_exprs``
+    order, as the textbook two-phase distributed scan (module docstring):
+    range-partition on the sort key → per-partition window cumsum →
+    bounded per-partition totals collect → broadcast offsets back. The
+    naive ``sum() OVER (ORDER BY …)`` is an unpartitioned window (every
+    row to ONE task); this shape is what the suite-wide plan test allows.
+
+    ``order_exprs`` must be a total order (include a unique tiebreak
+    column) — ties split across partition boundaries would otherwise make
+    the prefix sum nondeterministic. Returns the input columns plus
+    ``out_col`` (BIGINT if the input is integral).
+    """
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_part, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # localCheckpoint pins ONE evaluation of the range exchange — its
+    # boundary sampler is per-execution-seeded, so the totals collect and
+    # the final output must read the SAME partition assignment (the
+    # silent-wrong-offsets hazard only manifests beyond the sampler size,
+    # i.e. exactly at scale).
+    local = part.withColumn("_cum", F.sum(value_col).over(w)).localCheckpoint()
+
+    totals = local.groupBy("_pid").agg(F.max("_cum").alias("_total")).collect()
+    running, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], running))
+        running += row["_total"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_cum"))
+        .drop("_pid", "_cum", "_offset")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,
@@ -52,46 +101,16 @@ def pack_sequences(
     A document longer than `seq_len` spans several sequences (one row per
     sequence it touches).
     """
-    spark = docs.sparkSession
-    n_part = partitions or spark.sparkContext.defaultParallelism
     t = (
         docs.select(F.col(id_col).alias("doc_id"),
                     token_count(F.col(text_col)).cast("long").alias("n_toks"))
         .filter(F.col("n_toks") > 0)
-        .repartitionByRange(n_part, F.col("doc_id"))
     )
-    part = t.withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Pin ONE evaluation of the range exchange: repartitionByRange samples
-    # its boundaries per-execution (RDD-id-derived seed), so the totals
-    # collect below and the final output could otherwise see DIFFERENT
-    # _pid assignments for boundary rows once inputs exceed the sampler —
-    # silently wrong seq_id/tok_start exactly at scale (test-scale inputs
-    # are fully sampled, so oracles can't catch it). localCheckpoint
-    # materializes the partitioning once; both phases read the same copy.
-    local = part.withColumn("_cum", F.sum("n_toks").over(w)).localCheckpoint()
-
-    # phase 2: per-partition totals → driver prefix sum → broadcast offsets.
-    # One row per partition; range partitioning keeps ids contiguous, so
-    # offset(pid) = Σ totals of all lower pids.
-    totals = (
-        local.groupBy("_pid").agg(F.max("_cum").alias("_total"))
-        .collect()
-    )
-    running, offsets = 0, []
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], running))
-        running += row["_total"]
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    cum = global_cumsum(t, "n_toks", [F.asc("doc_id")], partitions=partitions)
 
     L = int(seq_len)
     placed = (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn("_start", F.col("_offset") + F.col("_cum") - F.col("n_toks"))
+        cum.withColumn("_start", F.col("_cum_global") - F.col("n_toks"))
         .withColumn("_first", F.expr("_start DIV " + str(L)))
         .withColumn("_last", F.expr("(_start + n_toks - 1) DIV " + str(L)))
     )

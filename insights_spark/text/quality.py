@@ -97,6 +97,95 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, F.when(best["neg"] < 0, best["lang"]))
 
 
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    per-document duplicate-token fraction, duplicate-token character
+    fraction, top-n-gram character fraction, and duplicate-n-gram
+    character fraction. Documents dominated by repeated phrases are the
+    classic web-crawl failure mode these gates exist to drop.
+
+    Scale posture: explode → two aggregations, BOTH keyed by the document
+    id (token counts, gram counts) — shuffle volume is O(corpus tokens),
+    partitioned by (doc, term), so no key is hotter than the largest
+    single document. No Python anywhere; every expression is ANSI-SQL
+    replicable so the DuckDB oracle reproduces the floats exactly (integer
+    sums + one correctly-rounded division).
+
+    Output: (id, n_tokens, dup_token_frac, dup_token_char_frac,
+    top_gram_char_frac, dup_gram_char_frac); fractions are 0.0 for empty
+    or gram-less docs. Ties for the top gram break lexicographically."""
+    t = F.col(text_col)
+    base = df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        tokens(t).alias("toks"),
+        F.length(F.regexp_replace(F.lower(t), r"\s+", "")).alias("tok_chars"),
+    )
+
+    tok_agg = (
+        base.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .alias("dup_toks"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("tok")).otherwise(F.lit(0))
+            ).alias("dup_tok_chars"),
+        )
+    )
+
+    n = gram_n
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_agg = (
+        base.select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            # struct min = (count desc, gram asc) — deterministic top pick
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram"))).alias("top"),
+            F.sum(
+                F.when(
+                    F.col("c") > 1, F.col("c") * (F.length("gram") - (n - 1))
+                ).otherwise(F.lit(0))
+            ).alias("dup_gram_chars"),
+        )
+    )
+
+    tc = F.col("tok_chars")
+    top_chars = (-F.col("top.nc")) * (F.length(F.col("top.gram")) - (n - 1))
+    return (
+        base.select(id_col, "tok_chars")
+        .join(tok_agg, id_col, "left")
+        .join(gram_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("n_toks") > 0, F.col("dup_toks") / F.col("n_toks"))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+            F.when(tc > 0, F.coalesce(F.col("dup_tok_chars"), F.lit(0)) / tc)
+            .otherwise(F.lit(0.0)).alias("dup_token_char_frac"),
+            F.when((tc > 0) & F.col("top").isNotNull(), top_chars / tc)
+            .otherwise(F.lit(0.0)).alias("top_gram_char_frac"),
+            F.when(tc > 0, F.coalesce(F.col("dup_gram_chars"), F.lit(0)) / tc)
+            .otherwise(F.lit(0.0)).alias("dup_gram_char_frac"),
+        )
+    )
+
+
 def doc_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31,
                     seed: int = 7) -> Column:
     """Polynomial rolling hash of the normalized text — the document

@@ -159,3 +159,25 @@ def test_parser_small_large_paths_agree():
     # wrapped elements take the wrapper action; the bare v=1 node derives
     # 'create' (ST6)
     assert [r["action"] for r in small] == ["create", "modify", "delete", "create"]
+
+
+def test_null_and_garbage_payloads_skip(spark):
+    """Web-scale posture: NULL html (failed fetch), empty bytes, and
+    undecodable garbage all take the skip-and-count path in every
+    extractor — never an exception (regression: payload_of crashed on
+    NULL before round 4)."""
+    bad = spark.createDataFrame(
+        [
+            (1, "https://x/changeset-dump/a", b"<not-xml"),
+            (2, "https://x/changeset-dump/b", b""),
+            (3, "https://x/changeset-dump/c", None),
+            (4, "https://x/changeset-dump/d", b"\xff\xfe garbage \x00bytes"),
+            (5, "https://x/element-history/e", None),
+        ],
+        "page_id long, url string, html binary",
+    )
+    assert extract.extract_changesets(bad).count() == 0
+    assert extract.extract_comments(bad).count() == 0
+    assert extract.extract_elements(bad).count() == 0
+    assert extract.payload_of(None) == b""
+    assert extract.payload_of(b"") == b""

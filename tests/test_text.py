@@ -517,3 +517,159 @@ def test_audio_features_hand_computed(spark):
     # flips: (-32,+56), (+56,-32), (+56,-32) → 3; (-32,0) and (0,+56) are not
     assert r["zero_cross"] == 3
     assert rows[2]["n_samples"] is None
+
+
+def test_repetition_scores_hand_computed(spark):
+    """Gopher repetition gates vs hand-worked counts on 'a b a b a c':
+    tokens a×3 b×2 c×1 → dup tokens 5/6; dup token chars 5/6 (all len 1);
+    2-grams: 'a b'×2, 'b a'×2, 'a c'×1 → top gram 'a b' (tie broken
+    lexicographically vs 'b a'), chars 2·2/6; dup gram chars (2+2)·2/6."""
+    from insights_spark.text.quality import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y z"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(df, gram_n=2).collect()}
+    assert set(rows) == {1, 2, 3}  # NULL text dropped, empty text kept
+    r = rows[1]
+    assert r["n_tokens"] == 6
+    assert r["dup_token_frac"] == pytest.approx(5 / 6)
+    assert r["dup_token_char_frac"] == pytest.approx(5 / 6)
+    assert r["top_gram_char_frac"] == pytest.approx(2 * 2 / 6)
+    assert r["dup_gram_char_frac"] == pytest.approx((2 + 2) * 2 / 6)
+    r2 = rows[2]  # no repetition at all
+    assert r2["n_tokens"] == 3
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_gram_char_frac"] == pytest.approx(2 / 3)  # 'x y' once ×2 chars
+    assert r2["dup_gram_char_frac"] == 0.0
+    r3 = rows[3]  # empty text → all-zero row, no NaNs
+    assert r3["n_tokens"] == 0 and r3["dup_token_frac"] == 0.0
+    assert r3["top_gram_char_frac"] == 0.0
+
+
+def test_boilerplate_flags_hand_computed(spark):
+    """Cross-doc duplicate segments flagged by df>=2: with seg_tokens=2,
+    docs 1 and 2 share segment 'nav bar'; doc 1's unique tail survives.
+    Within-doc repeats (doc 3) do NOT flag — df counts distinct docs."""
+    from insights_spark.text.clean import boilerplate_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav bar real content here"),   # segs: 'nav bar','real content','here'
+            (2, "nav bar other words"),          # segs: 'nav bar','other words'
+            (3, "same same same same"),          # segs: 'same same'×2 (one doc)
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            boilerplate_flags(df, seg_tokens=2, min_df=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_segs"] == 3
+    assert rows[1]["boiler_segs"] == 1
+    assert rows[1]["boiler_frac"] == pytest.approx(1 / 3)
+    assert rows[1]["kept_tokens"] == 3  # 'real content' + 'here'
+    assert rows[2]["boiler_segs"] == 1 and rows[2]["kept_tokens"] == 2
+    assert rows[3]["boiler_segs"] == 0 and rows[3]["kept_tokens"] == 4
+
+
+def test_frame_schedule_metadata_only(spark):
+    """frame_sample emits the decode schedule from metadata alone:
+    duration 3500 ms at 1000 ms cadence → frames 0,1,2 (ts 0,1000,2000);
+    duration 900 ms → one frame at 0; non-video rows dropped."""
+    from insights_spark.text.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [(1, "video", 3500), (2, "video", 900), (3, "audio", 5000)],
+        "media_id long, kind string, duration_ms int",
+    )
+    rows = sorted(
+        (r["media_id"], r["frame_idx"], r["ts_ms"])
+        for r in frame_sample(media, every_ms=1000).collect()
+    )
+    assert rows == [(1, 0, 0), (1, 1, 1000), (1, 2, 2000), (2, 0, 0)]
+
+
+def test_pii_scrub_hand_computed(spark):
+    """Email/phone/IPv4 detection + typed-token redaction; counts on the
+    original text; NULL text passes through untouched."""
+    from insights_spark.text.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@mail.example.org or (555) 010-1234"),
+            (2, "server 10.0.3.77 and 192.168.1.1 rebooted"),
+            (3, "no pii here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (1, 1, 0)
+    assert rows[1]["redacted"] == "mail me at <EMAIL> or <PHONE>"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) == (0, 0, 2)
+    assert rows[2]["redacted"] == "server <IP> and <IP> rebooted"
+    assert rows[3]["redacted"] == "no pii here"
+    assert rows[4]["n_emails"] is None and rows[4]["redacted"] is None
+
+
+def test_budget_select_hand_computed(spark):
+    """Quality order = uniq-token ratio desc, doc_id asc: doc 2 (ratio 1.0)
+    first, then doc 1 and doc 3 (both 0.5, id tiebreak). Budget 7 admits
+    docs 2 (cum 3) and 1 (cum 7); doc 3 (cum 11) is over; doc 4 empty."""
+    from insights_spark.text.clean import budget_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b b"),          # 4 toks, uniq 2/4
+            (2, "x y z"),            # 3 toks, uniq 1.0
+            (3, "c c d d"),          # 4 toks, uniq 2/4
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in budget_select(df, token_budget=7).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["cum_tokens"] == 3
+    assert rows[1]["cum_tokens"] == 7
+
+
+def test_classifier_score_hand_computed(spark):
+    """Linear scorer with an EXPLICIT weight table: doc 1 = a a b →
+    sw = 2·3 + (-5) = 1 → keep; doc 2 = b b → sw = -10 → drop; exact
+    score = sw / (97·n). OOV tokens (doc 3) carry no evidence (inner
+    join), and a fully-OOV doc is unscored like an empty one."""
+    from insights_spark.text.classify import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b b"), (3, "zz zz"), (4, None)],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame([("a", 3), ("b", -5)], "tok string, w long")
+    rows = {r["doc_id"]: r for r in classifier_score(docs, weights=w).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["keep"] is True and rows[2]["keep"] is False
+    assert rows[1]["score"] == pytest.approx(1 / (97 * 3), abs=0)
+    assert rows[2]["score"] == pytest.approx(-10 / (97 * 2), abs=0)
+
+
+def test_classifier_derived_weights_deterministic(spark):
+    """Vocab-derived weights are a pure function of token content: two
+    runs agree row-for-row, and weights stay within [-48, 48]."""
+    from insights_spark.text.classify import classifier_score, token_weight
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 7} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, classifier_score(docs).collect()))
+    b = sorted(map(tuple, classifier_score(docs).collect()))
+    assert a == b
+    ws = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok")).distinct()
+        .select(token_weight(F.col("tok")).alias("w")).collect()
+    )
+    assert all(-48 <= r["w"] <= 48 for r in ws)
