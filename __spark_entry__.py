@@ -1198,6 +1198,29 @@ def _q_classifier_score(spark, sf_dir):
     return classifier_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters → canonical survivors
+    (text/dedup.py:near_dup_clusters): MinHash-LSH pairs fed through the
+    generic star-contraction connected components (the same
+    star_cc_labels the tile regions use — O(log² n) rounds, state = the
+    shrinking edge list). Pairwise dedup is wrong under transitivity
+    (A~B, B~C must keep ONE doc); this is the step that makes it right."""
+    from insights_spark.text.dedup import minhash_near_dups, near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(d, minhash_near_dups(d, threshold=0.5))
+
+
+def _q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle (text/pack.py:
+    corpus_shuffle): content-stable hash order, global rank via the
+    shared two-phase distributed scan — the oracle's single-node
+    row_number() window is exactly the plan shape the operator avoids."""
+    from insights_spark.text.pack import corpus_shuffle
+
+    return corpus_shuffle(_t(spark, sf_dir, "documents"))
+
+
 def _q_country_insights(spark, sf_dir):
     """A10 — per-country building counts as-of a cutoff: latest version per
     (type, id) strictly before the month (J5 as-of), THEN the building/type/
@@ -1744,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "budget_select": _q_budget_select,
         "classifier_score": _q_classifier_score,
+        "dedup_clusters": _q_dedup_clusters,
+        "corpus_shuffle": _q_corpus_shuffle,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2900,6 +2925,31 @@ def oracle_sql() -> dict[str, str]:
                sw / (97.0 * n) AS score,
                sw > 0 AS keep
         FROM s
+    """
+    # CC oracle composes the minhash-pair SQL verbatim as a CTE, so the
+    # pair set under test is bit-identical to the minhash_lsh_pairs oracle
+    out["dedup_clusters"] = f"""
+        WITH RECURSIVE prs AS ({out["minhash_lsh_pairs"]}),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        edges AS (SELECT a AS src, b AS dst FROM prs
+                  UNION SELECT b AS src, a AS dst FROM prs),
+        reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT n.id AS doc_id, c.cluster_id,
+               n.id = c.cluster_id AS is_canonical
+        FROM nodes n
+        JOIN (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src) c
+          ON n.id = c.src
+    """
+    out["corpus_shuffle"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY
+                   ((doc_id % 2147483648) * 2654435761 + 17) % 1000000007,
+                   doc_id) - 1 AS BIGINT) AS shuffle_rank
+        FROM documents
     """
     out["frame_schedule"] = """
         WITH v AS (

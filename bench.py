@@ -85,6 +85,8 @@ HEADLINE = [
     "pii_scrub",
     "budget_select",
     "classifier_score",
+    "dedup_clusters",
+    "corpus_shuffle",
 ]
 
 

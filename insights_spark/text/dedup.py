@@ -474,3 +474,42 @@ def simhash_near_dups(
         .select(F.col("_id").alias("a"), F.col("_id2").alias("b"), "hamming")
     )
     return pairs
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_sweeps: int = 30,
+) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS → canonical survivors: the step
+    a real dedup pipeline runs after any pair generator (MinHash-LSH,
+    SimHash, embedding-LSH), because near-duplication is transitive in
+    practice — A~B and B~C must collapse to ONE kept document, which
+    pairwise drop-the-second logic gets wrong.
+
+    Connected components run via :func:`insights_spark.geo.vectorize.
+    star_cc_labels` (alternating large-star/small-star contraction,
+    Kiveris et al. — O(log² n) rounds on any topology, per-round state is
+    just the shrinking edge list, shuffles keyed on node id so AQE skew
+    handling applies). Cluster id = minimum doc id of the component;
+    the canonical survivor is the cluster-id doc itself (keep-first-
+    crawled). Docs in no pair are their own singleton cluster.
+
+    Output: (id, cluster_id, is_canonical) for EVERY input doc — the drop
+    set is `~is_canonical`, the mapping table is the whole output.
+    """
+    from ..geo.vectorize import star_cc_labels
+
+    edges = pairs.select(F.col(a_col).alias("id"), F.col(b_col).alias("nbr_id"))
+    labels, _ = star_cc_labels(edges, max_sweeps)
+    base = docs.select(F.col(id_col))
+    joined = base.join(labels.withColumnRenamed("id", id_col), id_col, "left")
+    cl = F.coalesce(F.col("label"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cl.cast("long").alias("cluster_id"),
+        (F.col(id_col) == cl).alias("is_canonical"),
+    )

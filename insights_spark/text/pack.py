@@ -126,3 +126,40 @@ def pack_sequences(
         (chunk_lo - F.col("_start")).cast("bigint").alias("tok_start"),
         (chunk_hi - chunk_lo).cast("bigint").alias("n_toks"),
     )
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 17,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    reproducible pseudo-random position (`shuffle_rank`, 0-based) — the
+    order a sequential writer emits pretraining examples in. Keyed on the
+    portable multiplicative id hash (content-stable: survives
+    repartitioning, re-ingestion order, appends — same property as
+    train_test_split), NOT on Spark's rand().
+
+    The global dense rank is a cumsum of ones in hash order through the
+    same two-phase distributed scan as pack_sequences (`global_cumsum`) —
+    never a single-partition ``row_number() OVER (ORDER BY …)``. At
+    100 TB the downstream writer does ``repartitionByRange(shuffle_rank)``
+    and writes; this table IS the shuffle.
+    """
+    # wrap-before-multiply keeps the product in int64 at 10^10-doc ids
+    # (identical values mod 1e9+7; see train_test_split for the argument)
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * 2654435761 + seed,
+        F.lit(1_000_000_007),
+    )
+    d = docs.select(F.col(id_col)).withColumn("_hk", h).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked = global_cumsum(
+        d, "_one", [F.asc("_hk"), F.asc(id_col)], out_col="_rank1",
+        partitions=partitions,
+    )
+    return ranked.select(
+        id_col, (F.col("_rank1") - 1).cast("long").alias("shuffle_rank")
+    )

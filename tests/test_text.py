@@ -673,3 +673,32 @@ def test_classifier_derived_weights_deterministic(spark):
         .select(token_weight(F.col("tok")).alias("w")).collect()
     )
     assert all(-48 <= r["w"] <= 48 for r in ws)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C collapse to one cluster labeled min id; D~E a second;
+    F (no pair) is its own singleton canonical."""
+    from insights_spark.text.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long")
+    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, pairs).collect()}
+    assert {i: rows[i]["cluster_id"] for i in rows} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    assert [i for i in sorted(rows) if rows[i]["is_canonical"]] == [1, 4, 6]
+
+
+def test_corpus_shuffle_deterministic_permutation(spark):
+    """shuffle_rank is a permutation of 0..n-1, identical across runs and
+    across input partitioning, and genuinely shuffled (not id order)."""
+    from insights_spark.text.pack import corpus_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(docs).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in corpus_shuffle(docs.repartition(7)).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(200))
+    assert [a[i] for i in range(200)] != list(range(200))
