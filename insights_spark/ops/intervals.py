@@ -103,12 +103,22 @@ def interval_join(
     overlap = (F.col("a_start") <= F.col("b_end")) & (
         F.col("b_start") <= F.col("a_end")
     )
+    # canonical-chunk rule instead of distinct(): a pair replicated into
+    # several shared chunks emits ONLY from the chunk containing the
+    # overlap's start (max of the two starts) — exactly-once by
+    # construction, saving a full dedup shuffle on the pair set
+    canonical = (
+        F.floor(
+            F.greatest(F.col("a_start"), F.col("b_start"))
+            .cast("timestamp").cast("long") / chunk_seconds
+        )
+        == F.col("chunk")
+    )
     return (
         l.join(r, "chunk")
-        .filter(overlap)
+        .filter(overlap & canonical)
         .select(
             F.col("a_id").alias("a"), F.col("b_id").alias("b"),
             "a_start", "b_start",
         )
-        .distinct()
     )

@@ -214,3 +214,84 @@ def stream_source_cap(
             cap_fn, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    max_span_seconds: int,
+    watermark: str = "1 hour",
+    chunk_seconds: int | None = None,
+    left_cols: tuple[str, str, str] = ("id", "start_ts", "end_ts"),
+    right_cols: tuple[str, str, str] = ("id", "start_ts", "end_ts"),
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval-overlap join — the streaming
+    twin of ``ops.intervals.interval_join`` (same pin discipline as
+    session_stream↔sessionize): two live interval feeds, emit (a, b)
+    once both sides have arrived, expire state at the watermark horizon.
+
+    Two Structured-Streaming constraints shape this:
+
+    * stream-stream joins REQUIRE an equality predicate — supplied by the
+      SAME chunk bucketing as the batch operator (explode into
+      ``chunk_seconds`` buckets, join on chunk id), with the batch
+      operator's canonical-chunk rule (emit only from the chunk holding
+      max(a_start, b_start)) giving exactly-once output with no
+      streaming-side dedup state;
+    * state expiry needs a time RANGE between the two event-time columns
+      — hence the bounded-span CONTRACT ``end - start <=
+      max_span_seconds`` (violating rows are dropped here, loudly; the
+      batch operator has no such bound), which makes overlap imply
+      ``b_start ∈ [a_start - S, a_start + S]``. State per side is then
+      bounded by rows within watermark + S of the stream clock.
+
+    Output: (a, b, a_start, b_start) — the batch operator's columns;
+    membership parity on contract-compliant data is pytest-pinned.
+    """
+    s = int(max_span_seconds)
+    chunk = int(chunk_seconds or max_span_seconds)
+    span = F.expr(f"INTERVAL {s} SECONDS")
+
+    def shape(df, cols, side):
+        idc, sc, ec = cols
+        st, en = f"{side}_start", f"{side}_end"
+        shaped = (
+            df.select(
+                F.col(idc).alias(side),
+                F.col(sc).cast("timestamp").alias(st),
+                F.col(ec).cast("timestamp").alias(en),
+            )
+            # empty-interval rule (match batch) + the bounded-span contract
+            .filter(
+                (F.col(en) >= F.col(st)) & (F.col(en) <= F.col(st) + span)
+            )
+            .withWatermark(st, watermark)
+        )
+        c0 = F.floor(F.col(st).cast("long") / chunk)
+        c1 = F.floor(F.col(en).cast("long") / chunk)
+        return shaped.select(
+            side, st, en, F.explode(F.sequence(c0, c1)).alias(f"_{side}chunk")
+        )
+
+    l = shape(left_stream, left_cols, "a")
+    r = shape(right_stream, right_cols, "b")
+    canonical = (
+        F.floor(
+            F.greatest(F.col("a_start"), F.col("b_start")).cast("long") / chunk
+        )
+        == F.col("_achunk")
+    )
+    cond = (
+        (F.col("_achunk") == F.col("_bchunk"))
+        # state-bounding range between the two WATERMARKED columns
+        & (F.col("b_start") >= F.col("a_start") - span)
+        & (F.col("b_start") <= F.col("a_start") + span)
+        # exact overlap (inclusive ends, identical to the batch operator)
+        & (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .filter(canonical)
+        .select("a", "b", "a_start", "b_start")
+    )

@@ -237,3 +237,61 @@ def test_stream_source_cap_single_batch_equals_batch_twin(spark, tmp_path):
     want = {(r["source"], r["doc_id"])
             for r in per_source_cap_arrival(docs, 5).collect()}
     assert got == want and len(want) == 15
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join == batch interval_join on
+    bounded-span data: same (a, b) pair set, both directions of overlap,
+    degenerate (end < start) rows matching nothing."""
+    from insights_spark.ops.intervals import interval_join
+    from insights_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(120)], "event_id long"
+    ).select(
+        "event_id",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(mins=(F.col("event_id") * 13) % 240)
+         ).alias("start_ts"),
+    ).withColumn(
+        "end_ts",
+        F.col("start_ts") + F.make_dt_interval(mins=F.pmod("event_id", F.lit(7)) + 1),
+    )
+    left = base.filter(F.pmod("event_id", F.lit(2)) == 0)
+    right = base.filter(F.pmod("event_id", F.lit(2)) == 1)
+
+    expect = {
+        (r["a"], r["b"])
+        for r in interval_join(
+            left, right,
+            left_cols=("event_id", "start_ts", "end_ts"),
+            right_cols=("event_id", "start_ts", "end_ts"),
+        ).select("a", "b").collect()
+    }
+    assert len(expect) > 50  # non-vacuous fixture
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    schema = "event_id long, start_ts timestamp, end_ts timestamp"
+    q = (
+        ingest.stream_interval_join(
+            spark.readStream.schema(schema).parquet(ldir),
+            spark.readStream.schema(schema).parquet(rdir),
+            max_span_seconds=8 * 60,
+            left_cols=("event_id", "start_ts", "end_ts"),
+            right_cols=("event_id", "start_ts", "end_ts"),
+        )
+        .writeStream.format("memory")
+        .queryName("ivj_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["a"], r["b"])
+        for r in spark.sql("SELECT a, b FROM ivj_stream_test").collect()
+    }
+    assert got == expect
