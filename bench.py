@@ -20,9 +20,9 @@ per-pass sums so a contended window is visible in the artifact itself.
 SCALE STEP (r4): after the sf0.1 suite, the same queries run at sf1 (a
 deterministic 10× derivation of sf0.1 — tools/make_sf1.py, generated on
 first use), min-of-2 under its own wall-clock budget
-($SPARK_GRAFT_SF1_BUDGET, default 180 s — the quiet-window sf1 pass costs
-~60 s after the r4 split-sizing/auto-res/matmul-gate fixes;
-$SPARK_GRAFT_SF1=0 disables).
+($SPARK_GRAFT_SF1_BUDGET, default 240 s — the quiet-window sf1 pass costs
+~100 s after the r4 split-sizing/auto-res/matmul-gate fixes and with the
+11 round-4 text-pipeline queries included; $SPARK_GRAFT_SF1=0 disables).
 The JSON grows `queries_sf1`, `scaling_sf1` (per-query sf1/sf0.1 ratio;
 ~10 ≈ linear in data) and `sf1_excluded` — queries whose OUTPUT is
 super-linear by construction are excluded with named reasons, never
@@ -176,7 +176,7 @@ def main() -> None:
         _spec.loader.exec_module(_m)
         sf1_dir = _m.ensure(
             os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
-        sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "180"))
+        sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
         sf1_t0 = time.perf_counter()
         todo = [n for n in HEADLINE if n not in sf1_excluded]
         todo.append("cos_near_dups_lsh_g10")
