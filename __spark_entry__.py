@@ -1221,6 +1221,22 @@ def _q_corpus_shuffle(spark, sf_dir):
     return corpus_shuffle(_t(spark, sf_dir, "documents"))
 
 
+def _q_minhash_vs_index(spark, sf_dir):
+    """Incremental cross-corpus near-dedup (text/dedup.py:
+    minhash_vs_index): a new batch (doc_id ≡ 0 mod 3) checked against the
+    existing corpus's signature index (the rest) — band-bucket join,
+    signature-estimated Jaccard verify, indexed text never re-read."""
+    from insights_spark.text.dedup import minhash_signature_np, minhash_vs_index
+
+    sigs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", minhash_signature_np()(F.col("text")).alias("sig"))
+    )
+    batch = sigs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    index = sigs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    return minhash_vs_index(batch, index, threshold=0.5)
+
+
 def _q_country_insights(spark, sf_dir):
     """A10 — per-country building counts as-of a cutoff: latest version per
     (type, id) strictly before the month (J5 as-of), THEN the building/type/
@@ -1769,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _q_classifier_score,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_shuffle": _q_corpus_shuffle,
+        "minhash_vs_index": _q_minhash_vs_index,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2943,6 +2960,42 @@ def oracle_sql() -> dict[str, str]:
         FROM nodes n
         JOIN (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src) c
           ON n.id = c.src
+    """
+    _mvi_band = (
+        "SELECT doc_id, {b} AS band, sig[{lo}:{hi}] AS key, sig "
+        "FROM live WHERE doc_id % 3 {op} 0"
+    )
+    _mvi_batch = " UNION ALL ".join(
+        _mvi_band.format(b=b, lo=b * 4 + 1, hi=b * 4 + 4, op="=")
+        for b in range(4)
+    )
+    _mvi_index = " UNION ALL ".join(
+        _mvi_band.format(b=b, lo=b * 4 + 1, hi=b * 4 + 4, op="!=")
+        for b in range(4)
+    )
+    out["minhash_vs_index"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tok) >= 3 THEN list_distinct(list_transform(
+                   range(1, len(tok) - 1), i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [] END AS gs
+          FROM toks),
+        gh AS (SELECT doc_id, list_transform(gs, g -> {_POLY_HASH.format(s='g')})
+                 AS hs
+               FROM grams),
+        sig AS (SELECT doc_id, [{sig16}] AS sig FROM gh),
+        live AS (SELECT doc_id, sig FROM sig WHERE sig[1] != 1000000007),
+        ba AS ({_mvi_batch}),
+        bx AS ({_mvi_index}),
+        cand AS (SELECT ba.doc_id AS a, bx.doc_id AS b,
+                        any_value(ba.sig) AS sa, any_value(bx.sig) AS sb
+                 FROM ba JOIN bx USING (band, key) GROUP BY 1, 2)
+        SELECT a, b,
+               len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0
+                 AS est_jaccard
+        FROM cand
+        WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5
     """
     out["corpus_shuffle"] = """
         SELECT doc_id,

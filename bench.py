@@ -87,6 +87,7 @@ HEADLINE = [
     "classifier_score",
     "dedup_clusters",
     "corpus_shuffle",
+    "minhash_vs_index",
 ]
 
 

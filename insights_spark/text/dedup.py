@@ -513,3 +513,70 @@ def near_dup_clusters(
         cl.cast("long").alias("cluster_id"),
         (F.col(id_col) == cl).alias("is_canonical"),
     )
+
+
+def minhash_vs_index(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    batch_id: str = "doc_id",
+    index_id: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Incremental near-dedup: NEW documents against an EXISTING corpus's
+    stored MinHash signature index — the cross-corpus step the corpus job
+    runs per ingest batch (its exact-hash anti-join catches verbatim
+    copies; this catches near-copies) without ever re-reading indexed
+    TEXT: the index side is num_hashes longs per doc (~128 B), so the
+    verify is signature-estimated Jaccard (equal-position fraction — the
+    unbiased MinHash estimator), the standard at-scale compromise when
+    the corpus text is cold storage.
+
+    Shape: both sides explode into (band, slice) keys; ONE bucket-keyed
+    equi-join (shuffle bounded by touched buckets — a batch touches
+    O(batch × bands) buckets, never the whole index); candidate pairs
+    dedup by (a, b); estimator is exact integer arithmetic (count of
+    equal positions / num_hashes, one division) so the oracle reproduces
+    it bit-for-bit. All-sentinel (gram-less) docs drop up front — they
+    would bucket-collide with every other empty doc and verify at 1.0
+    despite sharing no content.
+
+    Output: (a = batch id, b = index id, est_jaccard ≥ threshold).
+    """
+    rpb = num_hashes // bands
+
+    def banded(df, idc, side):
+        s = df.filter(F.element_at(sig_col, 1) != MOD).select(
+            F.col(idc).alias(side), F.col(sig_col).alias(f"_{side}sig")
+        )
+        slices = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice(f"_{side}sig", b * rpb + 1, rpb).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return s.select(
+            side, f"_{side}sig", F.explode(slices).alias("_b")
+        ).select(side, f"_{side}sig", "_b.band", "_b.key")
+
+    cand = (
+        banded(batch_sigs, batch_id, "a")
+        .join(banded(index_sigs, index_id, "b"), ["band", "key"])
+        .groupBy("a", "b")
+        .agg(F.first("_asig").alias("_asig"), F.first("_bsig").alias("_bsig"))
+    )
+    eq = F.aggregate(
+        F.zip_with("_asig", "_bsig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", eq / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )

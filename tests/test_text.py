@@ -702,3 +702,27 @@ def test_corpus_shuffle_deterministic_permutation(spark):
     assert a == b
     assert sorted(a.values()) == list(range(200))
     assert [a[i] for i in range(200)] != list(range(200))
+
+
+def test_minhash_vs_index_hand_checked(spark):
+    """Cross-corpus near-dup via stored signatures only: identical text
+    across batch/index estimates 1.0; disjoint text never pairs; a
+    gram-less doc (sentinel signature) pairs with nothing."""
+    from insights_spark.text.dedup import minhash_signature_np, minhash_vs_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about spark shuffles here"),
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "unrelated content entirely on another topic for sure"),
+            (12, "xy"),  # < 3 tokens -> no grams -> sentinel
+        ],
+        "doc_id long, text string",
+    )
+    sigs = docs.select(
+        "doc_id", minhash_signature_np()(F.col("text")).alias("sig"))
+    batch = sigs.filter(F.col("doc_id") < 10)
+    index = sigs.filter(F.col("doc_id") >= 10)
+    rows = minhash_vs_index(batch, index, threshold=0.5).collect()
+    assert [(r["a"], r["b"], r["est_jaccard"]) for r in rows] == [(1, 10, 1.0)]
