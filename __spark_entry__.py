@@ -441,6 +441,31 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (text/rank.py) with the rational (log-free)
+    Robertson idf and a sorted-fold score sum, so the oracle reproduces
+    every double bit-for-bit. The query is the deterministic df-band pick
+    (8 heaviest terms with df ≤ 50) — self-contained, no literals the
+    oracle can't derive."""
+    from insights_spark.text.rank import bm25_scores, query_terms_by_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, query_terms_by_df(docs, n_terms=8, max_df=50))
+
+
+def _q_containment(spark, sf_dir):
+    """Directed word-3-gram containment pairs ≥ 0.6 (quote-inclusion
+    near-dup — text/dedup.py:containment_pairs): the pattern Jaccard
+    structurally misses (short doc pasted inside a long one). Same gram
+    machinery and df-cap as ngram_jaccard; denominator is |grams(a)|
+    alone and BOTH directions are kept."""
+    from insights_spark.text.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_gram_df=50
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """Similarity search: exact cosine top-5 (sequential-fold dot product)."""
     from insights_spark.text.simsearch import cosine_topk
@@ -918,6 +943,21 @@ def _q_hex_cells(spark, sf_dir):
     return pts.groupBy(
         cells.hex_udf(6, use_h3=False)(F.col("lon"), F.col("lat")).alias("h3_r6")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_hex_smooth(spark, sf_dir):
+    """Ring-1 focal smoothing + hotspot flag over the hex res-6 rollup
+    (geo/smooth.py). Neighbor ids are pure BIGINT arithmetic on the packed
+    axial id, so the oracle replicates the whole pass — encoding, focal
+    sum, smoothed mean, integer hotspot gate — bit-for-bit."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.smooth import hex_focal_smooth
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(6, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hex_focal_smooth(counts, cell_col="cell", cnt_col="n")
 
 
 def _q_knn_cell_local(spark, sf_dir):
@@ -1786,6 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "corpus_shuffle": _q_corpus_shuffle,
         "minhash_vs_index": _q_minhash_vs_index,
+        "hex_smooth": _q_hex_smooth,
+        "containment": _q_containment,
+        "bm25": _q_bm25,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2996,6 +3039,88 @@ def oracle_sql() -> dict[str, str]:
                  AS est_jaccard
         FROM cand
         WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5
+    """
+    out["bm25"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents
+                      WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM toks),
+        stats AS (SELECT CAST(sum(dl) AS BIGINT) / count(*) AS avgdl,
+                         CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        dterms AS (SELECT doc_id, unnest(list_distinct(tok)) AS term FROM toks),
+        alldf AS (SELECT term, count(*) AS df FROM dterms GROUP BY 1),
+        qterms AS (SELECT term FROM alldf WHERE df <= 50
+                   ORDER BY df DESC, term ASC LIMIT 8),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(tok) AS term FROM toks)
+               JOIN qterms USING (term) GROUP BY 1, 2),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        w AS (SELECT t.doc_id,
+                     ((n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                     * ((t.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                        (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * (dl.dl / stats.avgdl)))) AS w
+              FROM tf t JOIN dfs d USING (term)
+                   JOIN dl ON t.doc_id = dl.doc_id, stats)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w))),
+                           (a, c) -> a + c) AS score
+        FROM w GROUP BY doc_id
+    """
+    out["containment"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        grams0 AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(tok) - 1),
+                   i -> array_to_string(tok[i:i+2], ' ')))) AS gram
+          FROM toks WHERE len(tok) >= 3),
+        keep AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 50),
+        grams AS (SELECT grams0.doc_id, grams0.gram
+                  FROM grams0 JOIN keep USING (gram)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+                  FROM grams g1 JOIN grams g2 USING (gram)
+                  WHERE g1.doc_id != g2.doc_id GROUP BY 1, 2)
+        SELECT a, b, i::DOUBLE / sa.sz AS containment
+        FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        WHERE i::DOUBLE / sa.sz >= 0.6
+    """
+    out["hex_smooth"] = f"""
+        WITH pts AS ({_EV_PTS}),
+        hx AS (SELECT event_id,
+                      ({hx_c1} * lon - lat / 3.0) / {hx_size} AS qf,
+                      ({hx_c2} * lat) / {hx_size} AS rf
+               FROM pts),
+        cr AS (SELECT event_id, qf, rf,
+                      floor(qf + 0.5) AS rx0,
+                      floor(-qf - rf + 0.5) AS ry0,
+                      floor(rf + 0.5) AS rz0
+               FROM hx),
+        fx AS (SELECT event_id, rx0, ry0, rz0,
+                      abs(rx0 - qf) AS dx,
+                      abs(ry0 - (-qf - rf)) AS dy,
+                      abs(rz0 - rf) AS dz
+               FROM cr),
+        qr AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0
+                           ELSE rx0 END AS BIGINT) AS q,
+                      CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                           THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS r
+               FROM fx),
+        cnts AS (SELECT 6 * 72057594037927936
+                      + (q + 67108864) * 268435456
+                      + (r + 67108864) AS cell,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM qr GROUP BY 1),
+        contrib AS (SELECT cell + off AS t, n
+                    FROM cnts, unnest([0::BIGINT, 268435456, -268435456,
+                                       1, -1, 268435455, -268435455])
+                         AS u(off)),
+        ring AS (SELECT t, CAST(sum(n) AS BIGINT) AS ring_sum,
+                        CAST(count(*) AS BIGINT) AS ring_cells
+                 FROM contrib GROUP BY t)
+        SELECT c.cell, c.n, r.ring_sum, r.ring_cells,
+               r.ring_sum / 7.0 AS smoothed,
+               c.n * (r.ring_cells - 1) >= 2 * (r.ring_sum - c.n) AS is_hot
+        FROM cnts c JOIN ring r ON c.cell = r.t
     """
     out["corpus_shuffle"] = """
         SELECT doc_id,

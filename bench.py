@@ -88,6 +88,9 @@ HEADLINE = [
     "dedup_clusters",
     "corpus_shuffle",
     "minhash_vs_index",
+    "hex_smooth",
+    "containment",
+    "bm25",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Hex-grid focal smoothing + hotspot detection over cell rollups.
+
+The raster-analysis sibling of the z/x/y tile pyramid (geo/tiles.py) on
+the hex grid: given a per-cell count table (the output shape of the
+hex_cells rollup), compute for every occupied cell the ring-1 focal sum
+(the cell plus its six axial neighbors), the smoothed density, and a
+hotspot flag — the Getis-Ord-style "is this cell hot relative to its
+neighborhood" primitive behind edit-density heatmaps and anomaly maps
+(reference renders per-region density tables: insights/README.md "mapping
+activity", galaxy-api project_stats; the focal/neighbor formulation is
+the raster generalization Spark can run at planet scale).
+
+Why this is cheap and exact: the axial cell id packs (res, q, r) as
+``(res << 56) | ((q + 2^26) << 28) | (r + 2^26)`` (geo/cells.py:170), so
+the six ring-1 neighbors are ``cell + dq*2^28 + dr`` for the axial offset
+set {(1,0),(-1,0),(0,1),(0,-1),(1,-1),(-1,1)} — pure BIGINT arithmetic,
+codegen'd JVM-side, replicated verbatim by the ANSI-SQL oracle. No UDF,
+no geometry library.
+
+Scale posture (100 TB): the input is already the per-cell rollup —
+bounded by the number of OCCUPIED cells, orders of magnitude smaller than
+the event table. The focal pass is one 7× explode of that rollup plus ONE
+shuffle keyed on the target cell id, then an inner join back to occupied
+cells (same key, co-partitioned by AQE). Halo targets (neighbors that
+hold no events) are dropped by the inner join — focal sums treat absent
+cells as 0 either way, so the drop loses nothing. Field overflow in the
+packed id cannot occur for |q|,|r| < 2^26 - 1, which the encoder
+guarantees for all finite lon/lat at res ≤ 15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ring-1 axial offsets — the cell itself plus its six hex neighbors
+RING1 = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+
+
+def hex_focal_smooth(
+    cell_counts: DataFrame,
+    cell_col: str = "cell",
+    cnt_col: str = "n",
+    hot_num: int = 2,
+    hot_den: int = 1,
+) -> DataFrame:
+    """Ring-1 focal sum, smoothed density, and hotspot flag per occupied cell.
+
+    Input: one row per occupied hex cell — (cell_col: BIGINT packed axial
+    id, cnt_col: BIGINT count). Output per input cell:
+
+    - ``n``          the cell's own count (passthrough)
+    - ``ring_sum``   Σ counts over the cell + its 6 axial neighbors
+                     (absent neighbors contribute 0)
+    - ``ring_cells`` how many of those 7 positions are occupied (≥ 1)
+    - ``smoothed``   ring_sum / 7.0 — the focal mean over the full ring
+                     footprint (ONE IEEE division of two exact integers,
+                     so the oracle reproduces it bit-for-bit)
+    - ``is_hot``     the cell holds at least hot_num/hot_den× the mean
+                     count of its occupied NEIGHBORS (self excluded —
+                     Getis-Ord G_i* style contrast): ``n·(ring_cells-1)
+                     ·hot_den ≥ hot_num·(ring_sum-n)``, an INTEGER
+                     cross-product so the flag is float-free. An isolated
+                     cell (no occupied neighbors, 0 ≥ 0) is hot by
+                     definition: a lone spike in empty space is the
+                     sharpest contrast there is.
+
+    The contribution view is symmetric (the offset set is closed under
+    negation): exploding each source cell's count to its 7 ring positions
+    and summing by target is exactly "each target's ring sum over
+    sources" — one explode, one shuffle.
+    """
+    src = cell_counts.select(
+        F.col(cell_col).cast("long").alias("_c"),
+        F.col(cnt_col).cast("long").alias("_n"),
+    )
+    targets = F.array(
+        *[
+            F.col("_c") + F.lit(dq * (1 << 28) + dr).cast("long")
+            for (dq, dr) in RING1
+        ]
+    )
+    contrib = src.select(
+        F.explode(targets).alias("_t"), F.col("_n").alias("_contrib")
+    )
+    ring = contrib.groupBy("_t").agg(
+        F.sum("_contrib").alias("ring_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("ring_cells"),
+    )
+    return (
+        src.join(ring, src["_c"] == ring["_t"])
+        .select(
+            F.col("_c").alias(cell_col),
+            F.col("_n").alias("n"),
+            F.col("ring_sum"),
+            F.col("ring_cells"),
+            (F.col("ring_sum") / F.lit(7.0)).alias("smoothed"),
+            (
+                F.col("_n") * (F.col("ring_cells") - 1) * F.lit(hot_den)
+                >= F.lit(hot_num) * (F.col("ring_sum") - F.col("_n"))
+            ).alias("is_hot"),
+        )
+    )

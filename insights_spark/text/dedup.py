@@ -580,3 +580,60 @@ def minhash_vs_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Directed n-gram containment: C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|.
+
+    The quote-inclusion detector Jaccard structurally misses: a short doc
+    pasted verbatim inside a much longer one has containment ≈ 1.0 while
+    Jaccard ≈ |a|/|b| ≈ 0 (the reference problem in web-corpus dedup —
+    boilerplate-wrapped syndicated articles, quoted posts; cf. Broder's
+    resemblance vs containment distinction). Output: (a, b, containment)
+    with a ≠ b, containment ≥ threshold — DIRECTED, so a ⊂ b and b ⊂ a
+    both emit when both clear the bar (mutual containment ≈ Jaccard ≈ 1).
+
+    Shape: identical to ngram_jaccard_pairs — one Arrow gram pass
+    (persisted: feeds both join sides + sizes), gram-keyed equi-join so
+    pairs sharing zero grams never materialize, ONE (a,b) rollup; the
+    only differences are the denominator (|a| alone) and keeping both
+    directions instead of a < b. ``max_gram_df`` is the same stop-gram
+    guard — containment is then over df-capped gram sets. Docs with no
+    grams (< n tokens) cannot appear on either side: a zero denominator
+    is undefined, not 100%-contained.
+    """
+    ga = df.select(
+        F.col(id_col).alias("a"), word_ngrams_np(n)(F.col(text_col)).alias("_grams")
+    ).persist()
+    g = ga.select("a", F.explode("_grams").alias("gram"))
+    if max_gram_df is not None:
+        hot = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        g = g.join(hot, "gram", "left_anti").persist()
+        sizes = g.groupBy("a").agg(F.count(F.lit(1)).alias("size_a"))
+    else:
+        sizes = ga.select("a", F.size("_grams").alias("size_a"))
+    g2 = g.select(F.col("a").alias("b"), F.col("gram"))
+    inter = (
+        g.join(g2, "gram")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes, "a")
+        .withColumn("containment", F.col("inter") / F.col("size_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )

@@ -564,3 +564,45 @@ def test_geohash_known_vectors_and_sql_parity(spark):
         f"SELECT {cells.geohash_sql(repr(lon), repr(lat), 6)}").fetchone()[0]
         for lon, lat in sweep]
     assert spark_gh == duck_gh
+
+
+def test_hex_focal_smooth_brute_force(spark):
+    """Ring-1 focal sums match a python brute force over random occupied
+    cells, including cluster interiors (7 occupied neighbors), edges, and
+    isolated cells (ring_cells == 1, is_hot trivially true)."""
+    import random
+
+    from insights_spark.geo.cells import hex_encode, hex_ring_ids
+    from insights_spark.geo.smooth import hex_focal_smooth
+
+    rng = random.Random(41)
+    occupied = {}
+    # a dense blob + scattered singletons so every ring_cells regime occurs
+    for dq in range(-2, 3):
+        for dr in range(-2, 3):
+            occupied[hex_encode(6, dq, dr)] = rng.randint(1, 50)
+    for _ in range(40):
+        occupied[hex_encode(6, rng.randint(-40, 40), rng.randint(-40, 40))] = (
+            rng.randint(1, 50)
+        )
+    df = spark.createDataFrame(
+        [(c, n) for c, n in occupied.items()], "cell long, n long"
+    )
+    got = {
+        r["cell"]: r
+        for r in hex_focal_smooth(df, cell_col="cell", cnt_col="n").collect()
+    }
+    assert set(got) == set(occupied)
+    for c, n in occupied.items():
+        ring = [x for x in hex_ring_ids(c, 1) if x in occupied]
+        want_sum = sum(occupied[x] for x in ring)
+        r = got[c]
+        assert r["n"] == n
+        assert r["ring_sum"] == want_sum, c
+        assert r["ring_cells"] == len(ring)
+        assert r["smoothed"] == want_sum / 7.0
+        assert r["is_hot"] == (n * (len(ring) - 1) >= 2 * (want_sum - n))
+    iso = [r for r in got.values() if r["ring_cells"] == 1]
+    dense = [r for r in got.values() if r["ring_cells"] == 7]
+    assert iso and dense  # both regimes actually exercised
+    assert all(r["is_hot"] for r in iso)

@@ -726,3 +726,94 @@ def test_minhash_vs_index_hand_checked(spark):
     index = sigs.filter(F.col("doc_id") >= 10)
     rows = minhash_vs_index(batch, index, threshold=0.5).collect()
     assert [(r["a"], r["b"], r["est_jaccard"]) for r in rows] == [(1, 10, 1.0)]
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc pasted verbatim inside a much longer one: containment
+    a→b is 1.0 (caught) while Jaccard is far below any usable threshold
+    (structurally missed); the reverse direction b→a stays small; docs
+    sharing no grams never pair."""
+    from insights_spark.text.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "the sharded index rebuild finished ahead of schedule tonight"
+    filler = " ".join(f"w{i} token{i * 7 % 13}x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("w", "v")),
+            (3, "entirely unrelated content about tide tables and gulls"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # same pair, Jaccard: |a| grams all shared but |b| dwarfs them
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_mutual_and_df_cap(spark):
+    """Near-identical docs emit BOTH directed rows; the df-cap removes
+    grams shared by too many docs from numerator and denominator alike
+    (capped containment is computed over the surviving gram sets)."""
+    from insights_spark.text.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(1, 4)] + [(9, base + " extra tail words here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, threshold=0.9).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    for x in (1, 2, 3):
+        for y in (1, 2, 3):
+            if x != y:
+                assert (x, y) in pairs
+    # cap at df<=3: the 8 base grams occur in 4 docs -> dropped; only doc
+    # 9's tail grams survive, shared with nobody -> no pairs at all
+    assert containment_pairs(docs, threshold=0.1, max_gram_df=3).collect() == []
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 scores match a python re-derivation of the exact formula
+    (rational idf, sorted-fold sum) on a tiny corpus; docs with no query
+    term are absent; repeated terms raise tf but saturate via k1."""
+    from insights_spark.text.rank import bm25_scores
+
+    texts = {
+        1: "spark shuffle spark join",
+        2: "spark only once here with padding words",
+        3: "nothing relevant at all",
+        4: "join join join join",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    q = spark.createDataFrame([("spark",), ("join",)], "term string")
+    got = {r["doc_id"]: r for r in bm25_scores(docs, q).collect()}
+
+    k1, b = 1.2, 0.75
+    dl = {d: len(t.split()) for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(dl.values()) / n
+    tf = {(1, "spark"): 2, (1, "join"): 1, (2, "spark"): 1, (4, "join"): 4}
+    df = {"spark": 2, "join": 2}
+    want = {}
+    for d in texts:
+        ws = []
+        for t in ("spark", "join"):
+            if (d, t) in tf:
+                idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+                x = tf[(d, t)]
+                ws.append(idf * (x * (k1 + 1.0)) /
+                          (x + k1 * (1.0 - b + b * (dl[d] / avgdl))))
+        if ws:
+            s = 0.0
+            for v in sorted(ws):
+                s += v
+            want[d] = (len(ws), s)
+    assert set(got) == set(want) == {1, 2, 4}
+    for d, (nt, s) in want.items():
+        assert got[d]["n_terms"] == nt
+        assert got[d]["score"] == s, d  # bit-exact, not approx
