@@ -466,6 +466,51 @@ def _q_containment(spark, sf_dir):
     )
 
 
+def _q_url_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-key latest-wins dedup
+    (text/urls.py). The corpus tables carry no url column, so the query
+    PLANTS deterministic messy spellings (same precedent as pii_scrub's
+    planted PII — the fixture must be non-vacuous): three docs share each
+    logical page, decorated per variant with an uppercase host + default
+    port + trailing slash + fragment, or tracking params in shuffled
+    order. All three spellings canonicalize to one key; warc_ts is a
+    deterministic fetch time (doc_id-minute offsets)."""
+    from insights_spark.text.urls import url_dedup
+
+    page = F.expr("doc_id DIV 3").cast("string")
+    variant = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://www.example.com/articles/"), page,
+                F.lit("?id="), page,
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://www.Example.COM:443/articles/"), page,
+                F.lit("/?utm_source=feed&id="), page, F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com/articles/"), page,
+                F.lit("?utm_campaign=x&id="), page,
+            )
+        )
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(1609459200) + F.col("doc_id") * F.lit(60)
+        ).alias("warc_ts"),
+    )
+    return url_dedup(pages)
+
+
 def _q_ann_topk(spark, sf_dir):
     """Similarity search: exact cosine top-5 (sequential-fold dot product)."""
     from insights_spark.text.simsearch import cosine_topk
@@ -953,11 +998,31 @@ def _q_hex_smooth(spark, sf_dir):
     from insights_spark.geo import cells
     from insights_spark.geo.smooth import hex_focal_smooth
 
+    # res 1, NOT the res-6 rollup res: the derived points sit ~2.5° apart,
+    # so finer grids make every ring a singleton (a vacuous fixture);
+    # res-1 cells hold ~6 points and rings are genuinely occupied.
     pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
     counts = pts.groupBy(
-        cells.hex_udf(6, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+        cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
     ).agg(F.count(F.lit(1)).alias("n"))
     return hex_focal_smooth(counts, cell_col="cell", cnt_col="n")
+
+
+def _q_cell_clusters(spark, sf_dir):
+    """Grid DBSCAN over the hex res-1 rollup (geo/cluster.py): core cells
+    (n ≥ 8) connected through ring-1 axial adjacency via star-contraction
+    CC, border cells attached to the min neighboring cluster, noise
+    dropped. Everything after the one point→cell rollup runs on the
+    bounded occupied-cell table; the oracle replays adjacency + components
+    with a recursive CTE over the same BIGINT neighbor arithmetic."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.cluster import cell_dbscan
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cell_dbscan(counts, minpts=8)
 
 
 def _q_knn_cell_local(spark, sf_dir):
@@ -1829,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_smooth": _q_hex_smooth,
         "containment": _q_containment,
         "bm25": _q_bm25,
+        "cell_clusters": _q_cell_clusters,
+        "url_dedup": _q_url_dedup,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -1905,6 +1972,44 @@ _POLY_HASH = (
 _TOKENS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 )
+
+
+def _hex_cnts_sql(res: int) -> str:
+    """CTE chain ``pts → … → cnts`` replicating geo.cells' axial hex
+    encode at ``res`` plus the per-cell count — the bit-exact SQL twin of
+    ``cells.hex_udf(res, use_h3=False)`` over the derived event points
+    (shared by the hex_smooth and cell_clusters oracles). Constants come
+    from the kernel itself via repr round-trip."""
+    from insights_spark.geo import cells as _cells
+
+    c1 = repr(_cells._SQRT3 / 3.0)
+    c2 = repr(2.0 / 3.0)
+    size = repr(_cells.hex_edge_deg(res))
+    return f"""pts AS ({_EV_PTS}),
+        hx AS (SELECT event_id,
+                      ({c1} * lon - lat / 3.0) / {size} AS qf,
+                      ({c2} * lat) / {size} AS rf
+               FROM pts),
+        cr AS (SELECT event_id, qf, rf,
+                      floor(qf + 0.5) AS rx0,
+                      floor(-qf - rf + 0.5) AS ry0,
+                      floor(rf + 0.5) AS rz0
+               FROM hx),
+        fx AS (SELECT event_id, rx0, ry0, rz0,
+                      abs(rx0 - qf) AS dx,
+                      abs(ry0 - (-qf - rf)) AS dy,
+                      abs(rz0 - rf) AS dz
+               FROM cr),
+        qr AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0
+                           ELSE rx0 END AS BIGINT) AS q,
+                      CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                           THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS r
+               FROM fx),
+        cnts AS (SELECT {res} * 72057594037927936
+                      + (q + 67108864) * 268435456
+                      + (r + 67108864) AS cell,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM qr GROUP BY 1)"""
 
 # S2 Hilbert lookup table (public S2 spec): pos = IJ_TO_POS[orient][ij],
 # flattened to orient*4 + ij
@@ -3085,31 +3190,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE i::DOUBLE / sa.sz >= 0.6
     """
     out["hex_smooth"] = f"""
-        WITH pts AS ({_EV_PTS}),
-        hx AS (SELECT event_id,
-                      ({hx_c1} * lon - lat / 3.0) / {hx_size} AS qf,
-                      ({hx_c2} * lat) / {hx_size} AS rf
-               FROM pts),
-        cr AS (SELECT event_id, qf, rf,
-                      floor(qf + 0.5) AS rx0,
-                      floor(-qf - rf + 0.5) AS ry0,
-                      floor(rf + 0.5) AS rz0
-               FROM hx),
-        fx AS (SELECT event_id, rx0, ry0, rz0,
-                      abs(rx0 - qf) AS dx,
-                      abs(ry0 - (-qf - rf)) AS dy,
-                      abs(rz0 - rf) AS dz
-               FROM cr),
-        qr AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0
-                           ELSE rx0 END AS BIGINT) AS q,
-                      CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
-                           THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS r
-               FROM fx),
-        cnts AS (SELECT 6 * 72057594037927936
-                      + (q + 67108864) * 268435456
-                      + (r + 67108864) AS cell,
-                        CAST(count(*) AS BIGINT) AS n
-                 FROM qr GROUP BY 1),
+        WITH {_hex_cnts_sql(1)},
         contrib AS (SELECT cell + off AS t, n
                     FROM cnts, unnest([0::BIGINT, 268435456, -268435456,
                                        1, -1, 268435455, -268435455])
@@ -3121,6 +3202,78 @@ def oracle_sql() -> dict[str, str]:
                r.ring_sum / 7.0 AS smoothed,
                c.n * (r.ring_cells - 1) >= 2 * (r.ring_sum - c.n) AS is_hot
         FROM cnts c JOIN ring r ON c.cell = r.t
+    """
+    out["url_dedup"] = r"""
+        WITH u AS (
+          SELECT doc_id, CAST(doc_id // 3 AS VARCHAR) AS page, doc_id % 3 AS v,
+                 make_timestamp((1609459200 + doc_id * 60) * 1000000) AS warc_ts
+          FROM documents),
+        raw AS (
+          SELECT doc_id, warc_ts,
+                 CASE v
+                   WHEN 0 THEN 'https://www.example.com/articles/' || page
+                               || '?id=' || page
+                   WHEN 1 THEN 'HTTPS://www.Example.COM:443/articles/' || page
+                               || '/?utm_source=feed&id=' || page || '#frag'
+                   ELSE 'https://www.example.com/articles/' || page
+                        || '?utm_campaign=x&id=' || page
+                 END AS url
+          FROM u),
+        parts AS (
+          SELECT doc_id, warc_ts, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+                   AS scheme,
+                 lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+                 regexp_replace(regexp_extract(url,
+                   '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path0,
+                 regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM raw),
+        canon AS (
+          SELECT doc_id, warc_ts, url,
+                 scheme || '://' ||
+                 CASE WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                      WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                      ELSE hostport END ||
+                 CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+                 CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+          FROM (SELECT *, array_to_string(list_sort(list_filter(
+                  string_split(q, '&'),
+                  p -> p != '' AND NOT regexp_matches(p,
+                    '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS qq
+                FROM parts))
+        SELECT canonical_url, (pick).id AS kept_id, (pick).ts AS last_ts,
+               n_variants, n_urls
+        FROM (SELECT canonical_url, max({'ts': warc_ts, 'id': doc_id}) AS pick,
+                     CAST(count(*) AS BIGINT) AS n_variants,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+              FROM canon GROUP BY 1)
+    """
+    _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
+    out["cell_clusters"] = f"""
+        WITH RECURSIVE {_hex_cnts_sql(1)},
+        core AS (SELECT cell, n FROM cnts WHERE n >= 8),
+        fan AS (SELECT cell AS src, cell + off AS dst
+                FROM core, unnest({_OFF6}) AS u(off)),
+        edges AS (SELECT fan.src, fan.dst
+                  FROM fan JOIN core c2 ON c2.cell = fan.dst),
+        reach(src, dst) AS (
+            SELECT cell, cell FROM core
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (SELECT src AS cell, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src),
+        borderfan AS (SELECT cell, n, cell + off AS nb
+                      FROM cnts, unnest({_OFF6}) AS u(off)
+                      WHERE n < 8)
+        SELECT core.cell, core.n, 'core' AS role, lab.cluster_id
+        FROM core JOIN lab USING (cell)
+        UNION ALL
+        SELECT b.cell, b.n, 'border' AS role, MIN(l.cluster_id) AS cluster_id
+        FROM borderfan b JOIN lab l ON l.cell = b.nb
+        GROUP BY b.cell, b.n
     """
     out["corpus_shuffle"] = """
         SELECT doc_id,

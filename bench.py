@@ -91,6 +91,8 @@ HEADLINE = [
     "hex_smooth",
     "containment",
     "bm25",
+    "cell_clusters",
+    "url_dedup",
 ]
 
 

@@ -1,0 +1,96 @@
+"""URL canonicalization + canonical-URL dedup — the first dedup a
+web-crawl corpus runs, BEFORE any content hashing: the same page is
+fetched many times under cosmetically different URLs (tracking params,
+fragments, default ports, case-variant hosts, trailing slashes), and
+collapsing those is pure string algebra — no content comparison at all
+(reference ingests changeset/element URLs per-row via its XML loader,
+insights/README.md; the canonical-key latest-wins shape is the web
+analogue of its upsert-latest-version sink, SURVEY §2.10).
+
+Canonicalization (RFC 3986 §6 syntax-based normalization plus the
+standard crawl-dedup conventions):
+
+1. scheme and host lowercased (case-insensitive per RFC 3986),
+2. fragment dropped (never sent to the server),
+3. default port stripped (``:80`` for http, ``:443`` for https),
+4. trailing slashes stripped from the path (empty path → ``/``),
+5. tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``ref``),
+6. remaining query params sorted (order-insensitive key match).
+
+Every step is a built-in column expression (regexp_extract / filter /
+sort_array) — JVM codegen end-to-end, and replicated verbatim by the
+ANSI-SQL oracle. Dedup is then one groupBy on the canonical key with a
+``max(struct(ts, id))`` latest-wins pick — deterministic under ties by
+the total (ts, id) order.
+
+Scale posture (100 TB): canonicalization is map-only (zero shuffle);
+dedup is ONE hash shuffle on the canonical key — same layout as exact
+content dedup, so a 10^12-row crawl dedups in a single exchange. No UDF,
+no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query params dropped before comparison (match key, with or without =)
+TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of ``url`` per the module rules — one nested
+    column expression (whole-stage codegen, no UDF)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE),
+    )
+    query = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per canonical URL: (canonical_url, kept_id, last_ts,
+    n_variants, n_urls). ``kept_id`` is the row with the max (ts, id) —
+    the latest fetch, ties broken by the larger id — mirroring the
+    latest-version upsert the reference's sink applies per element id.
+    ``n_urls`` counts DISTINCT raw spellings collapsed into the key."""
+    canon = df.select(
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+        F.col(url_col).alias("_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.max(F.struct(F.col("_ts"), F.col("_id"))).alias("_pick"),
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("_url").alias("n_urls"),
+    ).select(
+        "canonical_url",
+        F.col("_pick._id").alias("kept_id"),
+        F.col("_pick._ts").alias("last_ts"),
+        "n_variants",
+        "n_urls",
+    )

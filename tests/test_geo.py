@@ -606,3 +606,72 @@ def test_hex_focal_smooth_brute_force(spark):
     dense = [r for r in got.values() if r["ring_cells"] == 7]
     assert iso and dense  # both regimes actually exercised
     assert all(r["is_hot"] for r in iso)
+
+
+def test_cell_dbscan_brute_force(spark):
+    """Grid DBSCAN matches a python union-find brute force on a fixture
+    exercising every regime: a multi-cell core blob, two blobs joined by
+    a core bridge, an isolated core (singleton cluster), border cells —
+    including one adjacent to TWO clusters (min-cluster tie rule) — and
+    pure noise (absent from the output)."""
+    import random
+
+    from insights_spark.geo.cells import hex_encode, hex_ring_ids
+    from insights_spark.geo.cluster import cell_dbscan
+
+    rng = random.Random(43)
+    minpts = 5
+    counts = {}
+    # blob A: 3 adjacent cores; blob B: 2 cores, 4 cells away; a border
+    # cell adjacent to both when bridged
+    for q, r in [(0, 0), (1, 0), (0, 1)]:
+        counts[hex_encode(6, q, r)] = 5 + rng.randint(0, 9)
+    for q, r in [(3, 0), (4, 0)]:
+        counts[hex_encode(6, q, r)] = 5 + rng.randint(0, 9)
+    counts[hex_encode(6, 2, 0)] = 2          # border touching A and B
+    counts[hex_encode(6, 20, 20)] = 99       # isolated core
+    counts[hex_encode(6, -20, 5)] = 1        # pure noise
+    for _ in range(60):                      # random background
+        counts.setdefault(
+            hex_encode(6, rng.randint(-15, 15), rng.randint(-15, 15)),
+            rng.randint(1, 12),
+        )
+
+    # brute force: union-find over core adjacency, then border attach
+    core = {c for c, n in counts.items() if n >= minpts}
+    parent = {c: c for c in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c in core:
+        for nb in hex_ring_ids(c, 1):
+            if nb != c and nb in core:
+                ra, rb = find(c), find(nb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    label = {c: min(x for x in core if find(x) == find(c)) for c in core}
+    want = {c: (counts[c], "core", label[c]) for c in core}
+    for c, n in counts.items():
+        if c in core:
+            continue
+        nb_labels = [label[x] for x in hex_ring_ids(c, 1) if x != c and x in core]
+        if nb_labels:
+            want[c] = (n, "border", min(nb_labels))
+
+    df = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()], "cell long, n long"
+    )
+    got = {
+        r["cell"]: (r["n"], r["role"], r["cluster_id"])
+        for r in cell_dbscan(df, minpts=minpts).collect()
+    }
+    assert got == want
+    # every regime actually present in the fixture
+    roles = [v[1] for v in got.values()]
+    assert roles.count("core") >= 6 and roles.count("border") >= 1
+    assert len(counts) > len(got)  # noise dropped
+    assert len({v[2] for v in got.values() if v[1] == "core"}) >= 3

@@ -817,3 +817,58 @@ def test_bm25_hand_computed(spark):
     for d, (nt, s) in want.items():
         assert got[d]["n_terms"] == nt
         assert got[d]["score"] == s, d  # bit-exact, not approx
+
+
+def test_canonical_url_rules(spark):
+    """Each RFC-3986 normalization rule plus the crawl conventions, pinned
+    case by case — including the ones that must NOT fire (non-default
+    port kept, 'referer' is not 'ref', non-tracking params survive)."""
+    from insights_spark.text.urls import canonical_url
+
+    cases = [
+        ("HTTPS://www.Example.COM/A/b", "https://www.example.com/A/b"),
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        ("http://ex.com:80/x", "http://ex.com/x"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        ("https://ex.com:80/x", "https://ex.com:80/x"),  # not https default
+        ("https://ex.com/a/b/#frag", "https://ex.com/a/b"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/?", "https://ex.com/"),
+        ("https://ex.com/p?utm_source=a&utm_campaign=b", "https://ex.com/p"),
+        ("https://ex.com/p?gclid=1&id=2&fbclid=3&ref", "https://ex.com/p?id=2"),
+        ("https://ex.com/p?referer=x", "https://ex.com/p?referer=x"),
+        ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p///", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(F.col("url"), canonical_url(F.col("url")).alias("c"))
+             .orderBy("url").collect()]
+    want = [w for _, w in sorted(cases)]
+    assert got == want
+
+
+def test_url_dedup_latest_wins_and_ties(spark):
+    """Latest warc_ts wins; exact-ts ties break to the larger id; variant
+    and distinct-spelling counts are per canonical key."""
+    from datetime import datetime
+
+    from insights_spark.text.urls import url_dedup
+
+    t1, t2 = datetime(2021, 1, 1), datetime(2021, 6, 1)
+    rows = [
+        (1, "https://ex.com/p?id=1", t2),
+        (2, "HTTPS://EX.com:443/p/?id=1#x", t1),   # same canonical, older
+        (3, "https://ex.com/p?utm_source=z&id=1", t2),  # ts tie with id 1
+        (4, "https://ex.com/q", t1),
+    ]
+    got = {
+        r["canonical_url"]: r
+        for r in url_dedup(
+            spark.createDataFrame(rows, "doc_id long, url string, warc_ts timestamp")
+        ).collect()
+    }
+    p = got["https://ex.com/p?id=1"]
+    assert (p["kept_id"], p["last_ts"], p["n_variants"], p["n_urls"]) == (3, t2, 3, 3)
+    q = got["https://ex.com/q"]
+    assert (q["kept_id"], q["n_variants"], q["n_urls"]) == (4, 1, 1)
