@@ -511,6 +511,38 @@ def _q_url_dedup(spark, sf_dir):
     return url_dedup(pages)
 
 
+def _q_passage_dedup(spark, sf_dir):
+    """Sub-document exact dedup (text/dedup.py:passage_dedup): 10-token
+    chunks, keep-first by global (doc_id, position) order, per-doc
+    kept/removed token accounting — the repeated-passage rule whole-doc
+    dedup misses."""
+    from insights_spark.text.dedup import passage_dedup
+
+    return passage_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=10)
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Frequent terms via Misra–Gries candidates + exact recount
+    (text/freq.py) — the third mergeable sketch in the family (HLL,
+    KLL-style, MG), in the same sketch-bounds-work / exact-answers shape:
+    output is provably the exact heavy-hitter set. k = 32 sits on a real
+    selection boundary for this corpus (29 of 31 terms qualify at
+    sf0.01; 'the' and the planted 'dup' marker do not)."""
+    from insights_spark.text.freq import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), k=32)
+
+
+def _q_novelty(spark, sf_dir):
+    """Per-doc trigram novelty (text/freq.py): fraction of the doc's
+    distinct 3-grams with corpus df = 1 — near 0 for boilerplate/template
+    spam, near 1 for unique prose; one gram pass + one gram-keyed
+    shuffle, division is one IEEE op on exact integers."""
+    from insights_spark.text.freq import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"), n=3)
+
+
 def _q_ann_topk(spark, sf_dir):
     """Similarity search: exact cosine top-5 (sequential-fold dot product)."""
     from insights_spark.text.simsearch import cosine_topk
@@ -1896,6 +1928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "cell_clusters": _q_cell_clusters,
         "url_dedup": _q_url_dedup,
+        "passage_dedup": _q_passage_dedup,
+        "heavy_hitters": _q_heavy_hitters,
+        "novelty": _q_novelty,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3249,6 +3284,49 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) AS BIGINT) AS n_variants,
                      CAST(count(DISTINCT url) AS BIGINT) AS n_urls
               FROM canon GROUP BY 1)
+    """
+    out["passage_dedup"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        inst AS (SELECT doc_id, i AS idx,
+                        array_to_string(tok[i*10+1 : i*10+10], ' ') AS chunk,
+                        least(10, len(tok) - i*10) AS clen
+                 FROM toks, unnest(range(0, (len(tok) + 9) // 10)) AS u(i)
+                 WHERE len(tok) > 0),
+        firsts AS (SELECT chunk, min({{'d': doc_id, 'i': idx}}) AS f
+                   FROM inst GROUP BY 1),
+        fl AS (SELECT i.doc_id, i.clen,
+                      ((f).d = i.doc_id AND (f).i = i.idx) AS kept
+               FROM inst i JOIN firsts USING (chunk))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept THEN clen ELSE 0 END) AS BIGINT)
+                 AS tokens_kept,
+               CAST(sum(CASE WHEN kept THEN 0 ELSE clen END) AS BIGINT)
+                 AS tokens_removed
+        FROM fl GROUP BY doc_id
+    """
+    out["heavy_hitters"] = f"""
+        WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents
+                   WHERE text IS NOT NULL)
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1
+        HAVING count(*) * 32 > (SELECT count(*) FROM t)
+    """
+    out["novelty"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(tok) - 1),
+                   i -> array_to_string(tok[i:i+2], ' ')))) AS gram
+          FROM toks WHERE len(tok) >= 3),
+        dfs AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS BIGINT) AS novelty
+        FROM grams JOIN dfs USING (gram)
+        GROUP BY doc_id
     """
     _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
     out["cell_clusters"] = f"""

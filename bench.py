@@ -93,6 +93,9 @@ HEADLINE = [
     "bm25",
     "cell_clusters",
     "url_dedup",
+    "passage_dedup",
+    "heavy_hitters",
+    "novelty",
 ]
 
 

@@ -68,11 +68,13 @@ def cell_dbscan(
     a border cell adjacent to several clusters joins the one with the
     smallest id.
     """
+    # persist the rollup, not just the core slice: the border branch
+    # re-reads it, and without the pin the full point→cell pass runs twice
     cnts = cell_counts.select(
         F.col(cell_col).cast("long").alias("cell"),
         F.col(cnt_col).cast("long").alias("n"),
-    )
-    core = cnts.filter(F.col("n") >= F.lit(minpts)).persist()
+    ).persist()
+    core = cnts.filter(F.col("n") >= F.lit(minpts))
     nbrs = F.array(*[F.col("cell") + F.lit(o).cast("long") for o in NBR_OFFSETS])
     fan = core.select(
         F.col("cell").alias("id"), F.explode(nbrs).alias("nbr_id")
@@ -89,6 +91,9 @@ def cell_dbscan(
             # isolated core cell (no core neighbor) → singleton cluster
             F.coalesce(F.col("label"), core["cell"]).alias("cluster_id"),
         )
+        # evaluated twice (core output rows + the border attach join);
+        # its lineage carries the whole CC read-off — pin it
+        .persist()
     )
     border = (
         cnts.filter(F.col("n") < F.lit(minpts))

@@ -133,19 +133,37 @@ def star_cc_labels(edges: DataFrame, max_sweeps: int = 30):
     node id — the same shuffle key layout as the simple sweep, so skew
     handling (AQE) applies identically. At fixpoint every component is a
     star rooted at its minimum, so the label read-off is one-hop.
+
+    Sweep-cost engineering (measured on tiny bounded graphs, where
+    per-stage scheduling latency dominates; identical plans at scale):
+    the edge set is kept ORIENTATION-NORMALIZED (u > v) as a loop
+    invariant — large-star emits (v, m) with m ≤ u < v and small-star
+    (v, m) with m = min ≤ v, so normalization is free after the entry
+    step. That makes E ∪ reverse(E) duplicate-free (one distinct
+    shuffle dropped per sweep) and makes the small-star input exactly
+    the large-star output (a union + filter dropped). Convergence pays
+    one count on the already-checkpointed result; the one-sided
+    anti-join diff runs only when counts match (equal-size distinct
+    sets are equal iff one difference is empty).
     """
     E = (
-        edges.select(F.col("id").alias("u"), F.col("nbr_id").alias("v"))
+        edges.select(
+            F.greatest(F.col("id"), F.col("nbr_id")).alias("u"),
+            F.least(F.col("id"), F.col("nbr_id")).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    prev_cnt = E.count()
     sweeps = 0
     for _ in range(max_sweeps):
         sweeps += 1
+        # E is (u > v)-normalized and distinct, so the two orientations
+        # are disjoint: no distinct needed after the union
         sym = E.unionByName(
             E.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
         # large-star: for each u, m = min(u ∪ N(u)); hang neighbors v > u on m
         m_lg = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         e1 = (
@@ -155,24 +173,24 @@ def star_cc_labels(edges: DataFrame, max_sweeps: int = 30):
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star: only neighbors v <= u; hang them (and u) on their min
-        sym1 = e1.unionByName(
-            e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).filter(F.col("v") <= F.col("u"))
-        m_sm = sym1.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star input = each node's ≤-neighbors; e1 is already
+        # (u > v)-normalized, so that is e1 itself — no re-symmetrize
+        m_sm = e1.groupBy("u").agg(F.min("v").alias("m"))
         e2 = (
-            sym1.join(m_sm, "u")
+            e1.join(m_sm, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m_sm.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
         )
+        cnt = e2.count()
         changed = (
-            e2.join(E, ["u", "v"], "left_anti").count()
-            + E.join(e2, ["u", "v"], "left_anti").count()
+            1
+            if cnt != prev_cnt
+            else e2.join(E, ["u", "v"], "left_anti").count()
         )
-        E = e2
+        E, prev_cnt = e2, cnt
         if changed == 0:
             break
     else:

@@ -637,3 +637,73 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "containment")
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup — the C4/RefinedWeb "repeated passage"
+    rule the whole-document detectors structurally miss: a boilerplate
+    block or syndicated paragraph pasted into otherwise-distinct pages
+    never makes the DOCUMENTS near-dups, but its second and later copies
+    are still zero-information for training. Each document's token stream
+    is cut into fixed ``chunk_tokens`` windows (non-overlapping, last one
+    short); a chunk instance SURVIVES iff it is the globally FIRST
+    occurrence of that exact chunk text in (doc_id, position) order —
+    deterministic, partitioning-invariant, and exactly reproducible by
+    the SQL oracle (keep-first = one min(struct) per chunk text).
+
+    Output per document with ≥1 token: (doc_id, n_chunks, n_kept,
+    tokens_kept, tokens_removed) — the accounting view (the cleaned text
+    itself is `concat_ws` of kept chunks, left to the caller so the
+    rollup stays integer-exact).
+
+    Scale posture (100 TB): ONE shuffle keyed on the chunk text for the
+    keep-first pick (for a 10^12-doc crawl, key on (xxhash64(chunk),
+    chunk) to shrink exchange rows — same plan, shorter keys), one
+    doc-keyed rollup; no UDF, no collect. Chunking itself is a
+    transform/slice column expression — map-only.
+    """
+    C = chunk_tokens
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
+    ).filter(F.size("_tok") > 0)
+    n_chunks = (F.size("_tok") + F.lit(C - 1)).cast("long") / F.lit(C)
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.floor(n_chunks).cast("long") - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice("_tok", (i * C + 1).cast("int"), C), " "
+            ).alias("chunk"),
+            F.least(F.lit(C).cast("long"), F.size("_tok") - i * C).alias("clen"),
+        ),
+    )
+    inst = toks.select(
+        "doc_id", F.explode(chunks).alias("_s")
+    ).select(
+        "doc_id",
+        F.col("_s.idx").alias("idx"),
+        F.col("_s.chunk").alias("chunk"),
+        F.col("_s.clen").alias("clen"),
+    )
+    firsts = inst.groupBy("chunk").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("_f")
+    )
+    flagged = inst.join(firsts, "chunk").withColumn(
+        "_kept",
+        (F.col("_f.doc_id") == F.col("doc_id")) & (F.col("_f.idx") == F.col("idx")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("_kept"), F.col("clen")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+        F.sum(F.when(~F.col("_kept"), F.col("clen")).otherwise(0)).alias(
+            "tokens_removed"
+        ),
+    )

@@ -872,3 +872,99 @@ def test_url_dedup_latest_wins_and_ties(spark):
     assert (p["kept_id"], p["last_ts"], p["n_variants"], p["n_urls"]) == (3, t2, 3, 3)
     q = got["https://ex.com/q"]
     assert (q["kept_id"], q["n_variants"], q["n_urls"]) == (4, 1, 1)
+
+
+def test_passage_dedup_keep_first_order(spark):
+    """Keep-first semantics pinned by hand: a chunk repeated WITHIN a doc
+    loses its second instance, a passage copied into a later doc is
+    removed there, and the (doc_id, idx) order decides the survivor.
+    chunk_tokens=3 so the fixture is readable."""
+    from insights_spark.text.dedup import passage_dedup
+
+    rows = [
+        # doc 1: chunks [a b c], [a b c], [x y] — internal repeat
+        (1, "a b c a b c x y"),
+        # doc 2: [a b c], [p q r] — first chunk already seen in doc 1
+        (2, "a b c p q r"),
+        # doc 3: [p q r] seen in doc 2; [z] fresh
+        (3, "p q r z"),
+        (4, None),          # NULL text → no tokens → absent
+        (5, ""),            # empty → absent
+    ]
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["tokens_kept"],
+                      r["tokens_removed"])
+        for r in passage_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            chunk_tokens=3,
+        ).collect()
+    }
+    assert got == {
+        1: (3, 2, 5, 3),   # second [a b c] removed
+        2: (2, 1, 3, 3),   # [a b c] removed, [p q r] kept (first)
+        3: (2, 1, 1, 3),   # [p q r] removed, [z] kept
+    }
+
+
+def test_heavy_hitters_exact_and_partitioning_invariant(spark):
+    """MG candidates + exact recount equals the brute-force answer on a
+    skewed stream that FORCES evictions (k smaller than the vocabulary),
+    and the output is identical under a different partitioning even
+    though the candidate superset isn't."""
+    from collections import Counter
+    import random
+
+    from insights_spark.text.freq import heavy_hitters, _mg_update
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(40)]
+    # zipf-ish: w0 very hot, long uniform tail
+    stream = (["w0"] * 600 + ["w1"] * 300 + ["w2"] * 150
+              + [rng.choice(words[3:]) for _ in range(950)])
+    rng.shuffle(stream)
+    docs = [(i, " ".join(stream[i * 20:(i + 1) * 20])) for i in range(100)]
+    exact = Counter(t for _, txt in docs for t in txt.split())
+    N = sum(exact.values())
+    k = 8
+    want = {(t, c) for t, c in exact.items() if c * k > N}
+    assert want and len(want) < len(exact)  # fixture is non-trivial
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["term"], r["n"]) for r in heavy_hitters(df, k=k).collect()}
+    assert got == want
+    got7 = {(r["term"], r["n"])
+            for r in heavy_hitters(df.repartition(7), k=k).collect()}
+    assert got7 == want
+
+    # the MG kernel itself decrements: 40 distinct words can't fit in 8
+    # counters, so a full pass must have evicted at least once
+    counters = {}
+    _mg_update(counters, stream, k)
+    assert len(counters) <= k
+    assert "w0" in counters  # the guaranteed survivor
+
+
+def test_novelty_hand_cases(spark):
+    """Duplicated docs score 0 (every gram df=2), a fully unique doc
+    scores 1, a half-shared doc lands exactly between."""
+    from insights_spark.text.freq import novelty_scores
+
+    rows = [
+        (1, "a b c d e"),        # grams: abc bcd cde (cde shared w/ doc 3)
+        (2, "a b c d e"),        # exact dup of 1 → all grams df>=2
+        (3, "q r s t c d e"),    # qrs rst stc tcd cde → 4 of 5 unique
+        (4, "u v w"),            # single unique gram → 1.0
+        (5, "x y"),              # < 3 tokens → absent
+    ]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=3
+        ).collect()
+    }
+    assert got == {
+        1: (3, 0, 0.0),
+        2: (3, 0, 0.0),
+        3: (5, 4, 0.8),
+        4: (1, 1, 1.0),
+    }
