@@ -1057,6 +1057,36 @@ def _q_cell_clusters(spark, sf_dir):
     return cell_dbscan(counts, minpts=8)
 
 
+def _q_st_join(spark, sf_dir):
+    """Spatiotemporal proximity pairs (geo/stjoin.py): ≤ 3.0° AND
+    ≤ 250000 s apart. Composite (hex cell, ⌊epoch/τ⌋ chunk) shuffle key —
+    bucket population is LOCAL density × τ, the property that survives a
+    1000× history scale-up where pure-spatial buckets grow unboundedly.
+    Oracle is the plain brute-force range join."""
+    from insights_spark.geo.stjoin import st_within
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    return st_within(
+        pts, radius_deg=3.0, tau_seconds=250000, id_col="event_id", rings=2
+    )
+
+
+def _q_user_tracks(spark, sf_dir):
+    """Per-user trajectory summaries (geo/track.py): path length, net
+    displacement, longest hop, duration — every double a fixed IEEE
+    expression tree, the one order-sensitive sum folded in sorted order
+    (bm25 pattern), so the oracle reproduces all of it bit-for-bit."""
+    from insights_spark.geo.track import user_tracks
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "ts"),
+        "event_id",
+    )
+    return user_tracks(pts, id_col="event_id")
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -1931,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _q_passage_dedup,
         "heavy_hitters": _q_heavy_hitters,
         "novelty": _q_novelty,
+        "st_join": _q_st_join,
+        "user_tracks": _q_user_tracks,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3327,6 +3359,55 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(count(*) AS BIGINT) AS novelty
         FROM grams JOIN dfs USING (gram)
         GROUP BY doc_id
+    """
+    out["st_join"] = f"""
+        WITH pts AS (SELECT event_id, ts,
+                            {_POINTS_SQL.format(k='event_id')}
+                     FROM events)
+        SELECT a.event_id AS a, b.event_id AS b,
+               (a.lon - b.lon) * (a.lon - b.lon)
+               + (a.lat - b.lat) * (a.lat - b.lat) AS dist2,
+               abs(epoch_us(a.ts) // 1000000
+                   - epoch_us(b.ts) // 1000000) AS dt_s
+        FROM pts a JOIN pts b ON a.event_id < b.event_id
+        WHERE (a.lon - b.lon) * (a.lon - b.lon)
+              + (a.lat - b.lat) * (a.lat - b.lat) <= 9.0
+          AND abs(epoch_us(a.ts) // 1000000
+                  - epoch_us(b.ts) // 1000000) <= 250000
+    """
+    out["user_tracks"] = f"""
+        WITH pts AS (SELECT event_id, user_id, ts,
+                            {_POINTS_SQL.format(k='event_id')}
+                     FROM events),
+        l AS (SELECT user_id, epoch_us(ts) // 1000000 AS ep, event_id,
+                     lon, lat,
+                     lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts) // 1000000, event_id)),
+        legs AS (SELECT user_id, ep, event_id, lon, lat,
+                        CASE WHEN plon IS NULL THEN NULL
+                             ELSE sqrt((lon - plon) * (lon - plon)
+                                       + (lat - plat) * (lat - plat))
+                        END AS leg
+                 FROM l)
+        SELECT user_id, n_points, duration_s, path_len_deg,
+               sqrt(((lst).lon - (fst).lon) * ((lst).lon - (fst).lon)
+                    + ((lst).lat - (fst).lat) * ((lst).lat - (fst).lat))
+                 AS net_disp_deg,
+               max_leg_deg
+        FROM (SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_points,
+                     max(ep) - min(ep) AS duration_s,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_sort(list(leg) FILTER (leg IS NOT NULL))),
+                       (a, x) -> a + x) AS path_len_deg,
+                     max(leg) AS max_leg_deg,
+                     min({{'ep': ep, 'id': event_id,
+                           'lon': lon, 'lat': lat}}) AS fst,
+                     max({{'ep': ep, 'id': event_id,
+                           'lon': lon, 'lat': lat}}) AS lst
+              FROM legs GROUP BY user_id)
     """
     _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
     out["cell_clusters"] = f"""

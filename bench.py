@@ -96,6 +96,8 @@ HEADLINE = [
     "passage_dedup",
     "heavy_hitters",
     "novelty",
+    "st_join",
+    "user_tracks",
 ]
 
 
@@ -171,6 +173,9 @@ def main() -> None:
         "recall-calibrated on structureless RANDOM vectors, where candidate "
         "volume is ∝0.13·n² by construction; production scales bits/band "
         "with log n — timed here as cos_near_dups_lsh_g10 (10-bit bands)",
+        "st_join": "same quadratic-output shape as within_distance: pair "
+        "count grows with point density² at fixed (radius, τ); the row "
+        "would time the answer's size, not the plan",
     }
     sf1_truncated: list[str] = []
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
@@ -185,9 +190,12 @@ def main() -> None:
         _spec.loader.exec_module(_m)
         sf1_dir = _m.ensure(
             os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
-        sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
+        sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
         sf1_t0 = time.perf_counter()
-        todo = [n for n in HEADLINE if n not in sf1_excluded]
+        # newest-first: budget truncation then starves the queries with the
+        # LONGEST sf1 evidence history (ratios already recorded in BENCH.md),
+        # not the plans that have never been scale-stepped
+        todo = [n for n in reversed(HEADLINE) if n not in sf1_excluded]
         todo.append("cos_near_dups_lsh_g10")
 
         def run_one(name):

@@ -1,0 +1,82 @@
+"""Per-user trajectory summaries — order a user's events in time and
+summarize the resulting track: leg count, duration, path length, net
+displacement, longest hop (the movement-profile rollup behind "local
+mapper vs armchair mapper vs bot sweep" classification; reference
+aggregates per-user activity without the spatial dimension —
+galaxy-api user stats, insights README "mapping activity" — this adds
+it).
+
+Exactness contract: every emitted double is a fixed IEEE expression tree
+over the inputs — leg = √(Δlon² + Δlat²) per consecutive pair, net
+displacement = the same over the (first, last) points — so an
+independent SQL engine reproduces them bit-for-bit. The ONE
+order-sensitive reduction, Σ legs, folds the per-user leg list in
+ascending sorted order (the bm25 pattern: `aggregate(sort_array(
+collect_list(...)))` ≡ DuckDB `list_reduce(list_prepend(0.0,
+list_sort(...)))`), making the sum a deterministic function of the leg
+multiset, independent of partitioning. First/last points are min/max of
+a (ts, id, lon, lat) struct — total order, tie-safe.
+
+Scale posture (100 TB): ONE shuffle on the user key (the window and the
+groupBy share it — AQE reuses the exchange). The collect_list holds one
+user's LEG LENGTHS (8 bytes each), bounded by that user's event count —
+the same per-key-bounded state every sessionization/track system
+carries; for pathological single-key hotspots (a firehose bot), route
+through runtime/skew.salted_group_apply with a monoid re-merge, noted
+here rather than silently assumed away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_tracks(
+    points: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "id",
+) -> DataFrame:
+    """(user_id, n_points, duration_s, path_len_deg, net_disp_deg,
+    max_leg_deg) per user. Single-point tracks: duration 0, path 0.0,
+    net 0.0, max_leg NULL."""
+    pts = points.select(
+        F.col(user_col).alias("user_id"),
+        # NTZ → TIMESTAMP → long (session TZ is UTC: instant preserved)
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ep"),
+        F.col(id_col).alias("_id"),
+        "lon",
+        "lat",
+    )
+    w = Window.partitionBy("user_id").orderBy("_ep", "_id")
+    leg = F.sqrt(
+        (F.col("lon") - F.lag("lon").over(w)) ** 2
+        + (F.col("lat") - F.lag("lat").over(w)) ** 2
+    )
+    legged = pts.withColumn("_leg", leg)
+    pt_struct = F.struct("_ep", "_id", "lon", "lat")
+    agg = legged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max("_ep") - F.min("_ep")).alias("duration_s"),
+        F.aggregate(
+            F.sort_array(F.collect_list("_leg")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("path_len_deg"),
+        F.max("_leg").alias("max_leg_deg"),
+        F.min(pt_struct).alias("_first"),
+        F.max(pt_struct).alias("_last"),
+    )
+    net = F.sqrt(
+        (F.col("_last.lon") - F.col("_first.lon")) ** 2
+        + (F.col("_last.lat") - F.col("_first.lat")) ** 2
+    )
+    return agg.select(
+        "user_id",
+        "n_points",
+        "duration_s",
+        "path_len_deg",
+        net.alias("net_disp_deg"),
+        "max_leg_deg",
+    )

@@ -675,3 +675,90 @@ def test_cell_dbscan_brute_force(spark):
     assert roles.count("core") >= 6 and roles.count("border") >= 1
     assert len(counts) > len(got)  # noise dropped
     assert len({v[2] for v in got.values() if v[1] == "core"}) >= 3
+
+
+def test_st_within_brute_force(spark):
+    """Space-time pairs match a python brute force on random points with
+    random times — including pairs that straddle chunk boundaries (tau
+    chosen so boundary-crossing pairs exist) — and the coverage guard
+    raises when the radius exceeds the ring certificate."""
+    import itertools
+    import random
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from insights_spark.geo.stjoin import st_within
+
+    rng = random.Random(47)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i,
+         rng.uniform(-30.0, 30.0),
+         rng.uniform(-20.0, 20.0),
+         t0 + timedelta(seconds=rng.randint(0, 200000)))
+        for i in range(250)
+    ]
+    radius, tau = 4.0, 40000
+    want = set()
+    for (i, xi, yi, ti), (j, xj, yj, tj) in itertools.combinations(rows, 2):
+        a, b = min(i, j), max(i, j)
+        d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+        dt = abs(int(ti.timestamp()) - int(tj.timestamp()))
+        if d2 <= radius * radius and dt <= tau:
+            want.add((a, b))
+    assert len(want) > 50  # non-trivial fixture
+    # chunk-straddling pairs present: some pair crosses a tau boundary
+    assert any(
+        int(rows[a][3].timestamp()) // tau != int(rows[b][3].timestamp()) // tau
+        for a, b in want
+    )
+    df = spark.createDataFrame(
+        rows, "id long, lon double, lat double, ts timestamp"
+    )
+    got = {(r["a"], r["b"])
+           for r in st_within(df, radius, tau, rings=2).collect()}
+    assert got == want
+    with _pytest.raises(ValueError):
+        st_within(df, radius_deg=50.0, tau_seconds=tau, rings=1, res=5)
+
+
+def test_user_tracks_hand_computed(spark):
+    """Track summaries pinned by hand: a 3-4-5 triangle walk, a
+    single-point track, and a timestamp tie broken by id."""
+    import math
+    from datetime import datetime
+
+    from insights_spark.geo.track import user_tracks
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: (0,0) -> (3,0) -> (3,4): legs 3 and 4, net = 5
+        (10, 1, t(0), 0.0, 0.0),
+        (11, 1, t(10), 3.0, 0.0),
+        (12, 1, t(20), 3.0, 4.0),
+        # user 2: single point
+        (20, 2, t(5), 7.0, 7.0),
+        # user 3: tie at t(0) -> id order decides; legs 1 then 1
+        (32, 3, t(0), 1.0, 0.0),   # second by id
+        (31, 3, t(0), 0.0, 0.0),   # first by id
+        (33, 3, t(9), 2.0, 0.0),
+    ]
+    got = {
+        r["user_id"]: r
+        for r in user_tracks(
+            spark.createDataFrame(
+                rows, "id long, user_id long, ts timestamp, lon double, lat double"
+            )
+        ).collect()
+    }
+    u1 = got[1]
+    assert (u1["n_points"], u1["duration_s"]) == (3, 20)
+    assert u1["path_len_deg"] == 3.0 + 4.0
+    assert u1["net_disp_deg"] == math.sqrt(9.0 + 16.0)
+    assert u1["max_leg_deg"] == 4.0
+    u2 = got[2]
+    assert (u2["n_points"], u2["duration_s"], u2["path_len_deg"],
+            u2["net_disp_deg"], u2["max_leg_deg"]) == (1, 0, 0.0, 0.0, None)
+    u3 = got[3]
+    assert (u3["n_points"], u3["path_len_deg"], u3["net_disp_deg"]) == (3, 2.0, 2.0)
