@@ -1087,6 +1087,43 @@ def _q_user_tracks(spark, sf_dir):
     return user_tracks(pts, id_col="event_id")
 
 
+def _q_home_cells(spark, sf_dir):
+    """Per-user home cell (geo/track.py:home_cells): most-visited res-1
+    hex cell, ties to the smallest cell id via one max(struct) argmax —
+    two decomposable keyed shuffles, no window, no self-join."""
+    from insights_spark.geo.track import home_cells
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "user_id"), "event_id"
+    )
+    return home_cells(pts, res=1)
+
+
+def _q_mix_sources(spark, sf_dir):
+    """Corpus mixing to target proportions (text/clean.py:mix_sources):
+    weights 4:2:1 over three sources at total=60 → quotas 34/17/8, which
+    exercises BOTH regimes at sf0.01 (src0 holds only 25 docs → shortfall
+    takes all; src1/src2 select hash-ranked subsets)."""
+    from insights_spark.text.clean import mix_sources
+
+    return mix_sources(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 4.0, "src1": 2.0, "src2": 1.0},
+        total=60,
+    )
+
+
+def _q_sliding_windows(spark, sf_dir):
+    """Overlapping context windows (text/pack.py:sliding_windows),
+    window=16 stride=8 — map-only, zero shuffle: the chunking pass in
+    front of an embedding/retrieval indexer."""
+    from insights_spark.text.pack import sliding_windows
+
+    return sliding_windows(
+        _t(spark, sf_dir, "documents"), window=16, stride=8
+    )
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -1963,6 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": _q_novelty,
         "st_join": _q_st_join,
         "user_tracks": _q_user_tracks,
+        "home_cells": _q_home_cells,
+        "mix_sources": _q_mix_sources,
+        "sliding_windows": _q_sliding_windows,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -2041,42 +2081,53 @@ _TOKENS = (
 )
 
 
-def _hex_cnts_sql(res: int) -> str:
-    """CTE chain ``pts → … → cnts`` replicating geo.cells' axial hex
-    encode at ``res`` plus the per-cell count — the bit-exact SQL twin of
-    ``cells.hex_udf(res, use_h3=False)`` over the derived event points
-    (shared by the hex_smooth and cell_clusters oracles). Constants come
-    from the kernel itself via repr round-trip."""
+def _hex_cells_chain_sql(res: int, src: str | None = None,
+                         carry: str = "event_id") -> str:
+    """CTE chain ``pts → … → hexed`` replicating geo.cells' axial hex
+    encode at ``res`` — the bit-exact SQL twin of
+    ``cells.hex_udf(res, use_h3=False)``. ``src`` is the pts SELECT
+    (defaults to the derived event points), ``carry`` the key column(s)
+    threaded through to ``hexed(carry…, cell)``. Constants come from the
+    kernel itself via repr round-trip."""
     from insights_spark.geo import cells as _cells
 
     c1 = repr(_cells._SQRT3 / 3.0)
     c2 = repr(2.0 / 3.0)
     size = repr(_cells.hex_edge_deg(res))
-    return f"""pts AS ({_EV_PTS}),
-        hx AS (SELECT event_id,
+    return f"""pts AS ({src or _EV_PTS}),
+        hx AS (SELECT {carry},
                       ({c1} * lon - lat / 3.0) / {size} AS qf,
                       ({c2} * lat) / {size} AS rf
                FROM pts),
-        cr AS (SELECT event_id, qf, rf,
+        cr AS (SELECT {carry}, qf, rf,
                       floor(qf + 0.5) AS rx0,
                       floor(-qf - rf + 0.5) AS ry0,
                       floor(rf + 0.5) AS rz0
                FROM hx),
-        fx AS (SELECT event_id, rx0, ry0, rz0,
+        fx AS (SELECT {carry}, rx0, ry0, rz0,
                       abs(rx0 - qf) AS dx,
                       abs(ry0 - (-qf - rf)) AS dy,
                       abs(rz0 - rf) AS dz
                FROM cr),
-        qr AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0
+        qr AS (SELECT {carry},
+                      CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0
                            ELSE rx0 END AS BIGINT) AS q,
                       CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
                            THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS r
                FROM fx),
-        cnts AS (SELECT {res} * 72057594037927936
-                      + (q + 67108864) * 268435456
-                      + (r + 67108864) AS cell,
-                        CAST(count(*) AS BIGINT) AS n
-                 FROM qr GROUP BY 1)"""
+        hexed AS (SELECT {carry},
+                         {res} * 72057594037927936
+                       + (q + 67108864) * 268435456
+                       + (r + 67108864) AS cell
+                  FROM qr)"""
+
+
+def _hex_cnts_sql(res: int) -> str:
+    """``pts → … → cnts``: the hex encode chain plus the per-cell count
+    (shared by the hex_smooth and cell_clusters oracles)."""
+    return f"""{_hex_cells_chain_sql(res)},
+        cnts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                 FROM hexed GROUP BY 1)"""
 
 # S2 Hilbert lookup table (public S2 spec): pos = IJ_TO_POS[orient][ij],
 # flattened to orient*4 + ij
@@ -3408,6 +3459,46 @@ def oracle_sql() -> dict[str, str]:
                      max({{'ep': ep, 'id': event_id,
                            'lon': lon, 'lat': lat}}) AS lst
               FROM legs GROUP BY user_id)
+    """
+    out["home_cells"] = f"""
+        WITH {_hex_cells_chain_sql(
+            1,
+            src="SELECT event_id, user_id, "
+                + _POINTS_SQL.format(k='event_id') + " FROM events",
+            carry="event_id, user_id",
+        )},
+        per AS (SELECT user_id, cell, CAST(count(*) AS BIGINT) AS n
+                FROM hexed GROUP BY 1, 2)
+        SELECT user_id, -((pick).negc) AS home_cell, (pick).n AS visits,
+               visits_total, n_cells
+        FROM (SELECT user_id,
+                     max({{'n': n, 'negc': -cell}}) AS pick,
+                     CAST(sum(n) AS BIGINT) AS visits_total,
+                     CAST(count(*) AS BIGINT) AS n_cells
+              FROM per GROUP BY user_id)
+    """
+    out["mix_sources"] = """
+        WITH q AS (SELECT * FROM (VALUES ('src0', 34::BIGINT),
+                                         ('src1', 17::BIGINT),
+                                         ('src2', 8::BIGINT))
+                   AS t(source, quota)),
+        r AS (SELECT doc_id, d.source, quota,
+                     CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY (doc_id % 2147483648 * 2654435761 + 17)
+                                % 2147483648 ASC, doc_id ASC)
+                     AS INT) AS mix_rank
+              FROM documents d JOIN q ON d.source = q.source)
+        SELECT doc_id, source, mix_rank, quota
+        FROM r WHERE mix_rank <= quota
+    """
+    out["sliding_windows"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents)
+        SELECT doc_id, i AS win_idx, i * 8 AS tok_start,
+               least(16, len(tok) - i * 8) AS win_tokens,
+               array_to_string(tok[i*8+1 : i*8+16], ' ') AS win_text
+        FROM toks, unnest(range(0, (len(tok) - 1) // 8 + 1)) AS u(i)
+        WHERE len(tok) > 0
     """
     _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
     out["cell_clusters"] = f"""

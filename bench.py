@@ -98,6 +98,9 @@ HEADLINE = [
     "novelty",
     "st_join",
     "user_tracks",
+    "home_cells",
+    "mix_sources",
+    "sliding_windows",
 ]
 
 

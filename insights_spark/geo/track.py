@@ -80,3 +80,51 @@ def user_tracks(
         net.alias("net_disp_deg"),
         "max_leg_deg",
     )
+
+
+def home_cells(
+    points: DataFrame,
+    res: int = 1,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user "home cell" — the most-visited hex cell (ties broken to
+    the SMALLEST cell id, so the answer is deterministic): the classic
+    home-location inference primitive behind "local mapper vs remote
+    mapper" splits (reference tags users by country via their edits;
+    this is the cell-resolution generalization).
+
+    Output: (user_id, home_cell, visits, n_cells). Two keyed shuffles —
+    (user, cell) rollup then user argmax — both decomposable aggs with
+    map-side combine, so hot users cost map work, not reducer skew. The
+    argmax is max(struct(visits, −cell)): one total order, no window, no
+    self-join; cell ids are positive (packed axial layout), so negation
+    flips the tie direction exactly.
+    """
+    from . import cells as _c
+
+    per = (
+        points.select(
+            F.col(user_col).alias("user_id"),
+            _c.hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat")).alias(
+                "cell"
+            ),
+        )
+        .groupBy("user_id", "cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.max(F.struct(F.col("_n"), (-F.col("cell")).alias("_negc")))
+            .alias("_pick"),
+            F.sum("_n").alias("visits_total"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select(
+            "user_id",
+            (-F.col("_pick._negc")).alias("home_cell"),
+            F.col("_pick._n").alias("visits"),
+            "visits_total",
+            "n_cells",
+        )
+    )

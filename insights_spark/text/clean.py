@@ -287,3 +287,45 @@ def boilerplate_flags(
             F.col("kept_tokens").cast("long").alias("kept_tokens"),
         )
     )
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus mixing to target proportions — the sampling-weights knob
+    every LLM training run has (Pile/LLaMA-style "x% web, y% code, z%
+    wiki"): keep ⌊total·w_s/Σw⌋ documents of each source, chosen by the
+    same content-stable hash rank as ``per_source_cap`` so the mixture is
+    deterministic under repartitioning, re-ingestion and appends. Sources
+    absent from ``weights`` contribute nothing; a source with fewer docs
+    than its quota yields all it has (the shortfall is visible as
+    max(rank) < quota downstream).
+
+    Output: the selected rows as (doc_id, source, mix_rank, quota).
+    Quotas are computed driver-side in exact integer arithmetic (they are
+    parameters, not data) and broadcast as a literal table.
+
+    Scale: ONE window shuffle partitioned by source (same layout and skew
+    profile as per_source_cap) after a broadcast semi-join that drops
+    unweighted sources BEFORE the exchange.
+    """
+    from pyspark.sql.window import Window
+
+    sw = sum(weights.values())
+    quotas = [(s, int(total * w / sw)) for s, w in sorted(weights.items())]
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(quotas, f"{source_col} string, quota long")
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(1 << 31)) * 2654435761 + 17,
+               F.lit(1 << 31))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, source_col)
+        .join(F.broadcast(qdf), source_col)  # prunes BEFORE the window shuffle
+        .withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select(id_col, source_col, "mix_rank", "quota")
+    )

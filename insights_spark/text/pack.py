@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .quality import token_count
+from .quality import token_count, tokens
 
 
 def global_cumsum(
@@ -162,4 +162,52 @@ def corpus_shuffle(
     )
     return ranked.select(
         id_col, (F.col("_rank1") - 1).cast("long").alias("shuffle_rank")
+    )
+
+
+def sliding_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping context windows — the chunking step in front of every
+    embedding/retrieval indexer (and the stride-overlap variant of
+    pack_sequences' disjoint packing): window starts at 0, stride,
+    2·stride, … while start < n_tokens; the last window is short rather
+    than dropped, so every token is covered by ≥1 window and consecutive
+    windows overlap by window − stride tokens.
+
+    Output: (doc_id, win_idx, tok_start, win_tokens, win_text) — one row
+    per window, win_text the space-joined token slice. Pure column
+    expressions (sequence/transform/slice): MAP-ONLY, zero shuffle, zero
+    UDF — the plan is a single projection whatever the corpus size, which
+    is the entire 100 TB story for this operator. Docs with no tokens
+    produce no windows.
+    """
+    S, W = int(stride), int(window)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
+    ).filter(F.size("_tok") > 0)
+    n_win = F.floor((F.size("_tok") - 1) / F.lit(S)).cast("long") + 1
+    wins = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_win - 1),
+        lambda i: F.struct(
+            i.alias("win_idx"),
+            (i * S).alias("tok_start"),
+            F.least(
+                F.lit(W).cast("long"), F.size("_tok") - i * S
+            ).alias("win_tokens"),
+            F.array_join(
+                F.slice("_tok", (i * S + 1).cast("int"), W), " "
+            ).alias("win_text"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(wins).alias("_w")).select(
+        "doc_id",
+        F.col("_w.win_idx").alias("win_idx"),
+        F.col("_w.tok_start").alias("tok_start"),
+        F.col("_w.win_tokens").alias("win_tokens"),
+        F.col("_w.win_text").alias("win_text"),
     )

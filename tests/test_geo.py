@@ -762,3 +762,34 @@ def test_user_tracks_hand_computed(spark):
             u2["net_disp_deg"], u2["max_leg_deg"]) == (1, 0, 0.0, 0.0, None)
     u3 = got[3]
     assert (u3["n_points"], u3["path_len_deg"], u3["net_disp_deg"]) == (3, 2.0, 2.0)
+
+
+def test_home_cells_argmax_and_ties(spark):
+    """Most-visited cell wins; an exact visit tie goes to the SMALLER
+    cell id; totals count every visit and distinct cell."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.track import home_cells
+    from pyspark.sql import functions as F
+
+    A = (10.0, 10.0)   # far apart -> guaranteed distinct res-1 cells
+    B = (-120.0, -40.0)
+    rows = (
+        [(1, *A)] * 3 + [(1, *B)]           # user 1: A wins 3-1
+        + [(2, *A)] * 2 + [(2, *B)] * 2     # user 2: tie -> min cell id
+    )
+    df = spark.createDataFrame(rows, "user_id long, lon double, lat double")
+    cell_of = {
+        (r["lon"], r["lat"]): r["c"]
+        for r in df.select(
+            "lon", "lat",
+            cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("c"),
+        ).distinct().collect()
+    }
+    ca, cb = cell_of[A], cell_of[B]
+    assert ca != cb
+    got = {r["user_id"]: r for r in home_cells(df, res=1).collect()}
+    u1 = got[1]
+    assert (u1["home_cell"], u1["visits"], u1["visits_total"], u1["n_cells"]) \
+        == (ca, 3, 4, 2)
+    u2 = got[2]
+    assert (u2["home_cell"], u2["visits"]) == (min(ca, cb), 2)

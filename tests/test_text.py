@@ -968,3 +968,58 @@ def test_novelty_hand_cases(spark):
         3: (5, 4, 0.8),
         4: (1, 1, 1.0),
     }
+
+
+def test_mix_sources_quota_shortfall_and_determinism(spark):
+    """Quota math (floor of total·w/Σw), shortfall sources yield all they
+    have, unweighted sources yield nothing, and membership is identical
+    under repartitioning (content-stable hash rank)."""
+    from insights_spark.text.clean import mix_sources
+
+    rows = [(i, f"s{i % 4}") for i in range(80)]  # 20 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # weights 3:1 over s0, s1 at total 40 -> quotas 30 (shortfall: 20), 10
+    out = mix_sources(df, {"s0": 3.0, "s1": 1.0}, total=40).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1"}         # s2/s3 unweighted -> absent
+    assert len(by_src["s0"]) == 20             # quota 30, only 20 exist
+    assert all(r["quota"] == 30 for r in by_src["s0"])
+    assert len(by_src["s1"]) == 10             # true selection
+    assert all(r["quota"] == 10 for r in by_src["s1"])
+    ids = {(r["doc_id"], r["mix_rank"]) for r in out}
+    out7 = mix_sources(
+        df.repartition(7), {"s0": 3.0, "s1": 1.0}, total=40
+    ).collect()
+    assert {(r["doc_id"], r["mix_rank"]) for r in out7} == ids
+
+
+def test_sliding_windows_coverage_and_overlap(spark):
+    """Every token is covered, consecutive windows overlap by
+    window − stride, the last window is short (never dropped), and
+    empty/NULL docs produce no windows."""
+    from insights_spark.text.pack import sliding_windows
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(11))),  # 11 tokens
+        (2, "a b"),                                  # shorter than window
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sliding_windows(df, window=6, stride=4).collect()
+    d1 = sorted([r for r in got if r["doc_id"] == 1], key=lambda r: r["win_idx"])
+    # starts 0,4,8 -> lens 6,6,3
+    assert [(r["tok_start"], r["win_tokens"]) for r in d1] == [(0, 6), (4, 6), (8, 3)]
+    assert d1[0]["win_text"] == "t0 t1 t2 t3 t4 t5"
+    assert d1[2]["win_text"] == "t8 t9 t10"
+    # overlap = window - stride = 2 tokens between consecutive windows
+    assert d1[0]["win_text"].split()[-2:] == d1[1]["win_text"].split()[:2]
+    covered = set()
+    for r in d1:
+        covered.update(range(r["tok_start"], r["tok_start"] + r["win_tokens"]))
+    assert covered == set(range(11))
+    d2 = [r for r in got if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["win_tokens"] == 2
+    assert not [r for r in got if r["doc_id"] in (3, 4)]
