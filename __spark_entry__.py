@@ -1124,6 +1124,62 @@ def _q_sliding_windows(spark, sf_dir):
     )
 
 
+def _q_tile_pyramid_inc(spark, sf_dir):
+    """Incremental pyramid maintenance (geo/tiles.py:tile_pyramid_merge):
+    stored pyramid (event_id ≢ 0 mod 3) ⊕ delta batch (≡ 0) — the oracle
+    is the FULL-recompute pyramid SQL, so the green row IS the merge
+    theorem pyramid(A∪B) == merge(pyramid(A), pyramid(B))."""
+    from insights_spark.geo import tiles
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    stored = tiles.tile_pyramid(
+        _points(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) != 0), "event_id"),
+        [6, 4],
+    )
+    delta = _points(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0), "event_id"
+    )
+    return tiles.tile_pyramid_merge(stored, delta, [6, 4])
+
+
+def _q_trending_cells(spark, sf_dir):
+    """Time-decayed per-cell activity (geo/smooth.py:decayed_cell_scores),
+    halflife 3 d, now = 2024-02-01: every weight is a power of two and
+    every partial sum an exact dyadic rational, so the float sum is
+    order-free and the oracle bit-exact with NO sorted fold."""
+    from insights_spark.geo.smooth import decayed_cell_scores
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    return decayed_cell_scores(
+        pts, res=1, halflife_s=259200, now_epoch_s=1706745600
+    )
+
+
+def _q_fuzzy_join(spark, sf_dir):
+    """Edit-distance-1 title pairs via FastSS deletion neighborhoods
+    (text/fuzzy.py) — provably complete candidates from a variant-keyed
+    equi-join, exact levenshtein verify, never all-pairs. Titles are the
+    4-token prefix with a typo PLANTED on doc_id ≡ 0 mod 5 (pii_scrub
+    precedent) so both distance classes are populated (11 exact + 15
+    one-edit pairs at sf0.01)."""
+    from insights_spark.text.fuzzy import fuzzy_pairs
+    from insights_spark.text.quality import tokens
+
+    base = F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ")
+    title = F.when(
+        (F.pmod(F.col("doc_id"), F.lit(5)) == 0) & (F.length(base) >= 2),
+        F.concat(
+            F.substring(base, 1, 1), F.lit("x"), F.substring(base, 3, 1 << 20)
+        ),
+    ).otherwise(base)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", title.alias("title")
+    )
+    return fuzzy_pairs(d, id_col="doc_id", str_col="title")
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -2003,6 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "home_cells": _q_home_cells,
         "mix_sources": _q_mix_sources,
         "sliding_windows": _q_sliding_windows,
+        "tile_pyramid_inc": _q_tile_pyramid_inc,
+        "trending_cells": _q_trending_cells,
+        "fuzzy_join": _q_fuzzy_join,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3499,6 +3558,39 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(tok[i*8+1 : i*8+16], ' ') AS win_text
         FROM toks, unnest(range(0, (len(tok) - 1) // 8 + 1)) AS u(i)
         WHERE len(tok) > 0
+    """
+    # incremental merge == full recompute: the full-pyramid SQL IS the oracle
+    out["tile_pyramid_inc"] = out["tile_pyramid"]
+    out["trending_cells"] = f"""
+        WITH {_hex_cells_chain_sql(
+            1,
+            src="SELECT event_id, ts, "
+                + _POINTS_SQL.format(k='event_id') + " FROM events",
+            carry="event_id, ts",
+        )},
+        per AS (SELECT cell,
+                       least(20, greatest(0,
+                         (1706745600 - epoch_us(ts) // 1000000) // 259200))
+                         AS bkt,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM hexed GROUP BY 1, 2)
+        SELECT cell, CAST(sum(n) AS BIGINT) AS n_events,
+               sum(n * pow(0.5, bkt)) AS score
+        FROM per GROUP BY cell
+    """
+    out["fuzzy_join"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        t0 AS (SELECT doc_id, array_to_string(tok[1:4], ' ') AS base
+               FROM toks),
+        titles AS (SELECT doc_id,
+                          CASE WHEN doc_id % 5 = 0 AND len(base) >= 2
+                               THEN base[1:1] || 'x' || base[3:]
+                               ELSE base END AS title
+                   FROM t0)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.title, b.title) <= 1
     """
     _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
     out["cell_clusters"] = f"""

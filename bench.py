@@ -101,6 +101,9 @@ HEADLINE = [
     "home_cells",
     "mix_sources",
     "sliding_windows",
+    "tile_pyramid_inc",
+    "trending_cells",
+    "fuzzy_join",
 ]
 
 

@@ -101,3 +101,56 @@ def hex_focal_smooth(
             ).alias("is_hot"),
         )
     )
+
+
+def decayed_cell_scores(
+    points: DataFrame,
+    res: int,
+    halflife_s: int,
+    now_epoch_s: int,
+    ts_col: str = "ts",
+    max_buckets: int = 20,
+) -> DataFrame:
+    """Exponentially time-decayed activity per hex cell — the "trending
+    now" score (recent edits count full, each halflife halves the
+    weight): score = Σ_events 2^−min(age/halflife, max_buckets).
+
+    Exactness by construction: ages quantize to INTEGER halflife buckets,
+    so every weight is a power of two (an exact double), every event
+    count is an integer ≤ 2^(53−max_buckets), and every partial sum is a
+    multiple of 2^−max_buckets below 2^33 — representable exactly in a
+    double, so the sum is order-free and the SQL oracle reproduces it
+    bit-for-bit WITHOUT the sorted-fold crutch. ``now_epoch_s`` is an
+    explicit parameter (a deterministic pipeline never reads the clock
+    inside the plan); events newer than `now` clamp to bucket 0, older
+    than max_buckets halflives to the floor weight 2^−max_buckets.
+
+    Scale: one (cell, bucket) rollup then one cell rollup — both
+    decomposable with map-side combine; output bounded by occupied cells.
+    """
+    from . import cells as _c
+
+    age = F.lit(int(now_epoch_s)) - F.col(ts_col).cast("timestamp").cast("long")
+    # exact integer floor-division (subtract the pmod remainder first):
+    # float division + floor can misround within an ulp of a bucket edge
+    h = F.lit(int(halflife_s)).cast("long")
+    bucket = F.least(
+        F.lit(int(max_buckets)).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            ((age - F.pmod(age, h)) / h).cast("long"),
+        ),
+    )
+    per = (
+        points.groupBy(
+            _c.hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat")).alias(
+                "cell"
+            ),
+            bucket.alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per.groupBy("cell").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum(F.col("_n") * F.pow(F.lit(0.5), F.col("_b"))).alias("score"),
+    )

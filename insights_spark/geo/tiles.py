@@ -111,3 +111,30 @@ def tile_pyramid(df: DataFrame, zooms: list[int], lon_col: str = "lon",
         out = out.unionByName(lvl)
         prev, prev_z = lvl, z
     return out
+
+
+def tile_pyramid_merge(
+    stored: DataFrame, delta_points: DataFrame, zooms: list[int],
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """Incremental pyramid maintenance — the geo twin of the corpus job's
+    dedup-vs-index incrementality (jobs/corpus.py): a stored pyramid plus
+    a new batch of points yields the updated pyramid WITHOUT rescanning
+    history. Valid because density is a plain sum over points, so
+    pyramid(A ∪ B) = merge(pyramid(A), pyramid(B)) cell-for-cell in exact
+    integer arithmetic — pinned as ``merged == full recompute`` both in
+    pytest and as the driver oracle (the tile_pyramid SQL over ALL
+    events IS the expected merged output).
+
+    Scale posture (100 TB): the only pass over new data is the delta's
+    own pyramid (one rollup of the batch); the merge is one keyed shuffle
+    bounded by OCCUPIED TILES (≤ 4^base_z), independent of history size.
+    This is the operator a nightly ingest actually runs — history stays
+    in the sink, deltas stream through.
+    """
+    delta = tile_pyramid(delta_points, zooms, lon_col, lat_col)
+    return (
+        stored.unionByName(delta)
+        .groupBy("z", "x", "y")
+        .agg(F.sum("density").alias("density"))
+    )

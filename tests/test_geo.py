@@ -793,3 +793,59 @@ def test_home_cells_argmax_and_ties(spark):
         == (ca, 3, 4, 2)
     u2 = got[2]
     assert (u2["home_cell"], u2["visits"]) == (min(ca, cb), 2)
+
+
+def test_tile_pyramid_merge_equals_full(spark):
+    """Merge theorem: pyramid(stored pts) ⊕ delta == pyramid(all), for a
+    random 80/20 split — exact integer equality per (z, x, y)."""
+    import numpy as np
+
+    from insights_spark.geo import tiles
+
+    rng = np.random.default_rng(13)
+    pts = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(
+        zip(rng.uniform(-170, 170, 500), rng.uniform(-80, 80, 500)))]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    old = df.filter("id % 5 != 0")
+    delta = df.filter("id % 5 = 0")
+    full = {(r["z"], r["x"], r["y"]): r["density"]
+            for r in tiles.tile_pyramid(df, [6, 4]).collect()}
+    merged = {(r["z"], r["x"], r["y"]): r["density"]
+              for r in tiles.tile_pyramid_merge(
+                  tiles.tile_pyramid(old, [6, 4]), delta, [6, 4]).collect()}
+    assert merged == full
+
+
+def test_decayed_cell_scores_hand_buckets(spark):
+    """Bucket math and dyadic exactness pinned by hand: fresh events weigh
+    1.0, one-halflife-old weigh 0.5, ancient clamp to 2^-max, future
+    clamp to bucket 0 — and the score equals the exact fraction."""
+    from datetime import datetime, timezone
+
+    from insights_spark.geo.smooth import decayed_cell_scores
+
+    now = 1_700_000_000
+    hl = 1000
+
+    def at(off_s):
+        return datetime.fromtimestamp(now - off_s, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # all points at one location -> one cell
+    rows = [
+        (at(0), 1.0, 1.0),       # bucket 0 -> 1.0
+        (at(999), 1.0, 1.0),     # still bucket 0
+        (at(1000), 1.0, 1.0),    # bucket 1 -> 0.5
+        (at(2500), 1.0, 1.0),    # bucket 2 -> 0.25
+        (at(10**9), 1.0, 1.0),   # ancient -> clamp bucket 3 (max)
+        (at(-50), 1.0, 1.0),     # future -> clamp bucket 0
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, lon double, lat double")
+    out = decayed_cell_scores(
+        df, res=1, halflife_s=hl, now_epoch_s=now, max_buckets=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 6
+    assert r["score"] == 1.0 + 1.0 + 0.5 + 0.25 + 0.125 + 1.0

@@ -1023,3 +1023,41 @@ def test_sliding_windows_coverage_and_overlap(spark):
     d2 = [r for r in got if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["win_tokens"] == 2
     assert not [r for r in got if r["doc_id"] in (3, 4)]
+
+
+def test_fuzzy_pairs_brute_force(spark):
+    """FastSS candidates + levenshtein verify == brute-force all-pairs on
+    a fixture covering every edit class: equal, substitution, insertion,
+    deletion, and distance-2 (must be absent)."""
+    import itertools
+
+    from insights_spark.text.fuzzy import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    strs = [
+        (1, "breaking news"), (2, "breaking news"),   # equal
+        (3, "breaking newz"),                          # substitution of 1/2
+        (4, "breaking newss"),                         # insertion
+        (5, "breaking new"),                           # deletion
+        (6, "braking newz"),                           # dist 2 from 1
+        (7, "totally different"), (8, ""), (9, "x"),
+    ]
+    want = {
+        (a, b, lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(strs, 2)
+        if lev(sa, sb) <= 1
+    }
+    assert any(d == 0 for _, _, d in want) and any(d == 1 for _, _, d in want)
+    assert (1, 6) not in {(a, b) for a, b, _ in want}  # dist-2 excluded
+    df = spark.createDataFrame(strs, "doc_id long, title string")
+    got = {(r["a"], r["b"], r["dist"]) for r in fuzzy_pairs(df).collect()}
+    assert got == want
