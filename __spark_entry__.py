@@ -1180,6 +1180,29 @@ def _q_fuzzy_join(spark, sf_dir):
     return fuzzy_pairs(d, id_col="doc_id", str_col="title")
 
 
+def _q_frontier_cells(spark, sf_dir):
+    """Mapping-frontier cells (geo/smooth.py:frontier_cells): occupied
+    res-1 cells with ≥ 1 empty ring-1 neighbor — one 6× explode + one
+    anti-join on the BIGINT neighbor id, all on the bounded cell rollup."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.smooth import frontier_cells
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return frontier_cells(counts)
+
+
+def _q_quantize(spark, sf_dir):
+    """Per-vector affine int8 quantization (text/quant.py) — the storage
+    half of the embedding stack: map-only, zero shuffle, no UDF; both
+    engines evaluate the identical double-precision expression tree."""
+    from insights_spark.text.quant import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -2062,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_inc": _q_tile_pyramid_inc,
         "trending_cells": _q_trending_cells,
         "fuzzy_join": _q_fuzzy_join,
+        "frontier_cells": _q_frontier_cells,
+        "quantize": _q_quantize,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3593,6 +3618,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE levenshtein(a.title, b.title) <= 1
     """
     _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
+    out["frontier_cells"] = f"""
+        WITH {_hex_cnts_sql(1)},
+        fan AS (SELECT cell, n, cell + off AS nb
+                FROM cnts, unnest({_OFF6}) AS u(off))
+        SELECT f.cell, f.n, CAST(count(*) AS BIGINT) AS empty_neighbors
+        FROM fan f LEFT JOIN cnts o ON o.cell = f.nb
+        WHERE o.cell IS NULL
+        GROUP BY 1, 2
+    """
+    out["quantize"] = """
+        WITH x AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         v -> CAST(v AS DOUBLE)) AS xs,
+                          CAST(len(embedding) AS INT) AS dim
+                   FROM embeddings WHERE len(embedding) > 0),
+        mm AS (SELECT vec_id, xs, dim,
+                      list_aggregate(xs, 'min') AS lo,
+                      list_aggregate(xs, 'max') - list_aggregate(xs, 'min')
+                        AS span
+               FROM x)
+        SELECT vec_id, lo, span / 255.0 AS scale,
+               list_transform(xs, v -> least(255, greatest(0,
+                 CASE WHEN span = 0.0 THEN 0
+                      ELSE CAST(floor((v - lo) * 255.0 / span) AS INT)
+                 END))) AS codes,
+               dim
+        FROM mm
+    """
     out["cell_clusters"] = f"""
         WITH RECURSIVE {_hex_cnts_sql(1)},
         core AS (SELECT cell, n FROM cnts WHERE n >= 8),

@@ -104,6 +104,8 @@ HEADLINE = [
     "tile_pyramid_inc",
     "trending_cells",
     "fuzzy_join",
+    "frontier_cells",
+    "quantize",
 ]
 
 

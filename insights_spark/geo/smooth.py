@@ -154,3 +154,41 @@ def decayed_cell_scores(
         F.sum("_n").alias("n_events"),
         F.sum(F.col("_n") * F.pow(F.lit(0.5), F.col("_b"))).alias("score"),
     )
+
+
+def frontier_cells(
+    cell_counts: DataFrame,
+    cell_col: str = "cell",
+    cnt_col: str = "n",
+) -> DataFrame:
+    """Mapping-frontier detection — occupied cells with ≥ 1 EMPTY ring-1
+    neighbor: the "edge of the mapped world" primitive behind
+    where-to-map-next prioritization (directing mappers at gaps is the
+    reference project's purpose — insights/README.md; tasking-manager
+    integration in SURVEY §2.10). Interior cells (all six neighbors
+    occupied) are absent from the output.
+
+    Output: (cell, n, empty_neighbors ∈ 1..6). One 6× explode + ONE
+    anti-join keyed on the neighbor cell id (BIGINT arithmetic, no UDF,
+    no geometry) + a cell rollup; everything runs on the bounded
+    occupied-cell table. Antimeridian wrap is ignored, consistent with
+    the focal/cluster siblings and replicated exactly by the oracle.
+    """
+    occ = cell_counts.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(cnt_col).cast("long").alias("n"),
+    )
+    nbrs = F.array(
+        *[
+            F.col("cell") + F.lit(dq * (1 << 28) + dr).cast("long")
+            for (dq, dr) in RING1
+            if (dq, dr) != (0, 0)
+        ]
+    )
+    fan = occ.select("cell", "n", F.explode(nbrs).alias("_nb"))
+    empty = fan.join(
+        occ.select(F.col("cell").alias("_nb")), "_nb", "left_anti"
+    )
+    return empty.groupBy("cell", "n").agg(
+        F.count(F.lit(1)).alias("empty_neighbors")
+    )

@@ -849,3 +849,39 @@ def test_decayed_cell_scores_hand_buckets(spark):
     r = out[0]
     assert r["n_events"] == 6
     assert r["score"] == 1.0 + 1.0 + 0.5 + 0.25 + 0.125 + 1.0
+
+
+def test_frontier_cells_brute_force(spark):
+    """Frontier = occupied cells with >=1 empty axial neighbor, counted
+    exactly; a fully-enclosed interior cell is absent."""
+    import random
+
+    from insights_spark.geo.cells import hex_encode, hex_ring_ids
+    from insights_spark.geo.smooth import frontier_cells
+
+    rng = random.Random(53)
+    counts = {}
+    # 3x3 blob -> its center has all 6 neighbors occupied (interior)
+    for dq in range(-1, 2):
+        for dr in range(-1, 2):
+            counts[hex_encode(6, dq, dr)] = rng.randint(1, 9)
+    for _ in range(25):
+        counts.setdefault(
+            hex_encode(6, rng.randint(-12, 12), rng.randint(-12, 12)),
+            rng.randint(1, 9),
+        )
+    want = {}
+    for c, n in counts.items():
+        empties = sum(
+            1 for nb in hex_ring_ids(c, 1) if nb != c and nb not in counts
+        )
+        if empties:
+            want[c] = (n, empties)
+    df = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()], "cell long, n long"
+    )
+    got = {r["cell"]: (r["n"], r["empty_neighbors"])
+           for r in frontier_cells(df).collect()}
+    assert got == want
+    assert hex_encode(6, 0, 0) not in got       # interior cell excluded
+    assert len(got) < len(counts)

@@ -1061,3 +1061,33 @@ def test_fuzzy_pairs_brute_force(spark):
     df = spark.createDataFrame(strs, "doc_id long, title string")
     got = {(r["a"], r["b"], r["dist"]) for r in fuzzy_pairs(df).collect()}
     assert got == want
+
+
+def test_quantize_embeddings_hand_vectors(spark):
+    """Quantization pinned by hand: known min/scale, monotone codes, the
+    max element clamped into [0, 255], constant vectors -> all zeros with
+    scale 0, empty vectors absent."""
+    from insights_spark.text.quant import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 1.0, 2.0, 4.0]),
+        (2, [5.0, 5.0, 5.0]),     # constant
+        (3, []),                   # empty -> absent
+        (4, [-2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(got) == {1, 2, 4}
+    r1 = got[1]
+    assert r1["lo"] == 0.0 and r1["scale"] == 4.0 / 255.0 and r1["dim"] == 4
+    assert r1["codes"][0] == 0 and r1["codes"][-1] in (254, 255)
+    assert r1["codes"] == sorted(r1["codes"])       # monotone in value
+    assert r1["codes"][1] == int(1.0 * 255.0 / 4.0)  # 63
+    r2 = got[2]
+    assert r2["scale"] == 0.0 and r2["codes"] == [0, 0, 0]
+    r4 = got[4]
+    assert r4["lo"] == -2.0 and r4["codes"][0] == 0
+    # dequant error bound: |x - (lo + code*scale)| <= scale for every elem
+    for r, xs in ((r1, [0.0, 1.0, 2.0, 4.0]), (r4, [-2.0, 2.0])):
+        for c, x in zip(r["codes"], xs):
+            assert abs(x - (r["lo"] + c * r["scale"])) <= r["scale"] + 1e-12

@@ -62,6 +62,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,10 +72,13 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__} {str(e)[:200]}")
+            results[name] = {"status": "spark_error",
+                             "error": str(e)[:200]}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -82,6 +86,7 @@ def main() -> int:
             orows = [dict(zip(ocols, row)) for row in cur.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {"status": "oracle_error", "error": str(e)[:200]}
             failures += 1
             continue
 
@@ -107,10 +112,25 @@ def main() -> int:
                 ok = False
         if ok:
             print(f"OK    {name}: {len(srows)} rows")
+            results[name] = {"status": "ok", "rows": len(srows)}
         else:
+            results[name] = {"status": "mismatch", "rows": len(srows)}
             failures += 1
 
     spark.stop()
+    # machine-readable artifact covering EVERY checked query — the driver's
+    # CORRECTNESS gate windows the first 50 registrations, this doesn't
+    json_path = os.environ.get("SELFCHECK_JSON")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(
+                {"sf_dir": sf_dir, "checked": len(results),
+                 "failures": failures, "queries": results},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"wrote {json_path}")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
