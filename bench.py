@@ -135,7 +135,11 @@ def main() -> None:
     # further reps only run while the budget holds — min-of-N when quiet,
     # graceful single-pass degradation when contended (never a timeout kill
     # with no JSON line at all)
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # 600 s: the suite grew to ~55 queries (r4) — a contended first pass
+    # alone can eat 270 s, and min-of-3 is what separates real regressions
+    # from co-tenant steal (measured: rep totals 203/270 s contended vs
+    # quiet per-query minima 2-6× lower in the same hour)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
     timings: dict[str, float] = {}
     rep_totals: list[float] = []
     loop_t0 = time.perf_counter()
