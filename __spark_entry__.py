@@ -543,6 +543,32 @@ def _q_novelty(spark, sf_dir):
     return novelty_scores(_t(spark, sf_dir, "documents"), n=3)
 
 
+def _q_doc_geotag(spark, sf_dir):
+    """Gazetteer geotagging (text/geotag.py) — the cross-domain join that
+    ties the corpus to the spatial stack: place-name tokens matched
+    against the synth country gazetteer (broadcast), MIN-country tie
+    rule. Mentions are PLANTED per doc_id class (pii_scrub precedent):
+    ¼ kenya, ¼ fiji, ¼ 'somalia fiji' (exercises the tie rule), ¼ none."""
+    from insights_spark import synth
+    from insights_spark.text.geotag import geotag_documents
+
+    mention = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit(" kenya"))
+        .when(F.pmod(F.col("doc_id"), F.lit(4)) == 1, F.lit(" fiji"))
+        .when(F.pmod(F.col("doc_id"), F.lit(4)) == 2, F.lit(" somalia fiji"))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), mention).alias("text"),
+    )
+    gaz = spark.createDataFrame(
+        [(b["name_en"].lower(), b["name_en"]) for b in synth.gen_boundaries()],
+        "tok string, country string",
+    )
+    return geotag_documents(docs, gaz)
+
+
 def _q_ann_topk(spark, sf_dir):
     """Similarity search: exact cosine top-5 (sequential-fold dot product)."""
     from insights_spark.text.simsearch import cosine_topk
@@ -2087,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": _q_fuzzy_join,
         "frontier_cells": _q_frontier_cells,
         "quantize": _q_quantize,
+        "doc_geotag": _q_doc_geotag,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3626,6 +3653,30 @@ def oracle_sql() -> dict[str, str]:
         FROM fan f LEFT JOIN cnts o ON o.cell = f.nb
         WHERE o.cell IS NULL
         GROUP BY 1, 2
+    """
+    from insights_spark import synth as _synth
+
+    _gaz_vals = ", ".join(
+        f"('{b['name_en'].lower()}', '{b['name_en']}')"
+        for b in _synth.gen_boundaries()
+    )
+    out["doc_geotag"] = f"""
+        WITH aug AS (SELECT doc_id,
+                            coalesce(text, '') ||
+                            CASE CAST(doc_id % 4 AS INT)
+                              WHEN 0 THEN ' kenya'
+                              WHEN 1 THEN ' fiji'
+                              WHEN 2 THEN ' somalia fiji'
+                              ELSE '' END AS text
+                     FROM documents),
+        toks AS (SELECT doc_id, {_TOKENS} AS tok FROM aug),
+        gaz AS (SELECT * FROM (VALUES {_gaz_vals}) AS t(tok, country)),
+        m AS (SELECT doc_id, country
+              FROM (SELECT doc_id, unnest(tok) AS tk FROM toks)
+              JOIN gaz ON tk = gaz.tok)
+        SELECT doc_id, min(country) AS country,
+               CAST(count(*) AS BIGINT) AS n_mentions
+        FROM m GROUP BY doc_id
     """
     out["quantize"] = """
         WITH x AS (SELECT vec_id,

@@ -106,6 +106,7 @@ HEADLINE = [
     "fuzzy_join",
     "frontier_cells",
     "quantize",
+    "doc_geotag",
 ]
 
 

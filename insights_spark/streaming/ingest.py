@@ -295,3 +295,38 @@ def stream_interval_join(
         .filter(canonical)
         .select("a", "b", "a_start", "b_start")
     )
+
+
+def stream_cell_counts(
+    events_stream: DataFrame,
+    res: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Streaming per-cell activity rollup — the geo twin of the batch
+    hex-cell count (the input shape of hex_smooth / cell_clusters /
+    frontier_cells), maintained continuously as events arrive.
+
+    State argument (why a running aggregate is scale-safe HERE when an
+    unbounded distinct is not): the state is one counter per OCCUPIED
+    hex cell, and the cell grid is finite — ≤ ~3k cells at res 1,
+    ≤ 4^z-bounded at any res — so state is bounded by the GRID, not the
+    stream length. That is the same boundedness that makes the batch
+    rollup safe, carried over verbatim; no watermark is needed because
+    nothing ever needs to expire. Equivalence with the batch rollup is
+    pinned in tests (same counts per cell once the bounded fixture
+    drains).
+    """
+    from ..geo import cells
+
+    return (
+        events_stream.filter(
+            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        )
+        .groupBy(
+            cells.hex_udf(res, use_h3=False)(
+                F.col(lon_col), F.col(lat_col)
+            ).alias("cell")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

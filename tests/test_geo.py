@@ -885,3 +885,38 @@ def test_frontier_cells_brute_force(spark):
     assert got == want
     assert hex_encode(6, 0, 0) not in got       # interior cell excluded
     assert len(got) < len(counts)
+
+
+def test_round4_geo_ops_survive_garbage_inputs(spark):
+    """Malformed-input probe for the round-4 geo operators: NULL
+    coordinates, NULL timestamps, empty tables — well-formed results,
+    never a crash."""
+    from datetime import datetime
+
+    from insights_spark.geo.cluster import cell_dbscan
+    from insights_spark.geo.smooth import (
+        decayed_cell_scores,
+        frontier_cells,
+        hex_focal_smooth,
+    )
+    from insights_spark.geo.stjoin import st_within
+    from insights_spark.geo.track import home_cells, user_tracks
+
+    empty_cells = spark.createDataFrame([], "cell long, n long")
+    assert hex_focal_smooth(empty_cells).count() == 0
+    assert frontier_cells(empty_cells).count() == 0
+    assert cell_dbscan(empty_cells, minpts=3).count() == 0
+
+    pts = spark.createDataFrame(
+        [(1, 1, None, None, datetime(2024, 1, 1)),
+         (2, 1, 5.0, 5.0, None),
+         (3, 2, 5.0, 5.0, datetime(2024, 1, 1))],
+        "id long, user_id long, lon double, lat double, ts timestamp",
+    )
+    # NULL lon/lat or ts degrade per-row (NULL cell / NULL leg), no crash
+    assert user_tracks(pts).count() == 2
+    assert home_cells(pts).count() == 2
+    assert st_within(pts, 1.0, 100, rings=1).count() == 0
+    assert decayed_cell_scores(
+        pts, res=1, halflife_s=100, now_epoch_s=1704067200
+    ).count() >= 1

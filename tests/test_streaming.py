@@ -295,3 +295,56 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT a, b FROM ivj_stream_test").collect()
     }
     assert got == expect
+
+
+def test_stream_cell_counts_matches_batch(spark, tmp_path):
+    """The streaming per-cell rollup converges to EXACTLY the batch
+    hex-cell counts once the (bounded) fixture drains — grid-bounded
+    state, no watermark needed; fed in two micro-batches so the running
+    aggregate actually updates across triggers."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from insights_spark.geo import cells
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id"
+    )
+    pts = m._points(ev, "event_id").select("event_id", "lon", "lat")
+    src = str(tmp_path / "pts")
+    pts.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    pts.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, lon double, lat double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ingest.stream_cell_counts(stream, res=1)
+        .writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["cell"]: r["n"] for r in spark.table("cellcounts").collect()
+    }
+    want = {
+        r["cell"]: r["n"]
+        for r in pts.groupBy(
+            cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias(
+                "cell"
+            )
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()
+    }
+    assert got == want and len(want) > 10

@@ -1091,3 +1091,74 @@ def test_quantize_embeddings_hand_vectors(spark):
     for r, xs in ((r1, [0.0, 1.0, 2.0, 4.0]), (r4, [-2.0, 2.0])):
         for c, x in zip(r["codes"], xs):
             assert abs(x - (r["lo"] + c * r["scale"])) <= r["scale"] + 1e-12
+
+
+def test_round4_ops_survive_garbage_inputs(spark):
+    """Malformed-input probe for the round-4 text operators (the probe
+    discipline that caught the NULL-html extractor crash): NULL text,
+    empty strings, schemeless URLs, NULL embeddings — every op returns a
+    well-formed (possibly empty) result, never raises."""
+    from insights_spark.text.dedup import containment_pairs, passage_dedup
+    from insights_spark.text.freq import heavy_hitters, novelty_scores
+    from insights_spark.text.fuzzy import fuzzy_pairs
+    from insights_spark.text.clean import mix_sources
+    from insights_spark.text.pack import sliding_windows
+    from insights_spark.text.quant import quantize_embeddings
+    from insights_spark.text.rank import bm25_scores, query_terms_by_df
+    from insights_spark.text.urls import url_dedup
+    from datetime import datetime
+
+    bad_docs = spark.createDataFrame(
+        [(1, None, "s0"), (2, "", "s0"), (3, "   ", None), (4, "x", "s1")],
+        "doc_id long, text string, source string",
+    )
+    assert passage_dedup(bad_docs).count() == 1          # only doc 4 tokens
+    assert containment_pairs(bad_docs).count() == 0
+    assert novelty_scores(bad_docs).count() == 0          # no doc has 3 tokens
+    assert heavy_hitters(bad_docs, k=4).count() == 1      # 'x' is total
+    assert sliding_windows(bad_docs).count() == 1
+    assert bm25_scores(bad_docs, query_terms_by_df(bad_docs)).count() >= 0
+    assert mix_sources(bad_docs, {"s0": 1.0}, total=10).count() == 2
+    bad_urls = spark.createDataFrame(
+        [(1, "not a url at all", datetime(2021, 1, 1)),
+         (2, None, datetime(2021, 1, 2)),
+         (3, "://missing-scheme", datetime(2021, 1, 3))],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    out = url_dedup(bad_urls).collect()   # degenerate keys, no crash
+    assert len(out) >= 1
+    bad_titles = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "")], "doc_id long, title string"
+    )
+    got = {(r["a"], r["b"]) for r in fuzzy_pairs(bad_titles).collect()}
+    assert got == {(2, 3)}                # empties are exact-equal; NULL inert
+    bad_vecs = spark.createDataFrame(
+        [(1, None), (2, []), (3, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert quantize_embeddings(bad_vecs).count() == 1
+
+
+def test_geotag_documents_tie_rule_and_absence(spark):
+    """Min-country tie rule, mention counting (duplicates counted), and
+    silence for unmatched docs."""
+    from insights_spark.text.geotag import geotag_documents
+
+    gaz = spark.createDataFrame(
+        [("kenya", "Kenya"), ("fiji", "Fiji")], "tok string, country string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "visited kenya last year"),
+            (2, "fiji then kenya then fiji again"),  # tie -> Fiji (min name)
+            (3, "no places here"),
+            (4, None),
+            (5, "KENYA uppercase still matches"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["country"], r["n_mentions"])
+        for r in geotag_documents(docs, gaz).collect()
+    }
+    assert got == {1: ("Kenya", 1), 2: ("Fiji", 3), 5: ("Kenya", 1)}
