@@ -569,6 +569,24 @@ def _q_doc_geotag(spark, sf_dir):
     return geotag_documents(docs, gaz)
 
 
+def _q_top_terms_per_source(spark, sf_dir):
+    """Per-source top-5 terms (text/freq.py:top_terms_per_source): the
+    per-GROUP top-k shape, vs term_freq's global TakeOrderedAndProject —
+    one map-side-combined rollup + one source-partitioned window."""
+    from insights_spark.text.freq import top_terms_per_source
+
+    return top_terms_per_source(_t(spark, sf_dir, "documents"), k=5)
+
+
+def _q_token_lorenz(spark, sf_dir):
+    """Corpus concentration deciles (text/freq.py:token_share_curve):
+    both global prefix sums (token cum + rank) ride ONE
+    global_cumsum_multi scan — never an unpartitioned window."""
+    from insights_spark.text.freq import token_share_curve
+
+    return token_share_curve(_t(spark, sf_dir, "documents"), buckets=10)
+
+
 def _q_ann_topk(spark, sf_dir):
     """Similarity search: exact cosine top-5 (sequential-fold dot product)."""
     from insights_spark.text.simsearch import cosine_topk
@@ -2114,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_cells": _q_frontier_cells,
         "quantize": _q_quantize,
         "doc_geotag": _q_doc_geotag,
+        "top_terms_per_source": _q_top_terms_per_source,
+        "token_lorenz": _q_token_lorenz,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3677,6 +3697,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(country) AS country,
                CAST(count(*) AS BIGINT) AS n_mentions
         FROM m GROUP BY doc_id
+    """
+    out["top_terms_per_source"] = f"""
+        WITH counts AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT source, unnest({_TOKENS}) AS term FROM documents)
+          GROUP BY 1, 2)
+        SELECT source, term, n,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY n DESC, term ASC) AS rank
+              FROM counts)
+        WHERE rank <= 5
+    """
+    out["token_lorenz"] = f"""
+        WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS ntok
+                   FROM documents),
+        f AS (SELECT * FROM t WHERE ntok > 0),
+        r AS (SELECT doc_id, ntok,
+                     CAST(sum(ntok) OVER w AS BIGINT) AS tokens_cum,
+                     row_number() OVER w AS rank
+              FROM f WINDOW w AS (ORDER BY ntok DESC, doc_id ASC)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(ntok) AS BIGINT) AS tok FROM f)
+        SELECT CAST((rank - 1) * 10 // n + 1 AS INT) AS bucket,
+               CAST(max(rank) AS BIGINT) AS docs_cum,
+               max(tokens_cum) AS tokens_cum,
+               CAST(max(tokens_cum) AS DOUBLE) / CAST(max(tok) AS DOUBLE)
+                 AS token_share
+        FROM r, tot GROUP BY 1
     """
     out["quantize"] = """
         WITH x AS (SELECT vec_id,

@@ -107,6 +107,8 @@ HEADLINE = [
     "frontier_cells",
     "quantize",
     "doc_geotag",
+    "top_terms_per_source",
+    "token_lorenz",
 ]
 
 

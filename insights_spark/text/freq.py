@@ -131,3 +131,91 @@ def novelty_scores(
         )
         .withColumn("novelty", F.col("n_novel") / F.col("n_grams"))
     )
+
+
+def top_terms_per_source(
+    docs: DataFrame,
+    k: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """k most frequent terms PER SOURCE (ties broken by term asc) — the
+    per-group top-k shape every per-domain profiling report needs, as
+    distinct from the global top-k (``term_freq``'s
+    TakeOrderedAndProject) and the global heavy hitters.
+
+    Plan: (source, term) rollup with map-side combine, then ONE window
+    partitioned by source — rank state is per-source, skew bounded by the
+    hottest single domain's DISTINCT-term count (vocabulary-bounded, far
+    below its row count)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "term", "n", "rank")
+    )
+
+
+def token_share_curve(
+    docs: DataFrame,
+    buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus concentration (Lorenz curve): rank documents by token count
+    DESCENDING (ties by id asc) and report the cumulative token share at
+    each rank decile — "the top 10% of docs hold X% of the tokens", the
+    skew diagnostic that decides whether per-doc caps are worth running.
+
+    Output: (bucket 1..buckets, docs_cum, tokens_cum, token_share) with
+    docs_cum/tokens_cum exact integers and token_share one IEEE division.
+    Both global prefix sums (tokens and row rank) ride ONE
+    ``global_cumsum_multi`` scan — no unpartitioned window anywhere; the
+    final rollup is `buckets` rows."""
+    from .pack import global_cumsum_multi
+    from .quality import token_count
+
+    t = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(F.col(text_col)).cast("long").alias("ntok"),
+        )
+        .filter(F.col("ntok") > 0)
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    cum = global_cumsum_multi(
+        t,
+        ["ntok", "_one"],
+        [F.col("ntok").desc(), F.col("doc_id").asc()],
+        ["tokens_cum", "rank"],
+    )
+    tot = cum.agg(
+        F.max("rank").alias("_n"), F.max("tokens_cum").alias("_tok")
+    )
+    bucket = (
+        (F.col("rank") - 1) * F.lit(int(buckets)) - F.pmod(
+            (F.col("rank") - 1) * F.lit(int(buckets)), F.col("_n")
+        )
+    ) / F.col("_n") + 1
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.max("rank").alias("docs_cum"),
+            F.max("tokens_cum").alias("tokens_cum"),
+            (F.max("tokens_cum") / F.max("_tok")).alias("token_share"),
+        )
+    )

@@ -37,24 +37,26 @@ from pyspark.sql.window import Window
 from .quality import token_count, tokens
 
 
-def global_cumsum(
+def global_cumsum_multi(
     df: DataFrame,
-    value_col: str,
+    value_cols: list,
     order_exprs: list,
-    out_col: str = "_cum_global",
+    out_cols: list,
     partitions: int | None = None,
 ) -> DataFrame:
-    """GLOBAL inclusive cumulative sum of ``value_col`` in ``order_exprs``
-    order, as the textbook two-phase distributed scan (module docstring):
-    range-partition on the sort key → per-partition window cumsum →
-    bounded per-partition totals collect → broadcast offsets back. The
-    naive ``sum() OVER (ORDER BY …)`` is an unpartitioned window (every
-    row to ONE task); this shape is what the suite-wide plan test allows.
+    """GLOBAL inclusive cumulative sums of several ``value_cols`` in ONE
+    ``order_exprs`` scan — the textbook two-phase distributed prefix sum
+    (module docstring): range-partition on the sort key → per-partition
+    window cumsums → bounded per-partition totals collect → broadcast
+    offsets back. The naive ``sum() OVER (ORDER BY …)`` is an
+    unpartitioned window (every row to ONE task); this shape is what the
+    suite-wide plan test allows. All requested sums ride the same
+    exchange and the same totals collect — k columns cost one scan.
 
     ``order_exprs`` must be a total order (include a unique tiebreak
     column) — ties split across partition boundaries would otherwise make
     the prefix sum nondeterministic. Returns the input columns plus
-    ``out_col`` (BIGINT if the input is integral).
+    ``out_cols`` (BIGINT for integral inputs).
     """
     spark = df.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
@@ -71,18 +73,43 @@ def global_cumsum(
     # the final output must read the SAME partition assignment (the
     # silent-wrong-offsets hazard only manifests beyond the sampler size,
     # i.e. exactly at scale).
-    local = part.withColumn("_cum", F.sum(value_col).over(w)).localCheckpoint()
+    local = part
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(f"_cum{i}", F.sum(vc).over(w))
+    local = local.localCheckpoint()
 
-    totals = local.groupBy("_pid").agg(F.max("_cum").alias("_total")).collect()
-    running, offsets = 0, []
+    totals = local.groupBy("_pid").agg(
+        *[F.max(f"_cum{i}").alias(f"_total{i}") for i in range(len(value_cols))]
+    ).collect()
+    running = [0] * len(value_cols)
+    offsets = []
     for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], running))
-        running += row["_total"]
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
-    return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.col("_cum"))
-        .drop("_pid", "_cum", "_offset")
+        offsets.append((row["_pid"], *running))
+        running = [
+            running[i] + row[f"_total{i}"] for i in range(len(value_cols))
+        ]
+    off_schema = "_pid int, " + ", ".join(
+        f"_offset{i} long" for i in range(len(value_cols))
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), "_pid")
+    drop = ["_pid"]
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"_offset{i}") + F.col(f"_cum{i}"))
+        drop += [f"_cum{i}", f"_offset{i}"]
+    return out.drop(*drop)
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_exprs: list,
+    out_col: str = "_cum_global",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Single-column wrapper over ``global_cumsum_multi`` (see there)."""
+    return global_cumsum_multi(
+        df, [value_col], order_exprs, [out_col], partitions=partitions
     )
 
 

@@ -1162,3 +1162,43 @@ def test_geotag_documents_tie_rule_and_absence(spark):
         for r in geotag_documents(docs, gaz).collect()
     }
     assert got == {1: ("Kenya", 1), 2: ("Fiji", 3), 5: ("Kenya", 1)}
+
+
+def test_top_terms_per_source_isolated_groups(spark):
+    """Rank is per-source (one source's hot term doesn't displace
+    another's), ties break by term asc, k truncates."""
+    from insights_spark.text.freq import top_terms_per_source
+
+    rows = [
+        (1, "apple apple apple pear", "s0"),
+        (2, "kiwi", "s0"),
+        (3, "zebra zebra yak yak", "s1"),   # tie 2-2 -> yak before zebra
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source"], r["rank"]): (r["term"], r["n"])
+           for r in top_terms_per_source(df, k=2).collect()}
+    assert got == {
+        ("s0", 1): ("apple", 3), ("s0", 2): ("kiwi", 1),   # pear=kiwi tie -> kiwi
+        ("s1", 1): ("yak", 2), ("s1", 2): ("zebra", 2),
+    }
+
+
+def test_token_share_curve_hand_computed(spark):
+    """Lorenz deciles pinned by hand on a skewed corpus: one 80-token doc
+    + four 5-token docs at buckets=5 -> top bucket holds 80% of tokens."""
+    from insights_spark.text.freq import token_share_curve
+
+    rows = [(1, " ".join(["w"] * 80))] + [
+        (i, " ".join(["w"] * 5)) for i in range(2, 6)
+    ] + [(9, ""), (10, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: (r["docs_cum"], r["tokens_cum"], r["token_share"])
+           for r in token_share_curve(df, buckets=5).collect()}
+    # 5 ranked docs, 5 buckets -> one doc per bucket; totals 100 tokens
+    assert got == {
+        1: (1, 80, 0.80),
+        2: (2, 85, 0.85),
+        3: (3, 90, 0.90),
+        4: (4, 95, 0.95),
+        5: (5, 100, 1.00),
+    }
