@@ -1247,6 +1247,21 @@ def _q_quantize(spark, sf_dir):
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_knn_join(spark, sf_dir):
+    """Two-table certified-exact kNN join (geo/knn.py:knn_join): each
+    customer's 3 nearest events — the lookup generalization of the
+    self-join kNN; equal ids across tables are distinct entities, and
+    the auto-res pick tracks CANDIDATE density. Oracle = brute-force
+    window over the full cross product."""
+    from insights_spark.geo.knn import knn_join
+
+    cust = _points(
+        _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey"
+    )
+    ev = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return knn_join(cust, ev, k=3, q_id="c_custkey", c_id="event_id", rings=2)
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -2134,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_geotag": _q_doc_geotag,
         "top_terms_per_source": _q_top_terms_per_source,
         "token_lorenz": _q_token_lorenz,
+        "knn_join": _q_knn_join,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3697,6 +3713,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(country) AS country,
                CAST(count(*) AS BIGINT) AS n_mentions
         FROM m GROUP BY doc_id
+    """
+    out["knn_join"] = f"""
+        WITH q AS ({_CUST_PTS}),
+        c AS (SELECT event_id, {_POINTS_SQL.format(k='event_id')} FROM events),
+        d AS (SELECT q.c_custkey AS id, c.event_id AS neighbor_id,
+                     (q.lon - c.lon) * (q.lon - c.lon)
+                     + (q.lat - c.lat) * (q.lat - c.lat) AS dist2
+              FROM q, c),
+        r AS (SELECT id, neighbor_id, dist2,
+                     row_number() OVER (PARTITION BY id
+                       ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+              FROM d)
+        SELECT id, neighbor_id, dist2, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3
     """
     out["top_terms_per_source"] = f"""
         WITH counts AS (

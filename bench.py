@@ -109,6 +109,7 @@ HEADLINE = [
     "doc_geotag",
     "top_terms_per_source",
     "token_lorenz",
+    "knn_join",
 ]
 
 

@@ -60,8 +60,11 @@ def knn_exact(
     )
 
 
-def _cell_pairs(queries, candidates, res: int, rings: int):
-    """(id, neighbor_id, dist2) pairs within `rings` hex rings at `res`."""
+def _cell_pairs(queries, candidates, res: int, rings: int,
+                exclude_self: bool = True):
+    """(id, neighbor_id, dist2) pairs within `rings` hex rings at `res`.
+    ``exclude_self=False`` for TWO-TABLE joins, where equal ids are
+    distinct entities (a customer and an event sharing key 5)."""
     from pyspark.sql.functions import pandas_udf
 
     # use_h3=False: hex_ring_ids/cert_radius_deg assume the axial bit layout;
@@ -89,9 +92,9 @@ def _cell_pairs(queries, candidates, res: int, rings: int):
         F.col("lon").alias("_nlon"),
         F.col("lat").alias("_nlat"),
     )
-    joined = q.select("cell", "id", "lon", "lat").join(cand, "cell").filter(
-        F.col("id") != F.col("neighbor_id")
-    )
+    joined = q.select("cell", "id", "lon", "lat").join(cand, "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("neighbor_id"))
     d2 = (F.col("lon") - F.col("_nlon")) ** 2 + (F.col("lat") - F.col("_nlat")) ** 2
     return joined.withColumn("dist2", d2).select("id", "neighbor_id", "dist2")
 
@@ -292,6 +295,81 @@ def knn_cell_local(
     d2 = (F.col("_qlon") - F.col("_nlon")) ** 2 + (F.col("_qlat") - F.col("_nlat")) ** 2
     fb = (
         nb.join(F.broadcast(shortq), F.col("id") != F.col("neighbor_id"))
+        .withColumn("dist2", d2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "dist2", "rank")
+    )
+    return certified.unionByName(fb)
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "id",
+    c_id: str = "id",
+    res: int | None = None,
+    rings: int = 1,
+) -> DataFrame:
+    """TWO-TABLE certified-exact kNN join — for every query point, its k
+    nearest CANDIDATE points ("which events happened nearest each
+    customer"): the generalization of the self-join ``knn_cell_local``,
+    sharing its cell/ring machinery, certification rule and brute-force
+    fallback. Unlike the self-join, equal ids across the two tables are
+    distinct entities (no self-exclusion), and the resolution auto-pick
+    tracks the CANDIDATE density — buckets must bound candidate
+    population, the query side only keys the lookup.
+
+    Certification is per query, identical logic to knn_cell_local: found
+    ≥ k candidates AND k-th distance strictly inside
+    cert_radius_deg(res, rings) ⇒ the ring-bounded candidate set provably
+    contains every true neighbor. The uncertified tail (sparse regions)
+    re-runs as a broadcast brute force — bounded when (res, rings) match
+    the candidate density. Output: (id, neighbor_id, dist2, rank).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(q_id).cast("long").alias("id"),
+        F.col("lon").cast("double"),
+        F.col("lat").cast("double"),
+    )
+    c = candidates.select(
+        F.col(c_id).cast("long").alias("id"),
+        F.col("lon").cast("double"),
+        F.col("lat").cast("double"),
+    )
+    if res is None:
+        res = auto_cell_res(c, k=k)
+    pairs = _cell_pairs(q, c, res, rings, exclude_self=False)
+    w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    first = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "dist2",
+                F.col("rank").cast("int").alias("rank"))
+        .persist()
+    )
+    cert2 = F.lit(cert_radius_deg(res, rings) ** 2)
+    ok_ids = (
+        first.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_dk2"))
+        .filter((F.col("_n") >= k) & (F.col("_dk2") < cert2))
+        .select("id")
+    )
+    certified = first.join(ok_ids, "id", "left_semi")
+    shortq = q.join(ok_ids, "id", "left_anti").select(
+        "id", F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat")
+    )
+    nb = c.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("lon").alias("_nlon"), F.col("lat").alias("_nlat"),
+    )
+    d2 = (F.col("_qlon") - F.col("_nlon")) ** 2 \
+        + (F.col("_qlat") - F.col("_nlat")) ** 2
+    fb = (
+        nb.crossJoin(F.broadcast(shortq))
         .withColumn("dist2", d2)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

@@ -920,3 +920,36 @@ def test_round4_geo_ops_survive_garbage_inputs(spark):
     assert decayed_cell_scores(
         pts, res=1, halflife_s=100, now_epoch_s=1704067200
     ).count() >= 1
+
+
+def test_knn_join_two_table_exact(spark):
+    """Two-table kNN == python brute force on random tables, including a
+    far-away sparse query (certification fallback path) and an id shared
+    across both tables (must NOT self-exclude: the co-located candidate
+    with the query's own id is its rank-1 neighbor)."""
+    import numpy as np
+
+    from insights_spark.geo.knn import knn_join
+
+    rng = np.random.default_rng(17)
+    qs = [(int(i), float(10 + rng.uniform(0, 3)), float(rng.uniform(0, 3)))
+          for i in range(40)]
+    qs.append((99, -150.0, -60.0))            # isolated -> fallback
+    qs.append((777, 20.0, 20.0))              # id 777 also in cands
+    cs = [(int(i), float(10 + rng.uniform(0, 3)), float(rng.uniform(0, 3)))
+          for i in range(120)]
+    cs.append((777, 20.0, 20.0))              # same id, same spot
+    qdf = spark.createDataFrame(qs, "id long, lon double, lat double")
+    cdf = spark.createDataFrame(cs, "id long, lon double, lat double")
+
+    want = {}
+    for qi, qx, qy in qs:
+        ds = sorted(
+            ((qx - cx) ** 2 + (qy - cy) ** 2, ci) for ci, cx, cy in cs
+        )
+        want.update({(qi, r + 1): ci for r, (_, ci) in enumerate(ds[:3])})
+    got = {(r["id"], r["rank"]): r["neighbor_id"]
+           for r in knn_join(qdf, cdf, k=3, rings=2).collect()}
+    assert got == want
+    assert got[(777, 1)] == 777               # shared id kept at dist 0
+    assert (99, 3) in got                     # fallback produced full top-k
