@@ -1262,6 +1262,18 @@ def _q_knn_join(spark, sf_dir):
     return knn_join(cust, ev, k=3, q_id="c_custkey", c_id="event_id", rings=2)
 
 
+def _q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (geo/tiles.py:zonal_tile_stats): per-country
+    summary of the z6 tile-density raster — PIP zone assignment composed
+    with the tile rollup, the classic raster × vector product."""
+    from insights_spark.geo import pip
+    from insights_spark.geo.tiles import zonal_tile_stats
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    zoned = pip.assign_country(pts, _boundary_rows())
+    return zonal_tile_stats(zoned, z=6, zone_col="country")
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -2150,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_source": _q_top_terms_per_source,
         "token_lorenz": _q_token_lorenz,
         "knn_join": _q_knn_join,
+        "zonal_stats": _q_zonal_stats,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3713,6 +3726,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(country) AS country,
                CAST(count(*) AS BIGINT) AS n_mentions
         FROM m GROUP BY doc_id
+    """
+    out["zonal_stats"] = f"""
+        WITH pts AS ({_EV_PTS}),
+        zoned AS (SELECT event_id, lon, lat,
+                         {_country_case_sql()} AS zone
+                  FROM pts),
+        t AS (SELECT zone, {tile6}
+              FROM zoned WHERE zone IS NOT NULL),
+        per AS (SELECT zone, x, y, CAST(count(*) AS BIGINT) AS density
+                FROM t GROUP BY 1, 2, 3)
+        SELECT zone, CAST(count(*) AS BIGINT) AS n_tiles,
+               CAST(sum(density) AS BIGINT) AS n_points,
+               max(density) AS max_density,
+               CAST(sum(density) AS BIGINT) / CAST(count(*) AS BIGINT)
+                 AS mean_density
+        FROM per GROUP BY zone
     """
     out["knn_join"] = f"""
         WITH q AS ({_CUST_PTS}),

@@ -110,6 +110,7 @@ HEADLINE = [
     "top_terms_per_source",
     "token_lorenz",
     "knn_join",
+    "zonal_stats",
 ]
 
 

@@ -138,3 +138,45 @@ def tile_pyramid_merge(
         .groupBy("z", "x", "y")
         .agg(F.sum("density").alias("density"))
     )
+
+
+def zonal_tile_stats(
+    zoned_points: DataFrame,
+    z: int,
+    zone_col: str = "zone",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Zonal statistics — THE classic raster × vector product: per zone
+    (country/region/task polygon), summary statistics of the z-level
+    tile-density raster restricted to that zone's points (reference
+    renders per-region activity density — insights/README.md; this is the
+    raster-summary generalization).
+
+    Output per zone: ``n_tiles`` (occupied), ``n_points``,
+    ``max_density`` (hottest tile), ``mean_density`` = n_points/n_tiles —
+    exact integers plus ONE IEEE division, so the SQL oracle is bit-exact.
+    NULL zones (points outside every polygon) are dropped.
+
+    Plan: two decomposable keyed rollups — (zone, x, y) then (zone) —
+    both with map-side combine; tile keys are dense at z ≥ 6, so skew
+    lives in the zone key exactly as in the country-insights rollups and
+    AQE's skew handling applies unchanged. Composes with either PIP
+    strategy (broadcast R-tree or cell equi-join) for zone assignment.
+    """
+    pts = zoned_points.filter(
+        F.col(zone_col).isNotNull()
+        & F.col(lon_col).isNotNull()
+        & F.col(lat_col).isNotNull()
+    )
+    per_tile = (
+        with_tile(pts, z, lon_col, lat_col)
+        .groupBy(F.col(zone_col).alias("zone"), "x", "y")
+        .agg(F.count(F.lit(1)).alias("density"))
+    )
+    return per_tile.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("density").alias("n_points"),
+        F.max("density").alias("max_density"),
+        (F.sum("density") / F.count(F.lit(1))).alias("mean_density"),
+    )

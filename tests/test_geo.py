@@ -953,3 +953,24 @@ def test_knn_join_two_table_exact(spark):
     assert got == want
     assert got[(777, 1)] == 777               # shared id kept at dist 0
     assert (99, 3) in got                     # fallback produced full top-k
+
+
+def test_zonal_tile_stats_hand_computed(spark):
+    """Zonal stats pinned by hand: two zones with known tile layouts, a
+    NULL zone dropped, exact mean as one integer division."""
+    from insights_spark.geo.tiles import zonal_tile_stats
+
+    # z=1: tiles are 180°×~worldhalf quadrants — pick coords with known
+    # tiles: lon<0 -> x=0, lon>0 -> x=1; lat>0 -> y=0, lat<0 -> y=1
+    rows = [
+        ("A", -90.0, 40.0), ("A", -91.0, 41.0), ("A", -92.0, 42.0),  # tile(0,0)×3
+        ("A", 90.0, -40.0),                                          # tile(1,1)×1
+        ("B", 90.0, 40.0),                                           # tile(1,0)×1
+        (None, 0.0, 0.0),
+        ("C", None, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "zone string, lon double, lat double")
+    got = {r["zone"]: (r["n_tiles"], r["n_points"], r["max_density"],
+                       r["mean_density"])
+           for r in zonal_tile_stats(df, z=1).collect()}
+    assert got == {"A": (2, 4, 3, 2.0), "B": (1, 1, 1, 1.0)}
