@@ -1274,6 +1274,22 @@ def _q_zonal_stats(spark, sf_dir):
     return zonal_tile_stats(zoned, z=6, zone_col="country")
 
 
+def _q_tile_diff(spark, sf_dir):
+    """Per-tile change detection (geo/tiles.py:tile_diff): first half of
+    January vs the rest — one signed-weight union + one keyed rollup,
+    never a full-outer join of two rollups."""
+    from insights_spark.geo.tiles import tile_diff
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    pts = _points(ev, "event_id")
+    cut = "2024-01-15 00:00:00"
+    return tile_diff(
+        pts.filter(F.col("ts") < cut),
+        pts.filter(F.col("ts") >= cut),
+        z=6,
+    )
+
+
 def _q_knn_cell_local(spark, sf_dir):
     """Cell-local kNN in certified-exact mode: first pass is the hex-cell
     ring join; queries whose k-th distance can't be certified inside the
@@ -1563,6 +1579,21 @@ def _q_dedup_clusters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return near_dup_clusters(d, minhash_near_dups(d, threshold=0.5))
+
+
+def _q_cluster_savings(spark, sf_dir):
+    """Dedup accounting (text/dedup.py:cluster_savings): per near-dup
+    cluster, chars kept vs saved by keeping only the canonical doc —
+    composed on near_dup_clusters; the oracle composes the recursive-CTE
+    reachability with a documents join."""
+    from insights_spark.text.dedup import (
+        cluster_savings,
+        minhash_near_dups,
+        near_dup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cluster_savings(d, near_dup_clusters(d, minhash_near_dups(d, threshold=0.5)))
 
 
 def _q_corpus_shuffle(spark, sf_dir):
@@ -2163,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_lorenz": _q_token_lorenz,
         "knn_join": _q_knn_join,
         "zonal_stats": _q_zonal_stats,
+        "tile_diff": _q_tile_diff,
+        "cluster_savings": _q_cluster_savings,
         # (d) banked driver-green rows in CORRECTNESS_r03
         "flagship_tile_density": _q_flagship_tile_density,
         "conditional_battery": _q_conditional_battery,
@@ -3726,6 +3759,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(country) AS country,
                CAST(count(*) AS BIGINT) AS n_mentions
         FROM m GROUP BY doc_id
+    """
+    out["cluster_savings"] = f"""
+        WITH RECURSIVE prs AS ({out["minhash_lsh_pairs"]}),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        edges AS (SELECT a AS src, b AS dst FROM prs
+                  UNION SELECT b AS src, a AS dst FROM prs),
+        reach(src, dst) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src),
+        j AS (SELECT l.doc_id, l.cluster_id, d.source, d.n_chars
+              FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN doc_id = cluster_id THEN n_chars
+                             ELSE 0 END) AS BIGINT) AS kept_chars,
+               CAST(sum(n_chars) AS BIGINT)
+               - CAST(sum(CASE WHEN doc_id = cluster_id THEN n_chars
+                               ELSE 0 END) AS BIGINT) AS saved_chars
+        FROM j GROUP BY cluster_id
+    """
+    out["tile_diff"] = f"""
+        WITH pts AS (SELECT event_id, ts,
+                            {_POINTS_SQL.format(k='event_id')} FROM events),
+        t AS (SELECT 6 AS z, {tile6},
+                     CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                          THEN -1 ELSE 1 END AS w
+              FROM pts)
+        SELECT z, x, y,
+               CAST(sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_old,
+               CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new,
+               CAST(sum(w) AS BIGINT) AS delta
+        FROM t GROUP BY 1, 2, 3
+        HAVING sum(w) != 0
     """
     out["zonal_stats"] = f"""
         WITH pts AS ({_EV_PTS}),

@@ -111,6 +111,8 @@ HEADLINE = [
     "token_lorenz",
     "knn_join",
     "zonal_stats",
+    "tile_diff",
+    "cluster_savings",
 ]
 
 

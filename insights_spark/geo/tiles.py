@@ -180,3 +180,44 @@ def zonal_tile_stats(
         F.max("density").alias("max_density"),
         (F.sum("density") / F.count(F.lit(1))).alias("mean_density"),
     )
+
+
+def tile_diff(
+    old_points: DataFrame,
+    new_points: DataFrame,
+    z: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-tile change detection between two snapshots — "what changed
+    this month": tiles whose density differs between the old and new
+    point sets, with both counts and the signed delta (the temporal diff
+    of the reference's per-period density tables, computed tile-wise).
+
+    Implemented as ONE union with signed weights + ONE keyed rollup —
+    never a full-outer join of two separately-shuffled rollups (half the
+    exchanges, same answer: Σ±1 per tile IS the delta). Unchanged tiles
+    (including equal-but-nonzero ones) are dropped; a tile present in
+    only one snapshot reports 0 on the other side. All counts exact
+    integers.
+    """
+    o = with_tile(
+        old_points.filter(
+            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        ), z, lon_col, lat_col
+    ).select("z", "x", "y", F.lit(-1).cast("long").alias("_w"))
+    n = with_tile(
+        new_points.filter(
+            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        ), z, lon_col, lat_col
+    ).select("z", "x", "y", F.lit(1).cast("long").alias("_w"))
+    return (
+        o.unionByName(n)
+        .groupBy("z", "x", "y")
+        .agg(
+            F.sum(F.when(F.col("_w") < 0, 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("_w") > 0, 1).otherwise(0)).alias("n_new"),
+            F.sum("_w").alias("delta"),
+        )
+        .filter(F.col("delta") != 0)
+    )

@@ -707,3 +707,33 @@ def passage_dedup(
             "tokens_removed"
         ),
     )
+
+
+def cluster_savings(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup accounting per near-dup cluster — the number every dedup run
+    reports upward: how much does keeping one canonical doc per cluster
+    actually save? Input ``clusters`` is near_dup_clusters' output
+    (doc_id, cluster_id, is_canonical; cluster_id = the canonical doc by
+    construction). Output per cluster: n_docs, n_sources (distinct),
+    total_chars, kept_chars (the canonical doc's), saved_chars =
+    total − kept. Singleton clusters report saved_chars 0.
+
+    One broadcast-or-hash join on the doc id + one cluster-keyed rollup;
+    all integers exact.
+    """
+    j = clusters.select(
+        F.col(id_col).alias("doc_id"), "cluster_id"
+    ).join(docs.select(id_col, "source", "n_chars"), id_col)
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("cluster_id"),
+                   F.col("n_chars")).otherwise(0)
+        ).alias("kept_chars"),
+    ).withColumn("saved_chars", F.col("total_chars") - F.col("kept_chars"))

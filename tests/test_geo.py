@@ -974,3 +974,22 @@ def test_zonal_tile_stats_hand_computed(spark):
                        r["mean_density"])
            for r in zonal_tile_stats(df, z=1).collect()}
     assert got == {"A": (2, 4, 3, 2.0), "B": (1, 1, 1, 1.0)}
+
+
+def test_tile_diff_hand_computed(spark):
+    """Change detection pinned by hand at z=1 quadrants: grown, shrunk,
+    appeared, disappeared, and unchanged (dropped) tiles."""
+    from insights_spark.geo.tiles import tile_diff
+
+    # quadrants: (x,y) = (lon<0 ? 0 : 1, lat>0 ? 0 : 1)
+    old = [(-10.0, 10.0)] * 3 + [(10.0, 10.0)] * 2 + [(-10.0, -10.0)]
+    new = [(-10.0, 10.0)] * 1 + [(10.0, 10.0)] * 2 + [(10.0, -10.0)] * 4
+    odf = spark.createDataFrame(old, "lon double, lat double")
+    ndf = spark.createDataFrame(new, "lon double, lat double")
+    got = {(r["x"], r["y"]): (r["n_old"], r["n_new"], r["delta"])
+           for r in tile_diff(odf, ndf, z=1).collect()}
+    assert got == {
+        (0, 0): (3, 1, -2),   # shrunk
+        (0, 1): (1, 0, -1),   # disappeared
+        (1, 1): (0, 4, 4),    # appeared
+    }                          # (1,0) unchanged 2==2 -> absent

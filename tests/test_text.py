@@ -1202,3 +1202,22 @@ def test_token_share_curve_hand_computed(spark):
         4: (4, 95, 0.95),
         5: (5, 100, 1.00),
     }
+
+
+def test_cluster_savings_hand_computed(spark):
+    """Savings accounting pinned by hand: a 3-doc cluster keeps only the
+    canonical doc's chars; singleton saves 0; distinct sources counted."""
+    from insights_spark.text.dedup import cluster_savings
+
+    docs = spark.createDataFrame(
+        [(1, "s0", 100), (2, "s1", 80), (3, "s0", 60), (9, "s2", 40)],
+        "doc_id long, source string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    got = {r["cluster_id"]: (r["n_docs"], r["n_sources"], r["total_chars"],
+                             r["kept_chars"], r["saved_chars"])
+           for r in cluster_savings(docs, clusters).collect()}
+    assert got == {1: (3, 2, 240, 100, 140), 9: (1, 1, 40, 40, 0)}
