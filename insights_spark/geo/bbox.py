@@ -91,6 +91,30 @@ def hot_changesets_with_country(changesets: DataFrame,
                           lon_col="centroid_lon", lat_col="centroid_lat")
 
 
+def hot_changesets_incremental(stored_mv: DataFrame, batch: DataFrame,
+                               boundary_rows: list[dict]) -> DataFrame:
+    """X6 incremental — refresh the hot_changeset MV from a batch of
+    new/updated changesets WITHOUT a full recompute (the reference refreshes
+    this view by recomputing it end-to-end: advanced-queries.md:235-261).
+
+    Delete-then-insert keyed on changeset id, the same MERGE shape as the
+    S12 sink (runtime.sinks): every id present in ``batch`` is dropped from
+    the stored MV — which covers bbox updates, country flips AND hashtag
+    removals (a changeset whose new comment no longer matches simply never
+    re-enters) — then the batch ALONE runs the hot filter + centroid PIP
+    and the survivors are appended. The expensive stage (PIP) touches only
+    batch rows; the stored side is one id-keyed anti-join with the touched
+    id set broadcast (a refresh batch is small relative to the MV by
+    construction). Correctness: country assignment is per-row, so
+    incremental == full recompute exactly — the registered oracle IS the
+    full recompute over the post-batch table."""
+    touched = batch.select("id").distinct()
+    kept = stored_mv.join(F.broadcast(touched), "id", "left_anti")
+    fresh = hot_changesets_with_country(batch, boundary_rows).select(
+        "id", "country")
+    return kept.select("id", "country").unionByName(fresh)
+
+
 def bbox_cell_cover_udf(res: int = 8, max_cells: int = 64):
     """pandas UDF: bbox corners → array of hex cell ids covering the bbox.
 

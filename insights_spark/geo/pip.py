@@ -81,7 +81,7 @@ class PolygonIndex:
         px = lon[:, None]
         py = lat[:, None]
         cond = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
         cross = np.where(cond, px < xint, False)
         parity = cross.sum(axis=1) % 2 == 1

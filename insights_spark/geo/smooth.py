@@ -192,3 +192,80 @@ def frontier_cells(
     return empty.groupBy("cell", "n").agg(
         F.count(F.lit(1)).alias("empty_neighbors")
     )
+
+
+def moran_i_exact(
+    cell_counts: DataFrame,
+    cell_col: str = "cell",
+    cnt_col: str = "n",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the hex-cell rollup —
+    "are edit counts spatially clustered?" — in EXACT integer arithmetic
+    (Moran 1950, public; the lattice-adjacency formulation is standard in
+    spatial statistics).
+
+    With x_i the per-cell count, x̄ the mean, and w_ij = 1 when cells i,j
+    are ring-1 axial neighbors (both occupied):
+
+        I = (n_cells / W) · Σ_ij w_ij (x_i−x̄)(x_j−x̄) / Σ_i (x_i−x̄)²
+
+    Floats would make the global sums order-dependent, so the kernel
+    multiplies through by n_cells²: dev_i = n_cells·x_i − S (S = Σx, all
+    BIGINT) and returns the exact integer quadruple
+
+        (n_cells, w_pairs, num = Σ dev_i·dev_j, den = Σ dev_i²)
+
+    with the products accumulated as DECIMAL(38,0) (dev can reach ~5·10⁹
+    at sf1 scale; products overflow int64). I = (n_cells/w_pairs)·num/den
+    — one division the CONSUMER performs; the engine's answer is exact
+    and bit-identical across partitionings and engines.
+
+    Scale posture: same as the focal siblings — one 6× explode of the
+    bounded occupied-cell table + one equi-join on the packed cell id +
+    two scalar aggregations. w_pairs counts DIRECTED pairs (each
+    unordered adjacency twice), matching the symmetric Σ_ij definition.
+    """
+    occ = cell_counts.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(cnt_col).cast("long").alias("n"),
+    )
+    tot = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("s_tot"),
+    )
+    base = occ.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        (F.col("n_cells") * F.col("n") - F.col("s_tot")).alias("dev"),
+    )
+    nbrs = F.array(
+        *[
+            F.col("cell") + F.lit(dq * (1 << 28) + dr).cast("long")
+            for (dq, dr) in RING1
+            if (dq, dr) != (0, 0)
+        ]
+    )
+    fan = base.select("dev", F.explode(nbrs).alias("_nb"))
+    pairs = fan.join(
+        base.select(F.col("cell").alias("_nb"), F.col("dev").alias("dev_b")),
+        "_nb",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.coalesce(
+            F.sum(F.col("dev").cast("decimal(19,0)")
+                  * F.col("dev_b").cast("decimal(19,0)")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("num"),
+    )
+    den = base.agg(
+        F.coalesce(
+            F.sum(F.col("dev").cast("decimal(19,0)")
+                  * F.col("dev").cast("decimal(19,0)")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("den"),
+    )
+    return (
+        tot.select("n_cells")
+        .crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(den))
+        .select("n_cells", "w_pairs", "num", "den")
+    )

@@ -221,3 +221,44 @@ def tile_diff(
         )
         .filter(F.col("delta") != 0)
     )
+
+
+def compact_tile_cover(tiles: DataFrame, levels: int = 2) -> DataFrame:
+    """Quadtree compaction of a z/x/y tile set: any parent whose FOUR
+    children are all present is substituted for them, applied ``levels``
+    times bottom-up — the minimal-cover primitive behind tile-pruned
+    spatial filters and raster catalog manifests (the z/x/y scheme is the
+    public slippy-map spec; compaction mirrors H3's compact_cells /
+    S2's CellUnion.Normalize, both public APIs re-expressed relationally).
+
+    Input: distinct (z, x, y) rows, single z level. Output: the compacted
+    cover across z .. z-levels — every input tile is represented exactly
+    once, by itself or by exactly one ancestor.
+
+    Scale posture: per level, ONE groupBy on the parent key over the
+    bounded occupied-tile set (count == 4 → full) plus one broadcast-able
+    anti-join to drop absorbed children; integer-only key arithmetic
+    (x div 2), no UDF. Levels are bounded (≤ z), each level's set shrinks
+    ≥ 4× where compaction fires.
+    """
+    cur = tiles.select("z", "x", "y")
+    kept = None
+    for _ in range(levels):
+        withp = (
+            cur.withColumn("pz", F.col("z") - 1)
+            .withColumn("px", F.expr("x div 2"))
+            .withColumn("py", F.expr("y div 2"))
+        )
+        full = (
+            withp.groupBy("pz", "px", "py")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == 4)
+            .drop("k")
+        )
+        lvl_kept = withp.join(full, ["pz", "px", "py"], "left_anti").select(
+            "z", "x", "y")
+        kept = lvl_kept if kept is None else kept.unionByName(lvl_kept)
+        cur = full.select(
+            F.col("pz").alias("z"), F.col("px").alias("x"),
+            F.col("py").alias("y"))
+    return kept.unionByName(cur) if kept is not None else cur

@@ -35,12 +35,18 @@ per-attempt ``batch=<id>`` partition written with OVERWRITE, where the id
 derives from the resume checkpoint — a crashed attempt and its retry
 compute the SAME batch id and the SAME admitted set (the dedup anti-join
 excludes the attempt's own index partition), so the retry overwrites the
-partial output instead of appending next to it. The postings merge is
-idempotent by construction (posting lists are de-duplicated on merge),
-and accounting is guarded by a per-batch stage checkpoint. The one
-residual window: a crash BETWEEN the accounting merge and its stage
-commit double-counts accounting counters (observability numbers only —
-corpus/index/postings data cannot duplicate).
+partial output instead of appending next to it; the index hashes are
+written BEFORE the corpus rows so no committed corpus row can ever lack
+its index entry. The postings merge is idempotent by construction
+(posting lists are de-duplicated on merge). Accounting (r5, closing the
+r3-ADVICE window for real) is idempotent BY CONSTRUCTION rather than by
+checkpoint guard: per-batch counters overwrite their own
+``accounting_batches/batch=<id>`` partition and the global ``accounting``
+rollup is REGENERATED from those partitions — there is no
+read-modify-write merge left, hence no merge/commit ordering to crash
+between. Every crash point therefore converges on replay; the
+``_crashpoint`` seams exist so the test suite can kill the job between
+writes and prove it.
 """
 
 from __future__ import annotations
@@ -54,7 +60,6 @@ from pyspark.sql.window import Window
 
 from ..runtime.checkpoint import CheckpointStore
 from ..runtime.lineage import LineageLog
-from ..runtime.sinks import merge_sum_parquet
 from ..text.clean import train_test_split
 from ..text.dedup import normalized
 from ..text.index import inverted_index
@@ -62,6 +67,16 @@ from ..text.quality import lang_id, quality_scores
 
 PIPELINE = "documents_to_corpus"
 POSTING_BUCKETS = 64
+
+# fault-injection seams (test-only): names added here make run() raise at
+# the matching point, so tests can kill the job between specific writes and
+# assert that a --resume replay converges to the no-crash output
+_TEST_CRASH_POINTS: set[str] = set()
+
+
+def _crashpoint(name: str) -> None:
+    if name in _TEST_CRASH_POINTS:
+        raise RuntimeError(f"injected crash: {name}")
 
 
 def _stamp(docs: DataFrame, min_tokens: int, langs: tuple[str, ...]) -> DataFrame:
@@ -90,6 +105,7 @@ def run(
         "dedup_index": os.path.join(out_dir, "dedup_index"),
         "postings": os.path.join(out_dir, "postings"),
         "accounting": os.path.join(out_dir, "accounting"),
+        "accounting_batches": os.path.join(out_dir, "accounting_batches"),
     }
 
     last = ckpt.last_sequence(PIPELINE, "corpus") if resume else None
@@ -131,17 +147,22 @@ def run(
     admitted = admitted.localCheckpoint()
     lin.record("dedup", stamped, admitted)
 
-    # 3. corpus + index, batch-scoped OVERWRITE (idempotent on replay).
-    # Writes are skipped for an empty admitted set so a post-success
+    # 3. index + corpus, batch-scoped OVERWRITE (idempotent on replay).
+    # Index FIRST: a crash between the two writes then leaves index entries
+    # without corpus rows — the safe direction (the replay's anti-join
+    # excludes its own batch partition, recomputes the same admitted set
+    # and overwrites both), never committed corpus rows missing from the
+    # index. Writes are skipped for an empty admitted set so a post-success
     # replay (empty batch) cannot leave parquet-less partition dirs behind.
     out_cols = [c for c in admitted.columns if c != "_norm_hash"]
     if not admitted.isEmpty():
-        admitted.select(*out_cols).write.mode("overwrite").partitionBy(
-            "split"
-        ).parquet(os.path.join(paths["corpus"], f"batch={bid}"))
         admitted.select("_norm_hash").distinct().write.mode("overwrite").parquet(
             os.path.join(paths["dedup_index"], f"batch={bid}")
         )
+        _crashpoint("between_index_and_corpus")
+        admitted.select(*out_cols).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(os.path.join(paths["corpus"], f"batch={bid}"))
 
     # 4. postings: merge only touched term-hash buckets
     new_post = inverted_index(
@@ -197,20 +218,32 @@ def run(
         ).partitionBy("bucket").parquet(paths["postings"])
     lin.record("postings", admitted, new_post)
 
-    # 5. accounting merge-sum, guarded by a per-batch stage checkpoint so a
-    # replayed attempt that already merged this batch's counters skips the
-    # merge instead of double-counting (residual window: crash between the
-    # merge and the stage commit — documented in the module docstring)
+    # 5. accounting — idempotent by construction (r5, no checkpoint guard
+    # needed): per-batch counters OVERWRITE their own batch partition (a
+    # replayed attempt rewrites the same rows), then the global rollup is
+    # REGENERATED from the batch partitions. The rollup reads
+    # accounting_batches, never its own output, so the overwrite has no
+    # self-read hazard, and a crash at ANY point converges on replay —
+    # there is no read-modify-write merge left to double-count. The
+    # regeneration scan is bounded by #batches × #splits × #langs counter
+    # rows, trivial at any corpus scale.
     seq_row = batch.agg(F.max("doc_id").alias("m")).first()
     seq = int(seq_row["m"]) if seq_row and seq_row["m"] is not None else None
-    if seq is not None and ckpt.last_sequence(PIPELINE, "corpus_accounting") != seq:
+    if seq is not None:
         acct = admitted.groupBy("split", "lang_pred").agg(
             F.count(F.lit(1)).cast("bigint").alias("docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
-        merge_sum_parquet(acct, paths["accounting"], ["split", "lang_pred"],
-                          ["docs", "total_tokens"])
-        ckpt.commit(PIPELINE, "corpus_accounting", seq)
+        acct.write.mode("overwrite").parquet(
+            os.path.join(paths["accounting_batches"], f"batch={bid}"))
+        _crashpoint("between_accounting_batch_and_rollup")
+        rolled = (
+            spark.read.parquet(paths["accounting_batches"])
+            .groupBy("split", "lang_pred")
+            .agg(F.sum("docs").cast("bigint").alias("docs"),
+                 F.sum("total_tokens").cast("bigint").alias("total_tokens"))
+        )
+        rolled.write.mode("overwrite").parquet(paths["accounting"])
 
     if seq is not None:
         ckpt.commit(PIPELINE, "corpus", seq)

@@ -66,19 +66,21 @@ def get_spark(
         # exactly where it pays at 100 TB; tests/test_plans.py pins the
         # injection with thresholds lowered.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # Split sizing for CPU-DENSE columnar text (measured, r4): parquet
+        # Split sizing for CPU-DENSE columnar text (measured, r4/r5): parquet
         # compresses web text ~10×, and Spark sizes file splits by
         # COMPRESSED bytes — maxSplitBytes = min(maxPartitionBytes,
-        # max(openCostInBytes, totalBytes/cores)). A 50k-doc text table
-        # compresses to ~7 MB → 2 splits → every interpreted-HOF / Arrow
-        # text kernel runs on 2 of 32 cores (lang_id measured 23.6 s; same
-        # table at proper parallelism ~2 s). Lowering the split ceiling and
-        # the open-cost floor keys parallelism to DECOMPRESSED CPU cost:
-        # 1 MiB ceiling still gives a 100 MB fact table ~100 splits (fine)
-        # while small hot text tables fan out to ~file/256 KiB tasks. On a
-        # real cluster with many files per table this matters less; the
-        # knob is the honest single-file equivalent.
-        .config("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
+        # max(openCostInBytes, totalBytes/minPartitionNum)). The r4 fix
+        # lowered BOTH knobs; measurement this round showed only the
+        # open-cost FLOOR matters for the small hot text tables (584 KB -
+        # 6 MB compressed → the totalBytes/cores term is already < 256 KiB,
+        # so the floor alone yields the same 24-of-32-core fan-out the 1 MiB
+        # ceiling did), while the 1 MiB *ceiling* was actively wrong at the
+        # 100 TB posture (10⁸ splits per table) and already wrong at sf1
+        # (135 splits for a 135 MB fact table vs 32 with the default
+        # ceiling). So: ceiling stays at Spark's 128 MiB default — inert
+        # locally, correct at scale — and only the floor is lowered. Split
+        # counts verified r5: sf1 documents 24 (unchanged), sf1 lineitem
+        # 32 (was 135).
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     if extra_conf:

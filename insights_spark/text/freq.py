@@ -219,3 +219,108 @@ def token_share_curve(
             (F.max("tokens_cum") / F.max("_tok")).alias("token_share"),
         )
     )
+
+
+def source_drift_chi2(
+    docs: DataFrame,
+    min_count: int = 50,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """χ² drift of each source's term distribution against the corpus —
+    "which domains use which vocabulary unusually often/rarely", the
+    per-source distribution-shift monitor a crawl pipeline runs per
+    ingest (χ² independence test, Pearson 1900, public; the
+    count-based formulation avoids KL's logarithm, whose libm rounding
+    differs across engines).
+
+    For each (source s, term t) with t in the HEAVY vocabulary (global
+    count ≥ min_count — a threshold, not a top-k, so no global sort):
+
+        obs = c_st,  exp = c_s·c_t / c
+        contribution = (obs − exp)² / exp
+                     = (c·c_st − c_s·c_t)² / (c·c_s·c_t·c)   ← rationals
+
+    Emitted as the EXACT integer pair (num = (c·c_st − c_s·c_t)²,
+    den = c·c_s·c_t) per cell — DECIMAL(38,0), since c·c_st reaches ~10¹²
+    at sf1 and its square overflows int64. χ²_s = Σ_t num/(den·c); the
+    divisions are the consumer's, the engine's answer is exact. Absent
+    (s, t) cells (obs = 0) are INCLUDED, as the test requires — generated
+    by a broadcast cross of the two bounded rollups (sources × heavy
+    vocabulary), never a row-level cartesian.
+
+    Scale posture: one (source, term) rollup with map-side combine over
+    the exploded tokens (the only big shuffle), two bounded side rollups,
+    broadcast joins back. Skew: decomposable counts — partial agg
+    absorbs hot terms (measured r4: salting loses to map-side combine).
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st"))
+    t = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+        .filter(F.col("c_t") >= min_count)
+    )
+    s = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = s.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(tot))
+    cells = grid.join(st, ["source", "term"], "left").withColumn(
+        "c_st", F.coalesce(F.col("c_st"), F.lit(0)))
+    dev = (F.col("c").cast("decimal(19,0)") * F.col("c_st")
+           - F.col("c_s").cast("decimal(19,0)") * F.col("c_t"))
+    return cells.select(
+        "source",
+        "term",
+        (dev * dev).cast("decimal(38,0)").alias("chi2_num"),
+        (F.col("c").cast("decimal(19,0)") * F.col("c_s") * F.col("c_t"))
+        .cast("decimal(38,0)").alias("chi2_den"),
+    )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    window: int = 5,
+    min_count: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed term co-occurrence counts over the heavy vocabulary — the
+    integer core of PMI / GloVe / SGNS-style association statistics
+    (public: Church & Hanks 1990 PMI; Pennington 2014 GloVe counts).
+    Emits (term_a ≤ term_b, n) for every unordered heavy-term pair whose
+    occurrences sit within ``window`` tokens in the same document; PMI's
+    logarithm is the consumer's — counts stay exact integers.
+
+    Scale posture: the vocabulary filter (global count ≥ min_count — a
+    threshold, no global sort) is BROADCAST back so the position table
+    shrinks before the only expensive step; the pair join is keyed on
+    doc_id (co-partitioned self-join, never cross-doc), its fan-out
+    bounded by window × per-doc heavy-token count; the final rollup is a
+    decomposable count with map-side combine, output bounded by the
+    heavy-vocabulary square, not the corpus.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    heavy = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("term")
+    )
+    pos = toks.join(F.broadcast(heavy), "term")
+    a = pos.select("doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa"))
+    b = pos.select("doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + window)
+    )
+    return pairs.groupBy(
+        F.least("ta", "tb").alias("term_a"),
+        F.greatest("ta", "tb").alias("term_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

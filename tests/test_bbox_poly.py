@@ -104,6 +104,48 @@ def test_hot_changesets_with_country(spark):
     assert got == {1: "Kenya", 3: None}  # 2 filtered (not hot)
 
 
+def test_hot_changesets_incremental_matches_full(spark):
+    """Incremental MV refresh (delete-then-insert on touched ids, PIP on
+    the batch only) == full recompute over the post-batch table — with all
+    three refresh cases non-vacuous: an update (id 1 moves country), an
+    insert (id 2 gains the hashtag), a delete (id 3 loses it)."""
+    from insights_spark import synth
+
+    T = datetime(2021, 8, 5)
+    schema = (
+        "id long, user_id long, created_at timestamp_ntz, min_lat double,"
+        "max_lat double, min_lon double, max_lon double, tags map<string,string>"
+    )
+    v1 = spark.createDataFrame(
+        [
+            (1, 7, T, -1.3, -1.2, 36.8, 36.9, {"comment": "#hotosm-1"}),  # hot, Kenya
+            (2, 7, T, -1.3, -1.2, 36.8, 36.9, {"comment": "meh"}),        # not hot
+            (3, 7, T, -1.3, -1.2, 36.8, 36.9, {"comment": "#hotosm-3"}),  # hot
+            (4, 7, T, -1.3, -1.2, 36.8, 36.9, {"comment": "#hotosm-4"}),  # untouched
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, 7, T, 50.0, 51.0, 0.0, 1.0, {"comment": "#hotosm-1 moved"}),
+            (2, 7, T, -1.3, -1.2, 36.8, 36.9, {"comment": "#hotosm-2 now"}),
+            (3, 7, T, -1.3, -1.2, 36.8, 36.9, {"comment": "hashtag gone"}),
+        ],
+        schema,
+    )
+    bnd = synth.gen_boundaries()
+    stored = bbox.hot_changesets_with_country(v1, bnd).select("id", "country")
+    inc = {(r["id"], r["country"]) for r in
+           bbox.hot_changesets_incremental(stored, batch, bnd).collect()}
+    full_input = v1.filter(~F.col("id").isin([1, 2, 3])).unionByName(batch)
+    full = {(r["id"], r["country"]) for r in
+            bbox.hot_changesets_with_country(full_input, bnd)
+            .select("id", "country").collect()}
+    assert inc == full
+    assert {i for i, _ in inc} == {1, 2, 4}  # 3 deleted, 2 inserted
+    assert dict(inc)[1] is None  # moved off Kenya (update took effect)
+
+
 def test_bbox_cell_cover(spark):
     df = spark.createDataFrame(
         [(1, 36.80, -1.30, 36.82, -1.28), (2, -30.0, -20.0, 30.0, 20.0),

@@ -993,3 +993,95 @@ def test_tile_diff_hand_computed(spark):
         (0, 1): (1, 0, -1),   # disappeared
         (1, 1): (0, 4, 4),    # appeared
     }                          # (1,0) unchanged 2==2 -> absent
+
+
+def test_moran_i_hand_cases(spark):
+    """Moran's I integer quadruple on hand lattices: a 2-cell hot/cold
+    pair is perfectly anti-correlated (num = -den·w/n? no — exact values
+    pinned by hand below); uniform counts have zero deviation."""
+    from insights_spark.geo.smooth import moran_i_exact
+
+    enc = 1 * (1 << 56)
+
+    def cell(q, r):
+        return enc + (q + (1 << 26)) * (1 << 28) + (r + (1 << 26))
+
+    # two adjacent cells, counts 3 and 1: n_cells=2, S=4,
+    # dev = (2*3-4, 2*1-4) = (2, -2); w_pairs=2 (directed both ways),
+    # num = 2*(2*-2) = -8, den = 4+4 = 8  → I = (2/2)*(-8/8) = -1
+    df = spark.createDataFrame(
+        [(cell(0, 0), 3), (cell(1, 0), 1)], "cell long, n long")
+    r = moran_i_exact(df).collect()[0]
+    assert (r["n_cells"], r["w_pairs"]) == (2, 2)
+    assert int(r["num"]) == -8 and int(r["den"]) == 8
+
+    # uniform counts: all deviations zero → num = den = 0
+    df2 = spark.createDataFrame(
+        [(cell(0, 0), 5), (cell(1, 0), 5), (cell(0, 1), 5)],
+        "cell long, n long")
+    r2 = moran_i_exact(df2).collect()[0]
+    assert int(r2["num"]) == 0 and int(r2["den"]) == 0
+    assert r2["w_pairs"] == 6  # triangle: 3 undirected adjacencies × 2
+
+    # isolated cells: no pairs → w_pairs 0, num 0 (coalesced), den > 0
+    df3 = spark.createDataFrame(
+        [(cell(0, 0), 1), (cell(10, 10), 9)], "cell long, n long")
+    r3 = moran_i_exact(df3).collect()[0]
+    assert r3["w_pairs"] == 0 and int(r3["num"]) == 0 and int(r3["den"]) > 0
+
+
+def test_compact_tile_cover_hand_cases(spark):
+    """4 siblings collapse to the parent; 3 siblings survive; a full
+    4×4 block collapses two levels to the grandparent; every input tile
+    is represented exactly once by itself or one ancestor."""
+    full_block = [(2, x, y) for x in range(4) for y in range(4)]  # → (0,0,0)
+    sibs3 = [(2, 4, 0), (2, 5, 0), (2, 4, 1)]                     # stay at z2
+    lone4 = [(2, 6, 2), (2, 7, 2), (2, 6, 3), (2, 7, 3)]          # → (1,3,1)
+    df = spark.createDataFrame(full_block + sibs3 + lone4, "z int, x long, y long")
+    got = {(r["z"], r["x"], r["y"])
+           for r in tiles.compact_tile_cover(df, levels=2).collect()}
+    assert got == {(0, 0, 0), (1, 3, 1), (2, 4, 0), (2, 5, 0), (2, 4, 1)}
+
+
+def test_dp_simplify_properties(spark):
+    """Douglas–Peucker invariants: endpoints preserved, output ⊆ input
+    (order kept), idempotent, every dropped vertex within tol of the
+    simplified chain, collinear chains collapse to the endpoints, and
+    short/NULL inputs pass through."""
+    from insights_spark.geo.simplify import _dp_mask, dp_simplify_udf
+
+    line = [{"lon": float(x), "lat": 0.0} for x in range(10)]       # collinear
+    zig = [{"lon": 0.0, "lat": 0.0}, {"lon": 1.0, "lat": 2.0},
+           {"lon": 2.0, "lat": 0.0}, {"lon": 3.0, "lat": 2.0},
+           {"lon": 4.0, "lat": 0.0}]
+    wiggle = [{"lon": 0.0, "lat": 0.0}, {"lon": 1.0, "lat": 0.004},
+              {"lon": 2.0, "lat": -0.003}, {"lon": 3.0, "lat": 0.0}]
+    df = spark.createDataFrame(
+        [(1, line), (2, zig), (3, wiggle), (4, None), (5, line[:2])],
+        "way_id long, pts array<struct<lon:double,lat:double>>")
+    simp = dp_simplify_udf(0.01)
+    got = {r["way_id"]: r["s"] for r in
+           df.select("way_id", simp("pts").alias("s")).collect()}
+
+    assert [(p["lon"], p["lat"]) for p in got[1]] == [(0.0, 0.0), (9.0, 0.0)]
+    assert len(got[2]) == 5                      # big zigzag: nothing dropped
+    assert len(got[3]) == 2                      # sub-tol wiggles removed
+    assert got[4] is None and len(got[5]) == 2   # passthroughs
+
+    # idempotence + subset + deviation bound, numpy-level (brute force)
+    rng = np.random.RandomState(7)
+    xs = np.cumsum(rng.rand(60))
+    ys = rng.rand(60) * 0.5
+    tol = 0.1
+    m1 = _dp_mask(xs, ys, tol)
+    kx, ky = xs[m1], ys[m1]
+    m2 = _dp_mask(kx, ky, tol)
+    assert m2.all()  # idempotent: nothing else to drop
+    # every original vertex within tol of its bracketing simplified segment
+    kept_idx = np.flatnonzero(m1)
+    for a, b in zip(kept_idx[:-1], kept_idx[1:]):
+        dx, dy = xs[b] - xs[a], ys[b] - ys[a]
+        seg2 = dx * dx + dy * dy
+        for i in range(a + 1, b):
+            cross = (xs[i] - xs[a]) * dy - (ys[i] - ys[a]) * dx
+            assert cross * cross <= seg2 * tol * tol + 1e-12

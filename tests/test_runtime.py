@@ -296,3 +296,40 @@ def test_corpus_pipeline_incremental_equals_full(spark, tmp_path):
     before = corpus_ids(inc_dir)
     cj.run(spark, docs, inc_dir, resume=True)
     assert corpus_ids(inc_dir) == before
+
+
+def test_corpus_crash_between_appends_replay_converges(spark, tmp_path):
+    """Kill the job BETWEEN the dedup-index append and the corpus append
+    (and, separately, between the accounting batch write and the rollup),
+    then replay with --resume: every table converges to the no-crash
+    output — in particular accounting counters are NOT double-counted
+    (the r3-ADVICE residual window, closed for real in r5)."""
+    import pytest
+
+    from insights_spark.jobs import corpus as cj
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    ok_dir = str(tmp_path / "ok")
+    cj.run(spark, docs, ok_dir)
+
+    def snap(d):
+        ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(f"{d}/corpus").collect())
+        post = {r["term"]: (r["df"], r["posting_csv"]) for r in
+                spark.read.parquet(f"{d}/postings").collect()}
+        acct = {(r["split"], r["lang_pred"]): (r["docs"], r["total_tokens"])
+                for r in spark.read.parquet(f"{d}/accounting").collect()}
+        return ids, post, acct
+
+    for point in ("between_index_and_corpus",
+                  "between_accounting_batch_and_rollup"):
+        d = str(tmp_path / point)
+        cj._TEST_CRASH_POINTS.add(point)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                cj.run(spark, docs, d)
+        finally:
+            cj._TEST_CRASH_POINTS.discard(point)
+        cj.run(spark, docs, d, resume=True)
+        assert snap(d) == snap(ok_dir), point

@@ -1221,3 +1221,67 @@ def test_cluster_savings_hand_computed(spark):
                              r["kept_chars"], r["saved_chars"])
            for r in cluster_savings(docs, clusters).collect()}
     assert got == {1: (3, 2, 240, 100, 140), 9: (1, 1, 40, 40, 0)}
+
+
+def test_pagerank_fixed_point_hand_cases(spark):
+    """3-cycle: perfect symmetry → identical scores summing to ~scale;
+    star (all → hub): hub outranks leaves; partitioning invariance: the
+    integer recurrence gives BIT-identical scores under repartition."""
+    from insights_spark.text.links import pagerank_fixed_point
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    r = {x["id"]: x["score"] for x in
+         pagerank_fixed_point(nodes, cyc, iters=5).collect()}
+    assert len(set(r.values())) == 1  # symmetric
+    assert abs(sum(r.values()) - 10**12) < 100  # mass conserved mod floors
+
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 1), (0, 2)], "src long, dst long")
+    s = {x["id"]: x["score"] for x in
+         pagerank_fixed_point(nodes, star, iters=5).collect()}
+    assert s[0] > s[1] == s[2]
+
+    rep = {x["id"]: x["score"] for x in
+           pagerank_fixed_point(nodes.repartition(7), star.repartition(5),
+                                iters=5).collect()}
+    assert rep == s  # bit-identical under repartitioning
+
+
+def test_source_drift_chi2_hand_case(spark):
+    """Two sources, two terms, hand-computed χ² cells — including the
+    obs=0 cell the grid must generate."""
+    from insights_spark.text.freq import source_drift_chi2
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa bb", "s1"), (1, "aa", "s2")],
+        "doc_id long, text string, source string")
+    rows = source_drift_chi2(docs, min_count=1, source_col="source").collect()
+    got = {(r["source"], r["term"]): (int(r["chi2_num"]), int(r["chi2_den"]))
+           for r in rows}
+    # c=5, c_s1=4, c_s2=1, c_aa=4, c_bb=1
+    # (s1,aa): obs=3 → (5*3-4*4)² = 1,  den = 5*4*4 = 80
+    # (s1,bb): obs=1 → (5*1-4*1)² = 1,  den = 5*4*1 = 20
+    # (s2,aa): obs=1 → (5*1-1*4)² = 1,  den = 5*1*4 = 20
+    # (s2,bb): obs=0 → (0-1*1)²  = 1,  den = 5*1*1 = 5
+    assert got == {("s1", "aa"): (1, 80), ("s1", "bb"): (1, 20),
+                   ("s2", "aa"): (1, 20), ("s2", "bb"): (1, 5)}
+
+
+def test_cooccurrence_counts_hand_case(spark):
+    """Hand-pinned window semantics: unordered pairs, same-term pairs
+    counted, window boundary inclusive, cross-doc never paired."""
+    from insights_spark.text.freq import cooccurrence_counts
+
+    docs = spark.createDataFrame(
+        [(0, "a b a x c"), (1, "c a")],
+        "doc_id long, text string")
+    got = {(r["term_a"], r["term_b"]): r["n"] for r in
+           cooccurrence_counts(docs, window=2, min_count=1).collect()}
+    # doc0 positions: a0 b1 a2 x3 c4 ; window 2 pairs:
+    # (a0,b1) (a0,a2) (b1,a2) (b1,x3) (a2,x3) (x3,c4) (a2? c4 dist2? a2→c4 dist 2 yes)
+    assert got[("a", "a")] == 1            # same-term pair within window
+    assert got[("a", "b")] == 2            # (a0,b1) + (b1,a2)
+    assert got[("a", "c")] == 2            # (a2,c4) in doc0 + (c,a) in doc1
+    assert got[("c", "x")] == 1 and got[("a", "x")] == 1 and got[("b", "x")] == 1
+    assert ("b", "c") not in got           # distance 3 > window
