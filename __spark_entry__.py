@@ -2076,6 +2076,111 @@ def _q_hot_changesets_inc(spark, sf_dir):
     return hot_changesets_incremental(stored, batch, _boundary_rows())
 
 
+def _snapshot_table_fixture(spark, sf_dir, tag):
+    """Build a SnapshotTable (runtime/tablefmt.py) from `documents` with a
+    3-commit history — the catalog-lane fixture shared by the tablefmt
+    queries. Commits: (1) append evens ts=100, (2) MERGE keep_last of the
+    mod-3 docs with n_chars+1000 ts=200 (updates evens∩mod3, inserts odd
+    mod3 — keep_first would give a DIFFERENT answer, so the oracle pins the
+    precedence rule), (3) overwrite with a 1-row tombstone ts=300 (so
+    time-travel reads must survive a logically-destroyed table)."""
+    import hashlib
+    import shutil
+
+    from insights_spark.runtime.tablefmt import SnapshotTable
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_tablefmt_{tag}_{digest}"
+    shutil.rmtree(path, ignore_errors=True)
+    t = SnapshotTable(spark, path)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t.append(docs.filter(F.col("doc_id") % 2 == 0), ts=100)
+    t.merge(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+        keys=["doc_id"], mode="keep_last", ts=200,
+    )
+    t.overwrite(
+        docs.filter(F.col("doc_id") == 0).limit(1), ts=300
+    )
+    return t
+
+
+def _q_table_merge_read(spark, sf_dir):
+    """Snapshot-table MERGE (runtime/tablefmt.py:SnapshotTable.merge) —
+    append evens, MERGE keep_last mod-3 updates, read snapshot 2: updated
+    evens∩mod3 carry +1000, odd mod3 inserted, other evens untouched. The
+    oracle is the equivalent relational expression over `documents`."""
+    t = _snapshot_table_fixture(spark, sf_dir, "merge")
+    return t.read(snapshot_id=2).select("doc_id", "source", "n_chars")
+
+
+def _q_table_time_travel(spark, sf_dir):
+    """Snapshot time travel (runtime/tablefmt.py:SnapshotTable.read):
+    as_of_ts=250 resolves the post-merge state even though snapshot 3
+    OVERWROTE the table — history survives replace commits because commits
+    only add files; expire_snapshots is the sole deletion path."""
+    t = _snapshot_table_fixture(spark, sf_dir, "tt")
+    assert t.current_snapshot_id() == 3  # the overwrite is live
+    return t.read(as_of_ts=250).select("doc_id", "source", "n_chars")
+
+
+def _q_pps_sample(spark, sf_dir):
+    """Weighted (PPS) corpus sampling (text/sample.py:pps_sample), n=97
+    grid points over char mass — integer-exact systematic sampling
+    (Madow 1949): DECIMAL(38,0) products, mod-only floor comparison (the
+    measured Spark DECIMAL-DIV wrap rules out quotients), prefix sums on
+    the shared two-phase distributed scan."""
+    from insights_spark.text.sample import pps_sample
+
+    return pps_sample(_t(spark, sf_dir, "documents"), 97)
+
+
+def _q_gapfill_weeks(spark, sf_dir):
+    """Gap-filled weekly rollup (ops/timeseries.py:gapfill_counts):
+    per-event_type weekly counts with EXPLICIT ZERO rows on the full
+    Monday-bucket spine — the time_bucket_gapfill shape; spine =
+    dimension-sized keys × sequence() explode, facts touched by ONE
+    decomposable rollup shuffle."""
+    from insights_spark.ops.timeseries import gapfill_counts
+
+    return gapfill_counts(_t(spark, sf_dir, "events"))
+
+
+def _layout_qcell(level: int = 3) -> int:
+    """Level-`level` S2 cell of event_id=1's synthetic point — the
+    deterministic probe cell for the layout-scan query (same derivation
+    formula both engines)."""
+    import numpy as np
+
+    from insights_spark.geo.cells import s2_cell_id
+
+    lon = np.array([(1 * 7919 % 360000) / 1000.0 - 180.0])
+    lat = np.array([(1 * 104729 % 170000) / 1000.0 - 85.0])
+    return int(s2_cell_id(lon, lat, level)[0])
+
+
+def _q_spatial_layout_scan(spark, sf_dir):
+    """Space-filling-curve layout + pruned scan (runtime/layout.py):
+    events clustered on the level-14 Hilbert key, then ONE BETWEEN over
+    the level-3 probe cell's descendant interval — pushed to the parquet
+    scan, row groups pruned by footer stats. The oracle recomputes exact
+    level-3 cell membership via the unrolled Hilbert SQL, so the green
+    row pins the S2 interval property (BETWEEN on level-14 keys ==
+    level-3 containment) across the write/read roundtrip."""
+    import hashlib
+    import shutil
+
+    from insights_spark.runtime.layout import cluster_spatial, spatial_scan
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_layout_{digest}"
+    shutil.rmtree(path, ignore_errors=True)
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    cluster_spatial(pts, path, level=14, partitions=8)
+    return spatial_scan(spark, path, _layout_qcell()).select("event_id")
+
+
 def _q_tasks_per_user(spark, sf_dir):
     """J10/U1 — tasks_per_user modeled on a local task_history fixture:
     project/window/action filter → per-user count (ops.users.tasks_per_user)."""
@@ -2273,6 +2378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_compact": _q_quad_compact,
         "source_drift": _q_source_drift,
         "cooccur": _q_cooccur,
+        "table_merge_read": _q_table_merge_read,
+        "table_time_travel": _q_table_time_travel,
+        "pps_sample": _q_pps_sample,
+        "gapfill_weeks": _q_gapfill_weeks,
+        "spatial_layout_scan": _q_spatial_layout_scan,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -2492,13 +2602,17 @@ def _pagerank_sql(iters: int = 5) -> str:
 _S2_IJ2POS = (0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
 
 
-def _s2_cells_sql(src: str, level: int = 12) -> str:
+def _s2_cells_sql(src: str, level: int = 12, rollup: bool = True) -> str:
     """ANSI-SQL replica of geo.cells.s2_cell_id: face selection → quadratic
     (u,v)→(s,t) projection → (i,j) → `level` unrolled Hilbert-curve steps →
     uint64 cell id reinterpreted as two's-complement BIGINT. Every step is
     plain integer/real arithmetic, so DuckDB reproduces the numpy kernel
     bit-for-bit (trunc matches numpy's toward-zero int cast; values are
-    clamped before it matters)."""
+    clamped before it matters). rollup=False returns per-row
+    (event_id, s2_l12) with the ids CTE MATERIALIZED — an outer equality
+    filter otherwise gets pushed/inlined through the unrolled CASE chain
+    and DuckDB's optimizer blows up exponentially (measured: 0.06 s
+    materialized vs >120 s inlined at sf0.01)."""
     n = 1 << level
     steps = []
     prev = "s0"
@@ -2553,7 +2667,7 @@ def _s2_cells_sql(src: str, level: int = 12) -> str:
                       CAST(0 AS BIGINT) AS pos, face % 2 AS orient
                FROM st),
         {','.join(steps)},
-        ids AS (SELECT event_id,
+        ids AS {'' if rollup else 'MATERIALIZED '}(SELECT event_id,
                        CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
                                  THEN h - 18446744073709551616::HUGEINT
                             ELSE h END AS BIGINT) AS s2_l12
@@ -2562,8 +2676,12 @@ def _s2_cells_sql(src: str, level: int = 12) -> str:
                              + pos::HUGEINT * {1 << (shift + 1)}::HUGEINT
                              + {1 << shift}::HUGEINT AS h
                       FROM {prev}))
-        SELECT s2_l12, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY 1
-    """
+        SELECT {{final}}
+    """.replace(
+        "{final}",
+        "s2_l12, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY 1"
+        if rollup else "event_id, s2_l12 FROM ids",
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3306,6 +3424,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, {_country_case_sql()} AS country
             FROM c WHERE lower(comment) LIKE '%hotosm%'
         """,
+        # tablefmt catalog lane: the post-merge snapshot state as a plain
+        # relational expression — evens from the append, mod-3 rows carry
+        # the MERGE's +1000 (updates where even∩mod3, inserts where odd).
+        # Equality pins keep_last precedence AND (for table_time_travel)
+        # that as_of_ts=250 still resolves this state after snapshot 3
+        # overwrote the live table.
+        "table_merge_read": """
+            SELECT doc_id, source,
+                   CASE WHEN mod(doc_id, 3) = 0 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents
+            WHERE mod(doc_id, 2) = 0 OR mod(doc_id, 3) = 0
+        """,
+        "table_time_travel": """
+            SELECT doc_id, source,
+                   CASE WHEN mod(doc_id, 3) = 0 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents
+            WHERE mod(doc_id, 2) = 0 OR mod(doc_id, 3) = 0
+        """,
+        # systematic PPS sampling, replayed with the identical integer
+        # arithmetic on HUGEINT (DuckDB's native 128-bit — the oracle twin
+        # of Spark's DECIMAL(38,0) products); mod() on non-negative
+        # HUGEINTs == pmod, and the window carries an explicit ROWS frame
+        # so the prefix sum is the same total-order scan.
+        "pps_sample": """
+            WITH w AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     mod(mod(doc_id, 2147483648) * 2654435761 + 29,
+                         2147483648) AS h
+              FROM documents WHERE n_chars > 0),
+            c AS (
+              SELECT *,
+                     CAST(sum(n_chars) OVER (ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS HUGEINT) AS c,
+                     CAST(sum(n_chars) OVER () AS HUGEINT) AS W
+              FROM w)
+            SELECT doc_id, text, lang, source, n_chars FROM c
+            WHERE CAST(n_chars AS HUGEINT) * 97 >
+                  mod(c * 97, W) - mod((c - n_chars) * 97, W)
+        """,
+        "gapfill_weeks": """
+            WITH f AS (SELECT event_type, date_trunc('week', ts) AS w
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            r AS (SELECT event_type, w AS bucket_start,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM f GROUP BY event_type, w),
+            s AS (SELECT k.event_type,
+                         unnest(generate_series(b.b0, b.b1,
+                                                INTERVAL 7 DAY))
+                             AS bucket_start
+                  FROM (SELECT DISTINCT event_type FROM f) k,
+                       (SELECT min(w) AS b0, max(w) AS b1 FROM f) b)
+            SELECT s.event_type, s.bucket_start,
+                   CAST(COALESCE(r.n, 0) AS BIGINT) AS n_events
+            FROM s LEFT JOIN r
+              ON s.event_type = r.event_type
+             AND s.bucket_start = r.bucket_start
+        """,
+        # layout scan: exact level-4 membership via the unrolled Hilbert
+        # SQL — equality with the Spark side's level-14 BETWEEN range pins
+        # the S2 descendant-interval property across the clustered
+        # write/read roundtrip.
+        "spatial_layout_scan": (
+            f"SELECT event_id FROM ("
+            f"{_s2_cells_sql(_EV_PTS, level=3, rollup=False)}"
+            f") t WHERE s2_l12 = {_layout_qcell()}"
+        ),
         "tasks_per_user": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS task_count
             FROM (SELECT user_id, mod(event_id, 20) AS project_id,

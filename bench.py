@@ -120,6 +120,9 @@ HEADLINE = [
     "quad_compact",
     "source_drift",
     "cooccur",
+    "pps_sample",
+    "gapfill_weeks",
+    "table_merge_read",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Gap-filled time-bucket rollups — the `time_bucket_gapfill` shape.
+
+A monitoring consumer of the warehouse ("edits per week per type",
+"docs ingested per day per source") needs EXPLICIT ZERO rows for empty
+buckets: a chart, an anomaly detector, or a week-over-week diff that
+only sees occupied buckets silently interpolates over outages — the
+exact signal it exists to catch. Dedicated time-series engines ship
+this as a first-class operator (TimescaleDB's ``time_bucket_gapfill``,
+public API); relational engines make you build the bucket spine
+yourself. This is the Spark-first build:
+
+1. rollup: ONE keyed shuffle, fully decomposable (map-side combine);
+2. spine: distinct keys × ``sequence(min_bucket, max_bucket, step)``
+   exploded — bounded by |keys| × |buckets|, both orders of magnitude
+   below the fact table (that asymmetry is the whole design: the spine
+   is dimension-sized, never fact-sized);
+3. left join spine ← rollup with ``coalesce(n, 0)`` — two
+   dimension-sized inputs, AQE broadcasts the smaller side.
+
+The global [min, max] bucket bounds ride a one-row aggregate broadcast
+back via the crossJoin-one-row idiom (text/freq.py precedent) — no
+driver round-trip, no collect in the plan.
+
+Cross-engine exactness: ``date_trunc`` buckets are ISO Monday-start in
+both Spark and DuckDB; counts are integers. No float anywhere.
+
+At 100 TB: the fact scan feeds one decomposable rollup (partial aggs
+absorb hot keys — the measured r4 salting result); the spine explode is
+driver-free column arithmetic over a dimension-sized frame. Nothing in
+the plan grows with history except the single rollup shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STEP = {"week": "interval 7 days", "day": "interval 1 day"}
+
+
+def gapfill_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "week",
+) -> DataFrame:
+    """Per-(key, bucket) row counts with zero-filled gaps.
+
+    Output: (key_col, bucket_start timestamp, n_events bigint) — one row
+    for EVERY (observed key, bucket) pair between the global min and max
+    occupied bucket, zeros where the key was silent. Rows with NULL ts
+    or NULL key are excluded (they have no place on the spine).
+    """
+    if bucket not in _STEP:
+        raise ValueError(f"bucket must be one of {sorted(_STEP)}")
+    facts = df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+    bk = F.date_trunc(bucket, F.col(ts_col))
+
+    rollup = facts.groupBy(
+        F.col(key_col), bk.alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    bounds = facts.agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("_b0"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("_b1"),
+    )
+    spine = (
+        facts.select(key_col).distinct()
+        .crossJoin(F.broadcast(bounds))  # one-row bounds, broadcast NLJ
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("_b0"), F.col("_b1"), F.expr(_STEP[bucket]))
+            ).alias("bucket_start"),
+        )
+    )
+    return (
+        spine.join(rollup, [key_col, "bucket_start"], "left")
+        .select(
+            key_col,
+            "bucket_start",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from insights_spark.geo.cells import s2_cell_id, s2_udf
+from insights_spark.runtime.layout import (
+    KEY_COL,
+    cell_range,
+    cluster_spatial,
+    spatial_scan,
+)
+
+N = 20_000
+LEVEL = 14
+
+
+def _pts(spark):
+    # the repo-wide synthetic lon/lat derivation (multiples of 0.001)
+    return (
+        spark.range(N).withColumnRenamed("id", "pid")
+        .withColumn("lon", F.pmod(F.col("pid") * 7919, F.lit(360000)) / 1000.0 - 180.0)
+        .withColumn("lat", F.pmod(F.col("pid") * 104729, F.lit(170000)) / 1000.0 - 85.0)
+    )
+
+
+def _np_pts():
+    pid = np.arange(N, dtype=np.int64)
+    lon = (pid * 7919 % 360000) / 1000.0 - 180.0
+    lat = (pid * 104729 % 170000) / 1000.0 - 85.0
+    return pid, lon, lat
+
+
+def _rowgroup_ranges(path):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        ki = md.schema.names.index(KEY_COL)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ki).statistics
+            assert st is not None and st.has_min_max
+            out.append((st.min, st.max))
+    return out
+
+
+def _frac_intersecting(ranges, lo, hi):
+    hit = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+    return hit / len(ranges)
+
+
+def test_cluster_spatial_prunes_and_matches_brute_force(spark, tmp_path):
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    pts = _pts(spark)
+    cluster_spatial(pts, clustered, level=LEVEL, partitions=8)
+    # same key column, row-order layout (round-robin = spatially random)
+    (
+        pts.select("*", s2_udf(LEVEL)(F.col("lon"), F.col("lat")).alias(KEY_COL))
+        .repartition(8)
+        .write.mode("overwrite").parquet(scattered)
+    )
+
+    # query cell: the level-6 ancestor of point 0
+    pid, lon, lat = _np_pts()
+    qcell = int(s2_cell_id(lon[:1], lat[:1], 6)[0])
+    lo, hi = cell_range(qcell)
+
+    r_clu = _rowgroup_ranges(clustered)
+    r_sca = _rowgroup_ranges(scattered)
+    assert len(r_clu) >= 8 and len(r_sca) >= 8
+    # the measured claim: clustering collapses the touched fraction
+    assert _frac_intersecting(r_clu, lo, hi) <= 0.3
+    assert _frac_intersecting(r_sca, lo, hi) >= 0.7
+
+    # correctness: the BETWEEN scan returns exactly the points whose
+    # level-6 cell is the query cell (numpy brute force)
+    all14 = s2_cell_id(lon, lat, LEVEL)
+    expect = {int(p) for p, c6 in zip(pid, s2_cell_id(lon, lat, 6)) if c6 == qcell}
+    got = {r["pid"] for r in spatial_scan(spark, clustered, qcell).collect()}
+    assert got == expect and got  # non-vacuous
+    # every returned key really is a descendant of qcell
+    keys = {int(k) for k in all14[np.isin(pid, sorted(got))]}
+    assert all(lo <= k <= hi for k in keys)
+
+
+def test_spatial_scan_pushes_filter_to_parquet(spark, tmp_path):
+    path = str(tmp_path / "t")
+    cluster_spatial(_pts(spark), path, level=LEVEL, partitions=4)
+    pid, lon, lat = _np_pts()
+    qcell = int(s2_cell_id(lon[:1], lat[:1], 6)[0])
+    plan = spatial_scan(spark, path, qcell)._jdf.queryExecution().executedPlan().toString()
+    # the BETWEEN must reach the scan (row-group pruning happens there)
+    assert "PushedFilters" in plan and KEY_COL in plan.split("PushedFilters")[1][:200]
+
+
+def test_cell_range_face45_negative_ids(spark):
+    # southern-hemisphere faces view as NEGATIVE int64; the descendant
+    # interval must stay monotone there too
+    cell = int(s2_cell_id(np.array([10.0]), np.array([-80.0]), 6)[0])
+    assert cell < 0
+    lo, hi = cell_range(cell)
+    assert lo <= cell <= hi and lo < hi
+    child = int(s2_cell_id(np.array([10.0]), np.array([-80.0]), LEVEL)[0])
+    assert lo <= child <= hi
+
+
+def test_null_coordinates_survive_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, None)], "pid long, lon double, lat double"
+    )
+    cluster_spatial(df, path, level=LEVEL, partitions=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert back.filter(F.col(KEY_COL).isNull()).count() == 1

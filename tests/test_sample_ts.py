@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from insights_spark.ops.timeseries import gapfill_counts
+from insights_spark.text.sample import pps_sample
+
+
+# ---------------------------------------------------------------- pps
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def _brute_pps(rows, n):
+    """The same systematic-PPS rule in plain python (floor arithmetic)."""
+    items = [
+        (((did % (1 << 31)) * 2654435761 + 29) % (1 << 31), did, w)
+        for did, w in rows if w > 0
+    ]
+    items.sort()
+    total = sum(w for _h, _d, w in items)
+    out, c = set(), 0
+    for _h, did, w in items:
+        lo, c = c, c + w
+        if (c * n) // total > (lo * n) // total:
+            out.add(did)
+    return out
+
+
+def test_pps_matches_brute_force(spark):
+    rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+    got = {r["doc_id"] for r in pps_sample(_docs(spark, rows), 23).collect()}
+    assert got == _brute_pps(rows, 23)
+    assert len(got) == 23  # no weight spans two grid points here
+
+
+def test_pps_heavy_item_always_selected(spark):
+    # one doc carries half the mass: its segment cannot dodge the grid
+    rows = [(i, 1) for i in range(50)] + [(999, 50)]
+    got = {r["doc_id"] for r in pps_sample(_docs(spark, rows), 5).collect()}
+    assert 999 in got
+    assert got == _brute_pps(rows, 5)
+
+
+def test_pps_partitioning_invariant(spark):
+    rows = [(i, (i * 13) % 40 + 1) for i in range(120)]
+    base = _docs(spark, rows)
+    a = {r["doc_id"] for r in pps_sample(base, 17).collect()}
+    b = {r["doc_id"] for r in pps_sample(base.repartition(7), 17).collect()}
+    assert a == b == _brute_pps(rows, 17)
+
+
+def test_pps_zero_weight_excluded_and_saturation(spark):
+    rows = [(1, 0), (2, -3), (3, 2), (4, 5), (5, 1)]
+    # n = W = 8 → grid spacing 1 ≤ every positive weight → all selected
+    got = {r["doc_id"] for r in pps_sample(_docs(spark, rows), 8).collect()}
+    assert got == {3, 4, 5}
+
+
+def test_pps_keeps_original_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 4, "a"), (2, 4, "b"), (3, 4, "c")],
+        "doc_id long, n_chars long, source string",
+    )
+    out = pps_sample(df, 2)
+    assert out.columns == ["doc_id", "n_chars", "source"]
+
+
+# ----------------------------------------------------------- gapfill
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def test_gapfill_weekly_zero_rows(spark):
+    t = dt.datetime
+    rows = [
+        ("a", t(2024, 1, 1, 12)),   # week of Mon 2024-01-01
+        ("a", t(2024, 1, 2, 9)),
+        ("a", t(2024, 1, 16, 0)),   # week of 2024-01-15 — 01-08 is a GAP
+        ("b", t(2024, 1, 10, 5)),   # week of 2024-01-08 only
+    ]
+    out = {
+        (r["event_type"], r["bucket_start"], r["n_events"])
+        for r in gapfill_counts(_ev(spark, rows)).collect()
+    }
+    w1, w2, w3 = t(2024, 1, 1), t(2024, 1, 8), t(2024, 1, 15)
+    assert out == {
+        ("a", w1, 2), ("a", w2, 0), ("a", w3, 1),
+        ("b", w1, 0), ("b", w2, 1), ("b", w3, 0),
+    }
+
+
+def test_gapfill_daily_and_null_exclusion(spark):
+    t = dt.datetime
+    rows = [
+        ("x", t(2024, 3, 1, 1)),
+        ("x", t(2024, 3, 3, 23)),
+        ("x", None),                 # NULL ts: no place on the spine
+        (None, t(2024, 3, 2)),       # NULL key: excluded
+    ]
+    out = {
+        (r["bucket_start"], r["n_events"])
+        for r in gapfill_counts(_ev(spark, rows), bucket="day").collect()
+    }
+    assert out == {
+        (t(2024, 3, 1), 1), (t(2024, 3, 2), 0), (t(2024, 3, 3), 1),
+    }
+
+
+def test_gapfill_bad_bucket_raises(spark):
+    with pytest.raises(ValueError):
+        gapfill_counts(_ev(spark, []), bucket="fortnight")
+
+
+def test_gapfill_counts_are_long(spark):
+    t = dt.datetime
+    out = gapfill_counts(_ev(spark, [("a", t(2024, 1, 1))]))
+    assert dict(out.dtypes)["n_events"] == "bigint"
+    assert out.collect() == [
+        ("a", t(2024, 1, 1), 1)
+    ]
