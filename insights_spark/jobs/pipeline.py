@@ -53,8 +53,18 @@ def run(
     boundary_rows: list[dict] | None = None,
     resume: bool = False,
     zooms: tuple[int, ...] = (12, 8, 6),
+    table_format: str = "parquet",
 ) -> dict[str, str]:
-    """Run the full pipeline; returns {table_name: path}."""
+    """Run the full pipeline; returns {table_name: path}.
+
+    table_format='parquet' (default): directory-parquet sinks
+    (runtime.sinks module functions). table_format='snapshot': the same
+    warehouse over runtime.tablefmt snapshot tables — every batch is an
+    atomic commit, each table keeps per-batch time-travel history, and
+    the element sink drops the parquet backend's defensive
+    localCheckpoint (snapshot isolation covers the read-your-own-write
+    hazard). Outputs are logically identical across formats (pytest-
+    pinned); read snapshot outputs via SnapshotTable(...).read()."""
     ckpt = CheckpointStore(spark, os.path.join(out_dir, "_checkpoints"))
     lin = LineageLog(spark, os.path.join(out_dir, "_lineage"))
     boundary_rows = boundary_rows or synth.gen_boundaries()
@@ -76,15 +86,24 @@ def run(
     out: dict[str, str] = {}
 
     # 1. extract ----------------------------------------------------------
-    from ..runtime import sinks as sink_ops
+    from ..runtime.sinks import ParquetSinks, SnapshotSinks
+
+    if table_format == "snapshot":
+        # commit clock = the batch sequence (explicit-now rule): time
+        # travel by ts resolves "the warehouse as of batch N"
+        sink_ops = SnapshotSinks(spark, ts=sequence)
+    elif table_format == "parquet":
+        sink_ops = ParquetSinks(spark)
+    else:
+        raise ValueError(f"unknown table_format: {table_format!r}")
 
     # one parse pass for both changeset outputs (persisted bundle)
     bundles = extract.extract_changeset_bundles(batch).persist()
     changesets = bundles.select(F.explode("changesets").alias("c")).select("c.*")
     comments = bundles.select(F.explode("comments").alias("m")).select("m.*")
     # S12 delete-then-insert semantics: replayed changesets take the NEW row
-    sink_ops.merge_parquet(changesets, os.path.join(out_dir, "changesets"),
-                           keys=["id"], mode="keep_last")
+    sink_ops.merge(changesets, os.path.join(out_dir, "changesets"),
+                   keys=["id"], mode="keep_last")
     out["changesets"] = os.path.join(out_dir, "changesets")
     sink_ops.append_dedup(
         comments, os.path.join(out_dir, "changeset_comments"),
@@ -123,17 +142,21 @@ def run(
     # then MERGE — per-batch work is O(batch ∪ missed), never O(history).
     # Touched changesets still aggregate over their FULL element history
     # (semi-join pulls all their rows from the read-back table).
-    el = spark.read.parquet(el_path)
+    el = sink_ops.read(el_path)
     stats_path = os.path.join(out_dir, "all_changesets_stats")
     touched = appended.select("changeset").distinct()
-    if os.path.isdir(stats_path):
-        existing_stats = spark.read.parquet(stats_path)
+    try:
+        existing_stats = sink_ops.read(stats_path)
+        has_stats = True
+    except Exception:
+        has_stats = False
+    if has_stats:
         touched = touched.unionByName(
             stats_ops.missed_changesets(el, existing_stats)
         ).distinct()
     el_touched = el.join(touched, "changeset", "left_semi").persist()
     st = stats_ops.changeset_stats_with_meters(el_touched).persist()
-    sink_ops.merge_parquet(st, stats_path, keys=["changeset"], mode="keep_last")
+    sink_ops.merge(st, stats_path, keys=["changeset"], mode="keep_last")
     out["all_changesets_stats"] = stats_path
     # lineage records the stage's actual increment: rows_in = touched
     # element-history rows, rows_out = recomputed stats rows (both persisted
@@ -148,10 +171,10 @@ def run(
         appended.filter(F.col("lat").isNotNull()), list(zooms)
     )
     tiles_path = os.path.join(out_dir, "tile_density")
-    sink_ops.merge_sum_parquet(pyramid, tiles_path, keys=["z", "x", "y"],
-                               sum_cols=["density"])
+    sink_ops.merge_sum(pyramid, tiles_path, keys=["z", "x", "y"],
+                       sum_cols=["density"])
     out["tile_density"] = tiles_path
-    lin.record("tiles", None, spark.read.parquet(tiles_path), sequence)
+    lin.record("tiles", None, sink_ops.read(tiles_path), sequence)
 
     # 6. hashtag vocabulary ----------------------------------------------------
     # INCREMENTAL: vocabulary is a distinct set — merge (keep_first on the
@@ -159,8 +182,8 @@ def run(
     # no rewrite at all.
     vocab = tags_ops.hashtag_vocabulary(changesets)
     vocab_path = os.path.join(out_dir, "all_osm_hashtags")
-    sink_ops.merge_parquet(vocab, vocab_path, keys=list(vocab.columns),
-                           mode="keep_first")
+    sink_ops.merge(vocab, vocab_path, keys=list(vocab.columns),
+                   mode="keep_first")
     out["all_osm_hashtags"] = vocab_path
 
     el_touched.unpersist()
@@ -178,6 +201,8 @@ def main() -> None:  # pragma: no cover — exercised via spark-submit
     p.add_argument("--out", required=True)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-pages", type=int, default=120, help="synth size if no --pages")
+    p.add_argument("--table-format", default="parquet",
+                   choices=("parquet", "snapshot"))
     args = p.parse_args()
 
     from ..session import get_spark
@@ -186,7 +211,8 @@ def main() -> None:  # pragma: no cover — exercised via spark-submit
     pages = (
         spark.read.parquet(args.pages) if args.pages else synth.pages_df(spark, args.n_pages)
     )
-    tables = run(spark, pages, args.out, resume=args.resume)
+    tables = run(spark, pages, args.out, resume=args.resume,
+                 table_format=args.table_format)
     for name, path in tables.items():
         print(f"{name}\t{path}")
     spark.stop()

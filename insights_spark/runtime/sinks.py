@@ -138,6 +138,95 @@ def append_dedup(new_df: DataFrame, path: str, keys: list[str],
     return batch
 
 
+class ParquetSinks:
+    """The default warehouse backend: the module's directory-parquet sinks
+    behind the 4-verb interface jobs program against (merge / merge_sum /
+    append_dedup / read). `SnapshotSinks` is the drop-in snapshot-table
+    twin — `jobs.pipeline.run(table_format=...)` picks one."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def merge(self, df: DataFrame, path: str, keys: list[str],
+              mode: str = "keep_last") -> None:
+        merge_parquet(df, path, keys, mode=mode)
+
+    def merge_sum(self, df: DataFrame, path: str, keys: list[str],
+                  sum_cols: list[str]) -> None:
+        merge_sum_parquet(df, path, keys, sum_cols)
+
+    def append_dedup(self, df: DataFrame, path: str, keys: list[str],
+                     partition_by: list[str] | None = None,
+                     cluster_by: list[str] | None = None,
+                     sort_by: list[str] | None = None) -> DataFrame:
+        return append_dedup(df, path, keys, partition_by=partition_by,
+                            cluster_by=cluster_by, sort_by=sort_by)
+
+    def read(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+
+class SnapshotSinks:
+    """Snapshot-table sink set (runtime.tablefmt): the same 4 verbs over
+    Iceberg-style tables — atomic manifest commits, time travel per batch,
+    and snapshot isolation that makes the parquet backend's defensive
+    `localCheckpoint` UNNECESSARY in append_dedup: the batch's anti-join
+    reads the immutable PARENT snapshot's files, which the append commit
+    never touches — exactly the read-your-own-write isolation the
+    merge_parquet docstring promised a real table format would give.
+
+    Layout note: `partition_by` is ignored (a snapshot commit is one
+    immutable dir; hive-style subdirs across snapshots would complicate
+    the manifest for no pruning gain here) — the partition column stays a
+    regular column and `sort_by` clustering still applies, so parquet
+    min/max pages serve the same predicates (X3)."""
+
+    def __init__(self, spark: SparkSession, ts: int | None = None):
+        self.spark = spark
+        self.ts = ts  # caller-supplied commit clock (explicit-now rule)
+
+    def _t(self, path: str):
+        from insights_spark.runtime.tablefmt import SnapshotTable
+
+        return SnapshotTable(self.spark, path)
+
+    def merge(self, df: DataFrame, path: str, keys: list[str],
+              mode: str = "keep_last") -> None:
+        self._t(path).merge(df, keys, mode=mode, ts=self.ts)
+
+    def merge_sum(self, df: DataFrame, path: str, keys: list[str],
+                  sum_cols: list[str]) -> None:
+        t = self._t(path)
+        if t.current_snapshot_id() is None:
+            t.append(df, ts=self.ts)
+            return
+        merged = (
+            t.read().unionByName(df)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+        t.overwrite(merged, ts=self.ts)
+
+    def append_dedup(self, df: DataFrame, path: str, keys: list[str],
+                     partition_by: list[str] | None = None,
+                     cluster_by: list[str] | None = None,
+                     sort_by: list[str] | None = None) -> DataFrame:
+        t = self._t(path)
+        batch = df.dropDuplicates(keys)
+        if t.current_snapshot_id() is not None:
+            batch = batch.join(t.read().select(*keys), keys, "left_anti")
+        if cluster_by:
+            batch = batch.repartition(*[F.col(c) for c in cluster_by])
+        # persist for COST only (3 downstream consumers) — correctness
+        # does not need a lineage cut here, unlike the parquet twin
+        batch = batch.persist()
+        t.append(batch, ts=self.ts, sort_by=sort_by)
+        return batch
+
+    def read(self, path: str) -> DataFrame:
+        return self._t(path).read()
+
+
 def merge_sum_parquet(new_df: DataFrame, path: str, keys: list[str],
                       sum_cols: list[str]) -> None:
     """Additive MERGE for rollup tables (tile pyramid, counters): existing

@@ -139,10 +139,15 @@ class SnapshotTable:
             fh.write(body)
         return sid
 
-    def _write_data(self, df: DataFrame, sid_hint: int) -> tuple[str, int]:
-        """Write one immutable data dir; returns (relpath, rows)."""
+    def _write_data(self, df: DataFrame, sid_hint: int,
+                    sort_by: list[str] | None = None) -> tuple[str, int]:
+        """Write one immutable data dir; returns (relpath, rows).
+        `sort_by` clusters rows within write tasks (parquet min/max pages
+        then serve those predicates — the X3 physical-layout hook)."""
         rel = f"c{sid_hint}-{uuid.uuid4().hex[:8]}"
         full = os.path.join(self._data, rel)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         df.write.mode("overwrite").parquet(full)
         rows = self.spark.read.parquet(full).count()
         return rel, rows
@@ -164,11 +169,12 @@ class SnapshotTable:
         raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
     # ---- write operations -----------------------------------------
-    def append(self, df: DataFrame, ts: int | None = None) -> int:
+    def append(self, df: DataFrame, ts: int | None = None,
+               sort_by: list[str] | None = None) -> int:
         """Commit df as new rows (Iceberg `append`): new dirs only, the
         parent's dirs carried forward untouched."""
         parent0 = self.current_snapshot_id()
-        rel, rows = self._write_data(df, (parent0 or 0) + 1)
+        rel, rows = self._write_data(df, (parent0 or 0) + 1, sort_by=sort_by)
 
         def build(parent):
             base = [] if parent is None else self._load(parent)["dirs"]
