@@ -2147,6 +2147,34 @@ def _q_gapfill_weeks(spark, sf_dir):
     return gapfill_counts(_t(spark, sf_dir, "events"))
 
 
+def _q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance (text/links.py:bfs_hop_distance),
+    max 3 hops from the doc_id≡0 (mod 97) seed set over the pagerank
+    fixture's deterministic 3-out graph — all-integer first-visit levels,
+    so the recursive-CTE oracle (UNION dedup bounds the walk on cycles)
+    matches exactly."""
+    from insights_spark.text.links import bfs_hop_distance
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                F.pmod(F.col("doc_id") * 7919 + 104729 * k, F.col("n"))
+                for k in (1, 2, 3)
+            ])).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    sources = docs.select(F.col("doc_id").alias("id")).filter(
+        F.pmod(F.col("id"), F.lit(97)) == 0)
+    return bfs_hop_distance(edges, sources, max_hops=3).select(
+        F.col("id").alias("doc_id"), "dist")
+
+
 def _layout_qcell(level: int = 3) -> int:
     """Level-`level` S2 cell of event_id=1's synthetic point — the
     deterministic probe cell for the layout-scan query (same derivation
@@ -2383,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": _q_pps_sample,
         "gapfill_weeks": _q_gapfill_weeks,
         "spatial_layout_scan": _q_spatial_layout_scan,
+        "bfs_hops": _q_bfs_hops,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4480,6 +4509,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.n_cells, pr.w_pairs, pr.num, dn.den FROM tot t, pr, dn
     """
     out["pagerank"] = _pagerank_sql(5)
+    # BFS: UNION (not ALL) dedups (id, dist) pairs, so the recursion
+    # terminates on cycles; min(dist) = first-visit level = Spark's BFS.
+    out["bfs_hops"] = """
+        WITH RECURSIVE nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                              FROM documents),
+        e AS (SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       mod(doc_id * 7919 + 104729 * k.k, nn.n) AS dst
+                FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k)
+              WHERE dst <> src),
+        walk(id, dist) AS (
+            SELECT doc_id, 0 FROM documents WHERE mod(doc_id, 97) = 0
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 3
+        )
+        SELECT id AS doc_id, CAST(min(dist) AS INT) AS dist
+        FROM walk GROUP BY id
+    """
     # quad compaction: both levels unrolled; z7 xy from the shared
     # slippy-map mapping, x/y widened to BIGINT to match Spark's `div`.
     out["quad_compact"] = f"""

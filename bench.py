@@ -123,6 +123,8 @@ HEADLINE = [
     "pps_sample",
     "gapfill_weeks",
     "table_merge_read",
+    "bfs_hops",
+    "spatial_layout_scan",
 ]
 
 

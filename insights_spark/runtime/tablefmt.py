@@ -252,6 +252,23 @@ class SnapshotTable:
         return self.spark.read.parquet(*dirs)
 
     # ---- maintenance ----------------------------------------------
+    def compact(self, ts: int | None = None,
+                target_partitions: int | None = None) -> int:
+        """Rewrite the CURRENT snapshot's dirs into one coalesced dir and
+        commit it as a replace snapshot — Iceberg's rewrite_data_files
+        (public API). The small-files problem is the table-format failure
+        mode at scale: a nightly-append table accretes one dir of tiny
+        files per batch, and scan planning degrades with file COUNT, not
+        bytes. Compaction is read + coalesce + one replace commit;
+        history (and any pinned reader) is untouched — old dirs are only
+        reclaimed by expire_snapshots."""
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise ValueError(f"table {self.path} has no snapshots")
+        cur = self.read(snapshot_id=parent)
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        return self.overwrite(cur.coalesce(n), ts=ts)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest `keep_last` manifests and delete data
         dirs no kept manifest references — the only deletion path.

@@ -88,3 +88,53 @@ def pagerank_fixed_point(
             )
         )
     return cur
+
+
+def bfs_hop_distance(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY source node.
+
+    The third member of the engine's graph family (star-CC components,
+    fixed-point PageRank, now reachability): "how far is every page from
+    the seed set" drives crawl-frontier scheduling and link-distance
+    quality features. Input: edges (``src``, ``dst``), sources (``id``).
+    Output: (id, dist) for every node reachable within ``max_hops``;
+    sources themselves at dist 0; unreachable nodes ABSENT (enrichment,
+    not a guess — the doc_geotag rule).
+
+    Superstep = the textbook frontier expansion (Pregel BFS, public):
+    frontier ⋈ edges (ONE hash join keyed on src) → distinct → anti-join
+    against the visited set. BFS assigns each node on its FIRST visit,
+    which IS the minimum distance — all-integer, order-free, engine-exact
+    (the DuckDB oracle is a recursive CTE with UNION dedup).
+
+    Scale posture: per level one join + one anti-join, both keyed
+    shuffles bounded by the wavefront (frontier × mean out-degree), never
+    all-pairs; the frontier is localCheckpointed each level — an
+    ITERATIVE plan otherwise accretes a union chain `max_hops` deep and
+    re-executes every prior level at each action (the pagerank persist
+    lesson, one step further because BFS's output feeds its own next
+    join). The per-level empty check is one bounded count — Pregel's
+    vote-to-halt, a driver scalar, not a collect of rows.
+    """
+    visited = sources.select(
+        F.col("id"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"),
+                    F.lit(hop).cast("int").alias("dist"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

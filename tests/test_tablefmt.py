@@ -132,3 +132,25 @@ def test_empty_table_read_raises(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError):
         t.read()
+    with pytest.raises(ValueError):
+        t.compact()
+
+
+def test_compact_small_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(5):  # the nightly-append small-files shape
+        t.append(_df(spark, [(i, f"v{i}")]), ts=i)
+    pre = t.current_snapshot_id()
+    assert len(t._load(pre)["dirs"]) == 5
+    pinned = t.read(snapshot_id=pre)
+    sid = t.compact(ts=99, target_partitions=1)
+    # one dir now, same rows, history intact, pinned reader unharmed
+    assert len(t._load(sid)["dirs"]) == 1
+    expect = [(i, f"v{i}") for i in range(5)]
+    assert _sorted(t.read()) == expect
+    assert _sorted(pinned) == expect
+    assert [s["operation"] for s in t.history()][-1] == "replace"
+    # reclaim: only expire deletes the old dirs; compacted table survives
+    removed = t.expire_snapshots(keep_last=1)
+    assert len(removed) == 5
+    assert _sorted(t.read()) == expect
