@@ -2147,6 +2147,28 @@ def _q_gapfill_weeks(spark, sf_dir):
     return gapfill_counts(_t(spark, sf_dir, "events"))
 
 
+def _q_anomaly_weeks(spark, sf_dir):
+    """Volume-spike detection (ops/timeseries.py:anomaly_buckets) over a
+    deterministically planted burst — 9 extra copies of click's first
+    week (the pii_scrub plant-so-it's-non-vacuous rule): that bucket
+    exceeds 4× click's median and flags True, every other bucket
+    (including the zero-filled spine) stays False. Median = exact
+    interpolated percentile == quantile_cont."""
+    from insights_spark.ops.timeseries import anomaly_buckets
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click")
+    w0 = clicks.agg(F.date_trunc("week", F.min("ts")).alias("w0"))
+    burst = (
+        clicks.crossJoin(F.broadcast(w0))
+        .filter(F.date_trunc("week", F.col("ts")) == F.col("w0"))
+        .withColumn("_k", F.explode(F.sequence(F.lit(1), F.lit(9))))
+        .select("event_type", "ts")
+    )
+    return anomaly_buckets(ev.unionByName(burst), factor=4)
+
+
 def _q_bfs_hops(spark, sf_dir):
     """Multi-source BFS hop distance (text/links.py:bfs_hop_distance),
     max 3 hops from the doc_id≡0 (mod 97) seed set over the pagerank
@@ -2412,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_weeks": _q_gapfill_weeks,
         "spatial_layout_scan": _q_spatial_layout_scan,
         "bfs_hops": _q_bfs_hops,
+        "anomaly_weeks": _q_anomaly_weeks,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -3513,6 +3536,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s LEFT JOIN r
               ON s.event_type = r.event_type
              AND s.bucket_start = r.bucket_start
+        """,
+        "anomaly_weeks": """
+            WITH ev AS (SELECT event_type, ts FROM events
+                        WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            w0 AS (SELECT date_trunc('week', min(ts)) AS w FROM ev
+                   WHERE event_type = 'click'),
+            burst AS (SELECT e.event_type, e.ts
+                      FROM ev e, w0, generate_series(1, 9) g
+                      WHERE e.event_type = 'click'
+                        AND date_trunc('week', e.ts) = w0.w),
+            inp AS (SELECT * FROM ev UNION ALL SELECT * FROM burst),
+            f AS (SELECT event_type, date_trunc('week', ts) AS w FROM inp),
+            r AS (SELECT event_type, w AS bucket_start,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM f GROUP BY event_type, w),
+            s AS (SELECT k.event_type,
+                         unnest(generate_series(b.b0, b.b1,
+                                                INTERVAL 7 DAY))
+                             AS bucket_start
+                  FROM (SELECT DISTINCT event_type FROM f) k,
+                       (SELECT min(w) AS b0, max(w) AS b1 FROM f) b),
+            filled AS (SELECT s.event_type, s.bucket_start,
+                              CAST(COALESCE(r.n, 0) AS BIGINT) AS n_events
+                       FROM s LEFT JOIN r
+                         ON s.event_type = r.event_type
+                        AND s.bucket_start = r.bucket_start),
+            med AS (SELECT event_type,
+                           quantile_cont(n_events, 0.5) AS median_n
+                    FROM filled GROUP BY event_type)
+            SELECT filled.event_type, bucket_start, n_events, median_n,
+                   CAST(n_events AS DOUBLE) > 4.0 * median_n AS is_spike
+            FROM filled JOIN med ON filled.event_type = med.event_type
         """,
         # layout scan: exact level-4 membership via the unrolled Hilbert
         # SQL — equality with the Spark side's level-14 BETWEEN range pins

@@ -125,6 +125,7 @@ HEADLINE = [
     "table_merge_read",
     "bfs_hops",
     "spatial_layout_scan",
+    "anomaly_weeks",
 ]
 
 

@@ -82,3 +82,45 @@ def gapfill_counts(
             F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def anomaly_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "week",
+    factor: int = 4,
+) -> DataFrame:
+    """Volume-spike detection over the gap-filled series: flag every
+    (key, bucket) whose count exceeds ``factor`` × the key's median
+    bucket count — the alert a monitoring consumer actually pages on.
+
+    Runs on ``gapfill_counts`` output BY CONSTRUCTION: computing the
+    median over occupied buckets only would inflate it for bursty keys
+    (a key active 1 week in 50 would read median = its burst, hiding
+    the spike) — the zero rows are load-bearing, which is why this
+    operator exists here and not as a one-line groupBy on the facts.
+
+    Exactness: the median is Spark's exact interpolated ``percentile``
+    == DuckDB ``quantile_cont`` (the lang_quality_median precedent);
+    ``4·median`` and the ``>`` compare are single exact IEEE ops on
+    both engines. No libm, no reassociated float sums.
+
+    Scale: one decomposable rollup (inside gapfill), one dimension-sized
+    median agg per key, one broadcast join back onto the spine. The
+    percentile state is bounded by buckets-per-key, not facts.
+    """
+    filled = gapfill_counts(df, ts_col=ts_col, key_col=key_col, bucket=bucket)
+    med = filled.groupBy(key_col).agg(
+        F.expr("percentile(n_events, 0.5)").alias("median_n"))
+    return (
+        filled.join(F.broadcast(med), key_col)
+        .select(
+            key_col,
+            "bucket_start",
+            "n_events",
+            "median_n",
+            (F.col("n_events").cast("double")
+             > F.lit(float(factor)) * F.col("median_n")).alias("is_spike"),
+        )
+    )

@@ -170,15 +170,18 @@ class SnapshotTable:
 
     # ---- write operations -----------------------------------------
     def append(self, df: DataFrame, ts: int | None = None,
-               sort_by: list[str] | None = None) -> int:
+               sort_by: list[str] | None = None,
+               extra_summary: dict | None = None) -> int:
         """Commit df as new rows (Iceberg `append`): new dirs only, the
-        parent's dirs carried forward untouched."""
+        parent's dirs carried forward untouched. `extra_summary` lands in
+        the manifest's summary — the hook streaming sinks use to stamp
+        their epoch id for exactly-once replay detection."""
         parent0 = self.current_snapshot_id()
         rel, rows = self._write_data(df, (parent0 or 0) + 1, sort_by=sort_by)
 
         def build(parent):
             base = [] if parent is None else self._load(parent)["dirs"]
-            return base + [rel], {"added_rows": rows}
+            return base + [rel], {"added_rows": rows, **(extra_summary or {})}
 
         return self._retrying(build, "append", ts)
 

@@ -126,3 +126,36 @@ def test_gapfill_counts_are_long(spark):
     assert out.collect() == [
         ("a", t(2024, 1, 1), 1)
     ]
+
+
+def test_anomaly_buckets_hand_pinned(spark):
+    from insights_spark.ops.timeseries import anomaly_buckets
+
+    t = dt.datetime
+    rows = (
+        # key a: week counts [10, 1, 1] → median 1 → week1 spikes (10 > 4)
+        [("a", t(2024, 1, 1, h)) for h in range(10)]
+        + [("a", t(2024, 1, 8, 1)), ("a", t(2024, 1, 15, 1))]
+        # key b: single burst week → buckets [0, 1, 0], median 0 → its one
+        # occupied bucket flags (the zero rows are load-bearing: an
+        # occupied-buckets-only median would read 1 and hide it)
+        + [("b", t(2024, 1, 8, 2))]
+    )
+    out = {
+        (r["event_type"], r["bucket_start"], r["n_events"], r["is_spike"])
+        for r in anomaly_buckets(_ev(spark, rows), factor=4).collect()
+    }
+    w1, w2, w3 = t(2024, 1, 1), t(2024, 1, 8), t(2024, 1, 15)
+    assert out == {
+        ("a", w1, 10, True), ("a", w2, 1, False), ("a", w3, 1, False),
+        ("b", w1, 0, False), ("b", w2, 1, True), ("b", w3, 0, False),
+    }
+
+
+def test_anomaly_buckets_uniform_series_never_flags(spark):
+    from insights_spark.ops.timeseries import anomaly_buckets
+
+    t = dt.datetime
+    rows = [("x", t(2024, 1, 1 + 7 * w, h)) for w in range(4) for h in range(3)]
+    out = anomaly_buckets(_ev(spark, rows), factor=4).collect()
+    assert len(out) == 4 and not any(r["is_spike"] for r in out)
