@@ -2147,6 +2147,18 @@ def _q_gapfill_weeks(spark, sf_dir):
     return gapfill_counts(_t(spark, sf_dir, "events"))
 
 
+def _q_ann_int8(spark, sf_dir):
+    """int8 code-space top-k (text/quant.py:int8_topk): search runs on
+    the quantized store without dequantizing — integer dot products
+    (zip_with+aggregate, JVM codegen, no UDF), queries broadcast, one
+    scan, k-bounded TakeOrdered state. dot ≤ 255²·dim is exact BIGINT
+    here and exact ≤2⁵³ DOUBLE in the oracle's list_dot_product."""
+    from insights_spark.text.quant import int8_topk, quantize_embeddings
+
+    codes = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return int8_topk(codes, query_ids=[0, 1, 2, 3], k=5)
+
+
 def _q_anomaly_weeks(spark, sf_dir):
     """Volume-spike detection (ops/timeseries.py:anomaly_buckets) over a
     deterministically planted burst — 9 extra copies of click's first
@@ -2435,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_layout_scan": _q_spatial_layout_scan,
         "bfs_hops": _q_bfs_hops,
         "anomaly_weeks": _q_anomaly_weeks,
+        "ann_int8": _q_ann_int8,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4344,6 +4357,26 @@ def oracle_sql() -> dict[str, str]:
                  END))) AS codes,
                dim
         FROM mm
+    """
+    # int8 ANN: the quantize oracle composed verbatim as the code store,
+    # scored with list_dot_product (exact ≤ 2^53: dot ≤ 255²·dim) —
+    # BIGINT on both engines, ties broken by vec_id so top-k is total.
+    out["ann_int8"] = f"""
+        WITH z AS ({out["quantize"]}),
+        q AS (SELECT vec_id AS query_id,
+                     list_transform(codes, v -> CAST(v AS DOUBLE)) AS qc
+              FROM z WHERE vec_id < 4),
+        scored AS (
+            SELECT q.query_id, z.vec_id,
+                   CAST(list_dot_product(
+                       q.qc,
+                       list_transform(z.codes, v -> CAST(v AS DOUBLE))
+                   ) AS BIGINT) AS dot
+            FROM q, z WHERE z.vec_id <> q.query_id),
+        rk AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY dot DESC, vec_id) AS r
+               FROM scored)
+        SELECT query_id, vec_id, dot FROM rk WHERE r <= 5
     """
     out["cell_clusters"] = f"""
         WITH RECURSIVE {_hex_cnts_sql(1)},

@@ -126,6 +126,7 @@ HEADLINE = [
     "bfs_hops",
     "spatial_layout_scan",
     "anomaly_weeks",
+    "ann_int8",
 ]
 
 

@@ -159,3 +159,35 @@ def test_anomaly_buckets_uniform_series_never_flags(spark):
     rows = [("x", t(2024, 1, 1 + 7 * w, h)) for w in range(4) for h in range(3)]
     out = anomaly_buckets(_ev(spark, rows), factor=4).collect()
     assert len(out) == 4 and not any(r["is_spike"] for r in out)
+
+
+def test_int8_topk_hand_pinned(spark):
+    from insights_spark.text.quant import int8_topk, quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0]),    # codes [0, 255]
+            (1, [0.0, 2.0]),    # codes [0, 255] (per-vector scale!)
+            (2, [1.0, 0.0]),    # codes [255, 0]
+            (3, [0.5, 0.5]),    # constant → codes [0, 0]
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = int8_topk(quantize_embeddings(emb), query_ids=[0], k=3).collect()
+    got = [(r["vec_id"], r["dot"]) for r in out]
+    # dot(q0,c1)=255·255=65025; c2 and c3 both 0 → tie broken by vec_id
+    assert got == [(1, 65025), (2, 0), (3, 0)]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_int8_topk_excludes_self_and_bounds_k(spark):
+    from insights_spark.text.quant import int8_topk, quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(2 * i + 1)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = int8_topk(quantize_embeddings(emb), query_ids=[4, 7], k=2)
+    rows = out.collect()
+    assert len(rows) == 4  # 2 queries × k=2
+    assert all(r["vec_id"] != r["query_id"] for r in rows)
