@@ -1472,6 +1472,22 @@ def _q_frame_schedule(spark, sf_dir):
     )
 
 
+def _q_phash_pairs(spark, sf_dir):
+    """Image near-dup by perceptual hash: 64-bit integer-exact aHash over
+    the fake-decoded 16x16 images (per-pixel r+g+b sums, 2x2 pooling, bit
+    = block*64 > total — no floats anywhere), then the SAME banded
+    self-join as simhash text dedup (4 bands x 16 bits, pigeonhole-
+    complete for hamming ≤ 3, popcount verify). The oracle replays the
+    whole hash in DuckDB list algebra and does the O(n²) verify — banding
+    completeness means the two result sets are provably identical.
+    Reference parity: raster tiles deduped as opaque blobs (SURVEY §2.11);
+    this is the image half of the near-dup lane."""
+    from insights_spark.text.multimodal import media_from_docs, phash_near_dups
+
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    return phash_near_dups(media, max_hamming=3, bands=4, use_codec=False)
+
+
 def _q_rep_filters(spark, sf_dir):
     """Gopher-style repetition quality gates (duplicate-token fraction,
     duplicate-token char fraction, top-2-gram char fraction, duplicate-
@@ -2448,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": _q_bfs_hops,
         "anomaly_weeks": _q_anomaly_weeks,
         "ann_int8": _q_ann_int8,
+        "phash_pairs": _q_phash_pairs,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -3659,6 +3676,45 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split(s, ''),
                         c -> ascii(c) // 32 = bin)) / 768.0 AS share
             FROM e
+        """,
+        "phash_pairs": """
+            WITH img AS (
+              SELECT doc_id AS media_id,
+                     rpad(regexp_replace(text, '[^ -~]', '', 'g'), 768, 'x') AS s
+              FROM documents WHERE mod(doc_id, 3) = 0 AND text IS NOT NULL),
+            g AS (
+              SELECT media_id,
+                     list_transform(range(256),
+                       p -> ascii(s[3*p+1]) + ascii(s[3*p+2]) + ascii(s[3*p+3]))
+                       AS gray
+              FROM img),
+            h AS (
+              SELECT media_id,
+                     list_transform(range(64), b ->
+                       gray[(2*(b//8))*16 + 2*mod(b,8) + 1]
+                     + gray[(2*(b//8))*16 + 2*mod(b,8) + 2]
+                     + gray[(2*(b//8)+1)*16 + 2*mod(b,8) + 1]
+                     + gray[(2*(b//8)+1)*16 + 2*mod(b,8) + 2]) AS blocks,
+                     list_sum(gray) AS total
+              FROM g),
+            bits AS (
+              SELECT media_id,
+                     list_transform(range(64), b ->
+                       CASE WHEN blocks[b+1]*64 > total THEN 1 ELSE 0 END) AS bit
+              FROM h),
+            ah AS (
+              SELECT media_id,
+                     CAST(list_sum(list_transform(range(63),
+                            b -> bit[b+1] * (CAST(1 AS BIGINT) << b))) AS BIGINT)
+                     + CASE WHEN bit[64] = 1
+                            THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                            ELSE 0 END AS ahash
+              FROM bits)
+            SELECT a.media_id AS a, b.media_id AS b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+            FROM ah a JOIN ah b ON a.media_id < b.media_id
+            WHERE a.ahash != 0 AND b.ahash != 0
+              AND bit_count(xor(a.ahash, b.ahash)) <= 3
         """,
         "ann_topk": """
             SELECT id, neighbor_id, score, CAST(rank AS INT) AS rank FROM (

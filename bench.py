@@ -127,6 +127,7 @@ HEADLINE = [
     "spatial_layout_scan",
     "anomaly_weeks",
     "ann_int8",
+    "phash_pairs",
 ]
 
 
@@ -209,6 +210,11 @@ def main() -> None:
         "st_join": "same quadratic-output shape as within_distance: pair "
         "count grows with point density² at fixed (radius, τ); the row "
         "would time the answer's size, not the plan",
+        "phash_pairs": "synthetic docs share a small template space, so a "
+        "~constant FRACTION of image pairs sits within hamming ≤ 3 "
+        "(sf0.01→sf0.1 measured 2.5k→230k pairs, ~92× at 10× data): the "
+        "OUTPUT is quadratic in this fixture by construction and an sf1 "
+        "row would time the answer's size, not the banded-join plan",
     }
     sf1_truncated: list[str] = []
     sf1_passes: dict[str, int] = {}

@@ -445,30 +445,44 @@ def simhash_near_dups(
         F.col(text_col).isNotNull() & (token_count(F.col(text_col)) > 0)
     )
     sh = with_simhash(src, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    return banded_hamming_pairs(sh, "simhash", max_hamming, bands)
+
+
+def banded_hamming_pairs(
+    sh: DataFrame, hash_col: str, max_hamming: int, bands: int
+) -> DataFrame:
+    """Banded self-join for 64-bit Hamming near-dup: explode each row into
+    `bands` (band, slice) keys, equi-join on the key, verify by exact
+    popcount. Shared by simhash (text) and ahash (image) near-dup — the
+    recall contract is the caller's: complete iff max_hamming ≤ bands-1.
+
+    `sh` must carry a unique `_id` plus the 64-bit hash column. Output:
+    (a, b, hamming) with a < b, one row per verified pair."""
     width = 64 // bands
+    sh = sh.select("_id", F.col(hash_col).alias("_h"))
     slices = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), bi * width)
+            F.shiftrightunsigned(F.col("_h"), bi * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("key"),
         )
         for bi in range(bands)
     ]
-    banded = sh.select("_id", "simhash", F.explode(F.array(*slices)).alias("bk")).select(
-        "_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = sh.select("_id", "_h", F.explode(F.array(*slices)).alias("bk")).select(
+        "_id", "_h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     other = banded.select(
-        F.col("_id").alias("_id2"), F.col("simhash").alias("simhash2"), "band", "key"
+        F.col("_id").alias("_id2"), F.col("_h").alias("_h2"), "band", "key"
     )
     pairs = (
         banded.join(other, ["band", "key"])
         .filter(F.col("_id") < F.col("_id2"))
-        .select("_id", "_id2", "simhash", "simhash2")
+        .select("_id", "_id2", "_h", "_h2")
         .distinct()
         .withColumn(
             "hamming",
-            F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2"))),
+            F.bit_count(F.col("_h").bitwiseXOR(F.col("_h2"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("_id").alias("a"), F.col("_id2").alias("b"), "hamming")

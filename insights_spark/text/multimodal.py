@@ -190,6 +190,88 @@ def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+AHASH = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, use_codec: bool | None = None) -> DataFrame:
+    """Perceptual (average) hash per image: 64-bit aHash, integer-exact.
+
+    The decoded 16x16 RGB image is reduced to per-pixel gray SUMS
+    (r+g+b — no division, stays integer), 2x2-average-pooled to an 8x8
+    grid of block sums, and bit b is set iff block_sum[b]*64 > total_sum
+    (the strict-inequality integer form of "block brighter than the image
+    mean"). Uniform images (every block equal to the mean) hash to 0.
+    Bit order: block index b = row*8+col is bit b, LSB-first; the top bit
+    makes the BIGINT negative — both engines use the same signed 64-bit
+    wrap (numpy uint64 viewed as int64 here; an explicit -2^63 term for
+    bit 63 in the DuckDB oracle).
+
+    Same mapInPandas plumbing as image_features: Arrow batches decode
+    independently, memory bounded by maxRecordsPerBatch, not file count.
+    Reference parity: the insights raster stages treat tile payloads as
+    opaque blobs keyed for dedup (SURVEY §2.11); this is the image-dedup
+    key for the multimodal lane.
+    """
+    src = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    pow2 = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(mid), None))
+                    continue
+                img = _decode_image(bytes(payload), use_codec)
+                gray = img.astype(np.int64).sum(axis=2)  # 16x16 per-pixel r+g+b
+                blocks = (
+                    gray.reshape(8, 2, 8, 2).sum(axis=(1, 3)).reshape(-1)
+                )  # 64 block sums, row-major
+                bits = (blocks * 64 > gray.sum()).astype(np.uint64)
+                h = int((bits * pow2).sum(dtype=np.uint64).view(np.int64))
+                rows.append((int(mid), h))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return src.mapInPandas(gen, AHASH)
+
+
+def phash_near_dups(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    use_codec: bool | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash Hamming distance.
+
+    aHash (image_ahash) → the SAME banded self-join as simhash text
+    near-dup (dedup.banded_hamming_pairs): pigeonhole-complete for
+    distance ≤ bands-1, exact popcount verify, never all-pairs. With the
+    defaults (4 bands of 16 bits, max_hamming 3) the output is provably
+    the full set of qualifying pairs, so an O(n²) SQL oracle reproduces
+    it exactly at test scale.
+
+    Uniform images (ahash 0 — e.g. an all-padding payload from an
+    empty/non-ASCII doc) are excluded up front for the same reason
+    simhash excludes tokenless docs: they'd all pair at hamming 0 while
+    sharing no visual content.
+
+    Output: (a, b, hamming) with a < b, media_id keys.
+    """
+    from .dedup import banded_hamming_pairs
+
+    sh = (
+        image_ahash(media, use_codec=use_codec)
+        .filter(F.col("ahash").isNotNull() & (F.col("ahash") != 0))
+        .select(F.col("media_id").alias("_id"), "ahash")
+    )
+    return banded_hamming_pairs(sh, "ahash", max_hamming, bands)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: emits (media_id, frame_idx, ts_ms) rows.
 

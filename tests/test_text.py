@@ -285,6 +285,48 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_video_frames(media)
 
 
+def test_phash_near_dups(spark):
+    """aHash + banded join vs a numpy brute-force replay: plant an exact
+    dup, a 1-block tweak (hamming small), and an inverted image (hamming
+    far beyond threshold); a uniform payload is excluded (ahash 0)."""
+    base = bytes((i * 7) % 256 for i in range(768))
+    tweak = bytearray(base)
+    for i in range(6):  # brighten one 2x2 block hard: flips few bits
+        tweak[i] = 255
+    inverted = bytes(255 - b for b in base)
+    uniform = bytes([100]) * 768
+    rows = [(0, "image", base, "image/png", 16, 16, None),
+            (1, "image", bytes(base), "image/png", 16, 16, None),
+            (2, "image", bytes(tweak), "image/png", 16, 16, None),
+            (3, "image", inverted, "image/png", 16, 16, None),
+            (4, "image", uniform, "image/png", 16, 16, None),
+            (5, "audio", base, "audio/ogg", None, None, 3000)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    hashes = {r["media_id"]: r["ahash"]
+              for r in multimodal.image_ahash(media, use_codec=False).collect()}
+    assert hashes[0] == hashes[1] != 0
+    assert hashes[4] == 0  # uniform image: every block == mean
+    assert 5 not in hashes  # audio filtered before decode
+
+    def brute(h1, h2):
+        return bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in multimodal.phash_near_dups(
+               media, max_hamming=3, use_codec=False).collect()}
+    want = {}
+    ids = [i for i, h in hashes.items() if h != 0]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = brute(hashes[a], hashes[b])
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact dup found
+    assert all(3 not in p for p in got)  # inverted image: far away
+    assert all(4 not in p for p in got)  # uniform excluded
+
+
 def test_embedding_near_dups_exact(spark):
     """embedding_near_dups matches a numpy brute-force cosine at the same
     threshold (sequential-fold dot product — parity with the DuckDB
