@@ -1707,6 +1707,74 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly signup-cohort retention (ops/sessions.py cohort_retention):
+    first-signup week per user → distinct (cohort, user, activity-week) →
+    (cohort, offset) count-distinct, joined to cohort sizes. One pass over
+    the fact table; everything downstream user-/cohort-keyed."""
+    from insights_spark.ops.sessions import cohort_retention
+
+    r = cohort_retention(_t(spark, sf_dir, "events"))
+    # DuckDB's date_trunc('week') yields DATE; align the bucket type
+    return r.withColumn("cohort_week", F.col("cohort_week").cast("date"))
+
+
+def _q_semantic_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-bucket the embedding space
+    (hash-sampled centroids), within-bucket exact cosine pairs ≥ 0.4,
+    transitive components via star-contraction CC, keep min-id per
+    component. Quadratic only per bucket (k ∝ √n keeps buckets ~√n);
+    the oracle replays assignment + pairs + a recursive-CTE reachability
+    with list_dot_product float parity (same fold as cos_near_dups)."""
+    from insights_spark.text.simsearch import semantic_prune
+
+    return semantic_prune(
+        _t(spark, sf_dir, "embeddings"), num_centroids=16, threshold=0.4
+    )
+
+
+def _q_column_profile(spark, sf_dir):
+    """Post-ingest data-quality profile of the orders table: per-column
+    null/distinct counts and min/max in ONE aggregation pass (exact
+    distincts compile to a single Expand+shuffle; runtime/profile.py has
+    the approx=True HLL path for 100 TB). Numeric min/max stay DOUBLE —
+    exact value comparison, no cross-engine string formatting."""
+    from insights_spark.runtime.profile import column_profile
+
+    return column_profile(_t(spark, sf_dir, "orders"))
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase within 72 h,
+    greedy earliest-completion): k-1 user-keyed joins against a
+    monotonically shrinking survivor set — no all-events window, no
+    per-user state (ops/sessions.py funnel_steps). The dependent-minimum
+    chain (step k's min ts depends on step k-1's) is what plain
+    conditional aggregation can't express in one pass."""
+    from insights_spark.ops.sessions import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ("view", "click", "purchase"), max_gap_hours=72)
+
+
+def _q_scd2(spark, sf_dir):
+    """SCD Type-2 validity intervals over element history: one window per
+    (type, id) ordered by version turns the reference's query-time as-of
+    window (latest_version, advanced-queries.md latest-state CTEs) into a
+    materialized [valid_from, valid_to) dimension — the standard warehouse
+    twin. Same element fixture as country_insights; linear output (one row
+    per input version)."""
+    from insights_spark.ops.latest import scd2_intervals
+
+    els = _build_elements_with_changeset(spark, sf_dir)
+    return scd2_intervals(els).select(
+        "type", "id", "version",
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 def _q_country_insights_tm(spark, sf_dir):
     """A10 TM variant — the reference's tm_building_count column
     (advanced-queries.md:144-150): same as-of building count, plus the
@@ -2465,6 +2533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_weeks": _q_anomaly_weeks,
         "ann_int8": _q_ann_int8,
         "phash_pairs": _q_phash_pairs,
+        "scd2_intervals": _q_scd2,
+        "funnel_steps": _q_funnel,
+        "column_profile": _q_column_profile,
+        "semantic_prune": _q_semantic_prune,
+        "cohort_retention": _q_cohort_retention,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -3676,6 +3749,166 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split(s, ''),
                         c -> ascii(c) // 32 = bin)) / 768.0 AS share
             FROM e
+        """,
+        "cohort_retention": """
+            WITH su AS (
+              SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            act AS (
+              SELECT DISTINCT su.cohort_week, su.u,
+                     date_trunc('week', e.ts) AS aw
+              FROM events e JOIN su ON e.user_id = su.u
+              WHERE date_trunc('week', e.ts) >= su.cohort_week),
+            sizes AS (
+              SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM su GROUP BY cohort_week),
+            ret AS (
+              SELECT cohort_week,
+                     CAST(date_diff('day', CAST(cohort_week AS DATE),
+                                    CAST(aw AS DATE)) / 7 AS INT)
+                       AS week_offset,
+                     CAST(count(DISTINCT u) AS BIGINT) AS active_users
+              FROM act GROUP BY 1, 2)
+            SELECT r.cohort_week, r.week_offset, r.active_users,
+                   s.cohort_size,
+                   CAST(r.active_users AS DOUBLE)
+                     / CAST(s.cohort_size AS DOUBLE) AS retention
+            FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+        """,
+        "semantic_prune": """
+            WITH RECURSIVE cent AS (
+              SELECT embedding AS cvec,
+                     CAST(row_number() OVER (
+                       ORDER BY mod(vec_id * 2654435761 + 42,
+                                    2 * (SELECT count(*) FROM embeddings) + 1),
+                                vec_id) AS INT) AS cent_id
+              FROM embeddings
+              QUALIFY cent_id <= 16),
+            scored AS (
+              SELECT a.vec_id, c.cent_id,
+                     list_dot_product(a.embedding::DOUBLE[], c.cvec::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cvec::DOUBLE[],
+                                                c.cvec::DOUBLE[]))) AS score
+              FROM embeddings a CROSS JOIN cent c),
+            asg AS (
+              SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, cent_id) AS rn
+                FROM scored) WHERE rn = 1),
+            prs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM asg x JOIN asg y
+                ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+              JOIN embeddings ea ON ea.vec_id = x.vec_id
+              JOIN embeddings eb ON eb.vec_id = y.vec_id
+              WHERE list_dot_product(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                             ea.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[])))
+                    >= 0.4),
+            nodes AS (SELECT vec_id AS id FROM embeddings),
+            edges AS (SELECT a AS src, b AS dst FROM prs
+                      UNION SELECT b, a FROM prs),
+            reach(src, dst) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            roots AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+            SELECT n.id AS vec_id, asg.cent_id, roots.cluster_id,
+                   CAST(roots.cluster_id = n.id AS INT) AS is_kept
+            FROM nodes n
+            JOIN asg ON asg.vec_id = n.id
+            JOIN roots ON roots.src = n.id
+        """,
+        "column_profile": """
+            SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+                   CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+                   CAST(max(o_orderkey) AS DOUBLE) AS max_num FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   NULL, NULL, CAST(min(o_custkey) AS DOUBLE),
+                   CAST(max(o_custkey) AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   min(o_orderstatus), max(o_orderstatus), NULL::DOUBLE,
+                   NULL::DOUBLE FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   NULL, NULL, CAST(min(o_totalprice) AS DOUBLE),
+                   CAST(max(o_totalprice) AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderdate) AS BIGINT),
+                   CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR),
+                   NULL::DOUBLE, NULL::DOUBLE FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   min(o_orderpriority), max(o_orderpriority), NULL::DOUBLE,
+                   NULL::DOUBLE FROM orders
+        """,
+        "funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+                AND e.ts <= s1.t + INTERVAL 72 HOUR
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                AND e.ts <= s2.t + INTERVAL 72 HOUR
+              GROUP BY e.user_id),
+            u AS (
+              SELECT 1 AS step, 'view' AS event_type,
+                     CAST(count(*) AS BIGINT) AS users FROM s1
+              UNION ALL
+              SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+            SELECT step, event_type, users,
+                   CAST(users AS DOUBLE) / CAST(max(users) OVER () AS DOUBLE)
+                     AS conversion
+            FROM u
+        """,
+        "scd2_intervals": """
+            WITH el AS (
+              SELECT l_orderkey AS id,
+                     l_linenumber::BIGINT * 1000000000000
+                       + l_partkey * 1000000 + l_suppkey AS version,
+                     CASE WHEN mod(l_orderkey, 4) = 0 THEN 'node'
+                          WHEN mod(l_orderkey, 4) = 1 THEN 'relation'
+                          ELSE 'way' END AS type,
+                     l_shipdate AS ts
+              FROM lineitem)
+            SELECT type, id, version,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY type, id ORDER BY version)
+                     AS valid_to,
+                   CASE WHEN lead(ts) OVER (PARTITION BY type, id
+                                            ORDER BY version) IS NULL
+                        THEN 1 ELSE 0 END AS is_current
+            FROM el
         """,
         "phash_pairs": """
             WITH img AS (

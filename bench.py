@@ -128,6 +128,11 @@ HEADLINE = [
     "anomaly_weeks",
     "ann_int8",
     "phash_pairs",
+    "scd2_intervals",
+    "funnel_steps",
+    "column_profile",
+    "semantic_prune",
+    "cohort_retention",
 ]
 
 
@@ -215,6 +220,10 @@ def main() -> None:
         "(sf0.01→sf0.1 measured 2.5k→230k pairs, ~92× at 10× data): the "
         "OUTPUT is quadratic in this fixture by construction and an sf1 "
         "row would time the answer's size, not the banded-join plan",
+        "semantic_prune": "the registered query pins num_centroids=16 for "
+        "oracle parity, so per-bucket candidate volume is ∝(n/16)² — "
+        "quadratic at 10× data; production (SemDeDup) scales k ∝ √n to "
+        "keep buckets ~√n, which the operator parameter exposes",
     }
     sf1_truncated: list[str] = []
     sf1_passes: dict[str, int] = {}

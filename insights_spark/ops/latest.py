@@ -66,6 +66,40 @@ def scalar_pick(
     )
 
 
+def scd2_intervals(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("type", "id"),
+    version_col: str = "version",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """SCD Type-2 history build: per-version validity intervals.
+
+    The reference keeps element history as one row per version and answers
+    "state as of T" with a per-query window (latest_version); the warehouse
+    twin of that is materializing [valid_from, valid_to) per version once,
+    so as-of lookups become a range predicate instead of a window. Per key
+    ordered by version: valid_from = own timestamp, valid_to = next
+    version's timestamp (NULL = current), is_current = 1 on the open row.
+
+    Plan shape: ONE window over the key partition — the same id-keyed
+    shuffle latest_version already pays; no join, no second pass. At 100 TB
+    the history table is hash-partitioned by (type, id), so the sort is
+    partition-local and AQE sizes the exchange.
+
+    Requires version to be unique per key (the caller's contract, same as
+    latest_version's deterministic pick); ties would make lead()
+    nondeterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(version_col)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -105,3 +105,142 @@ def rolling_user_activity(
         F.col(ts_col).alias("ts"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    max_gap_hours: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: one row per step with how many users
+    reached it, greedy earliest-completion matching.
+
+    Step 1 matches each user's EARLIEST event of type steps[0]; step k
+    matches the earliest event of type steps[k-1] STRICTLY after the
+    user's matched step k-1 (and within max_gap_hours of it, if set).
+    Greedy-earliest is the standard funnel semantics (any other matching
+    reaches no more users: an earlier step-k match only widens what can
+    follow it).
+
+    Plan shape: k-1 filtered scans of the event table, each pre-shrunk by
+    predicate pushdown (type equality reaches the Parquet scan), joined to
+    the previous step's (user, ts) aggregate on the user key — the
+    surviving-user set shrinks monotonically, so every join after the
+    first is against a smaller right side and AQE broadcasts it once it
+    fits. No window over all events, no per-user state: at 100 TB this is
+    k-1 user-keyed joins, each smaller than the last.
+
+    Output: (step int 1-based, event_type, users bigint, conversion
+    double = users / step-1 users).
+    """
+    from functools import reduce
+
+    def summary(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+            F.lit(idx).alias("step"), F.lit(name).alias("event_type"), "users"
+        )
+
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    outs = [summary(cur, 1, steps[0])]
+    for idx, name in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == name).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        cond = F.col("_ts") > F.col("_t")
+        if max_gap_hours is not None:
+            gap_us = int(round(float(max_gap_hours) * 3600.0 * 1_000_000))
+            cond = cond & (
+                F.col("_ts") <= F.col("_t") + F.expr(f"INTERVAL {gap_us} MICROSECONDS")
+            )
+        cur = (
+            nxt.join(cur.select(user_col, "_t"), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("_t"))
+        )
+        outs.append(summary(cur, idx, name))
+    u = reduce(DataFrame.unionByName, outs)
+    base_w = Window.orderBy(F.lit(1))  # k rows total: global frame is fine
+    base = F.max("users").over(base_w).cast("double")
+    # NULL (not a crash) when nobody entered the funnel — ANSI sessions
+    # turn 0/0 into DIVIDE_BY_ZERO otherwise
+    return u.withColumn(
+        "conversion",
+        F.when(base > 0, F.col("users").cast("double") / base),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    signup_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-signup week; for
+    each cohort and week offset k, how many were active (ANY event) in
+    cohort_week + k, and what fraction of the cohort that is.
+
+    Plan shape: one user-keyed groupBy (first signup), one user-keyed
+    join back to events (co-partitioned with the groupBy output — AQE
+    reuses the exchange), a distinct on (cohort, user, week) to collapse
+    per-week multiplicity, then a (cohort, offset)-keyed count-distinct.
+    The wide fact table is touched ONCE; everything downstream is
+    user- or cohort-keyed aggregation. Output is weeks × offsets rows —
+    tiny at any input scale (linear scan, bounded output).
+
+    Weeks are date_trunc('week') — Monday-aligned in both Spark and
+    standard SQL engines, so offsets are exact integer day-diffs / 7.
+
+    Output: (cohort_week timestamp, week_offset int, active_users,
+    cohort_size, retention double).
+    """
+    su = (
+        events.filter(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_signup_ts"))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.date_trunc("week", F.col("_signup_ts")).alias("cohort_week"),
+        )
+    )
+    act = (
+        events.select(F.col(user_col).alias("_u"), F.col(ts_col))
+        .join(su, "_u")
+        .select(
+            "cohort_week",
+            "_u",
+            F.date_trunc("week", F.col(ts_col)).alias("_aw"),
+        )
+        .filter(F.col("_aw") >= F.col("cohort_week"))
+        .distinct()
+    )
+    sizes = su.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    ret = (
+        act.withColumn(
+            "week_offset",
+            (
+                F.datediff(F.col("_aw").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("_u")).cast("bigint").alias("active_users"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size").cast("double")
+         ).alias("retention"),
+    )

@@ -1,0 +1,74 @@
+"""Column profiling — the data-quality sweep a warehouse load runs after
+every ingest (the reference eyeballs row counts per batch, insights.py's
+per-chunk logging; this is the set-based engine twin).
+
+One aggregation pass computes per-column null counts, distinct counts and
+min/max; the single 1-row result is then exploded to one row per column —
+no second scan, no per-column jobs. Distinct counts are EXACT by default
+(multiple count-distincts compile to one Expand + shuffle — rows × #cols,
+the documented cost); pass approx=True for the 100 TB path where
+approx_count_distinct (HyperLogLog++) keeps the pass to a plain map-side
+aggregation with no Expand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+PROFILE_COLS = ("col_name", "n_rows", "n_null", "n_distinct",
+                "min_str", "max_str", "min_num", "max_num")
+
+
+def column_profile(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Profile columns: (col_name, n_rows, n_null, n_distinct, min_str,
+    max_str, min_num, max_num).
+
+    Numeric columns report min/max as DOUBLE (min_num/max_num; exact value
+    semantics, no string-formatting ambiguity between engines); all other
+    types report CAST-to-string min/max (dates/strings format identically
+    everywhere). NULLs are excluded from distinct counts (SQL semantics on
+    both engines).
+    """
+    cols = columns or [f.name for f in df.schema.fields]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        is_num = isinstance(by_name[c], NumericType)
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+        if is_num:
+            aggs.append(F.min(c).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").cast("bigint").alias("n_null"),
+            F.col(f"_dist_{c}").cast("bigint").alias("n_distinct"),
+            (F.col(f"_min_{c}").cast("string")
+             if not isinstance(by_name[c], NumericType)
+             else F.lit(None).cast("string")).alias("min_str"),
+            (F.col(f"_max_{c}").cast("string")
+             if not isinstance(by_name[c], NumericType)
+             else F.lit(None).cast("string")).alias("max_str"),
+            (F.col(f"_min_{c}").cast("double")
+             if isinstance(by_name[c], NumericType)
+             else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"_max_{c}").cast("double")
+             if isinstance(by_name[c], NumericType)
+             else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

@@ -430,3 +430,86 @@ def cosine_topk_bucketed(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_prune(
+    vectors: DataFrame,
+    num_centroids: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: partition the embedding space into
+    IVF buckets (hash-sampled centroids, same selection as
+    sample_centroids), find within-bucket cosine near-dup pairs ≥
+    threshold, resolve transitive components, keep the min-id vector per
+    component.
+
+    The within-bucket pair step is quadratic PER BUCKET — that is
+    SemDeDup's actual published cost model (Abbas et al. 2023 run k-means
+    with k ∝ √n so buckets stay ~√n); cross-bucket near-dups are missed
+    by design (the standard recall trade, same contract as banded LSH).
+
+    Float parity: assignment scores and pair cosines use the sequential
+    fold (`dot`/`norm` above = DuckDB list_dot_product), so an oracle can
+    replay the whole pipeline bit-for-bit. Centroid rows are used EXACTLY
+    as stored (no renormalization — argmax of dot/(|v||c|) is unchanged
+    by scaling c, so skipping the normalize step costs nothing and keeps
+    the arithmetic reproducible). The numpy-matmul assignment
+    (cosine_topk_sample's kernel) is the throughput path when bit parity
+    isn't required.
+
+    Output: (vec_id, cent_id, cluster_id, is_kept) for EVERY vector;
+    the prune set is is_kept = 0.
+    """
+    from .dedup import near_dup_clusters
+
+    spark = vectors.sparkSession
+    n_total = vectors.count()
+    M = n_total * 2 + 1
+    hash_col = F.pmod(F.col(id_col) * 2654435761 + seed, F.lit(M))
+    t = max(1, (M * num_centroids * 4) // max(n_total, 1))
+    while True:
+        sliver = vectors.select(id_col, vec_col).filter(hash_col < t)
+        rows = sliver.orderBy(hash_col, F.col(id_col)).limit(num_centroids).collect()
+        if len(rows) >= min(num_centroids, n_total) or t >= M:
+            break
+        t *= 4
+    cent = spark.createDataFrame(
+        [(i + 1, r[1]) for i, r in enumerate(rows)],
+        "cent_id int, cvec array<float>",
+    )
+    a = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    scored = a.crossJoin(F.broadcast(cent)).withColumn(
+        "score",
+        dot(F.col("emb"), F.col("cvec"))
+        / (norm(F.col("emb")) * norm(F.col("cvec"))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cent_id"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "emb")
+    )
+    lhs = asg.select(F.col("vec_id").alias("a"), "cent_id", F.col("emb").alias("ea"))
+    rhs = asg.select(F.col("vec_id").alias("b"), "cent_id", F.col("emb").alias("eb"))
+    pairs = (
+        lhs.join(rhs, "cent_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )
+    labeled = near_dup_clusters(vectors, pairs, id_col=id_col)
+    return labeled.join(
+        asg.select(F.col("vec_id").alias(id_col), "cent_id"), id_col
+    ).select(
+        id_col,
+        "cent_id",
+        "cluster_id",
+        F.col("is_canonical").cast("int").alias("is_kept"),
+    )

@@ -92,6 +92,33 @@ def test_latest_version_window(spark):
     assert got2[("node", 1)] == 2 and got2[("way", 1)] == 1
 
 
+def test_scd2_intervals(spark):
+    """SCD2 intervals tile each key's history: valid_to of version k equals
+    valid_from of version k+1, exactly one open (is_current) row per key,
+    and the as-of answer from a range predicate matches latest_version."""
+    e = _mk_elements(spark)
+    iv = latest.scd2_intervals(e).collect()
+    assert len(iv) == e.count()  # one interval per version, nothing dropped
+    by_key = {}
+    for r in iv:
+        by_key.setdefault((r["type"], r["id"]), []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r["version"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] == 1 and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gapless tiling
+    # as-of via range predicate == as-of via window (node 1 @ 2021-09-01)
+    cutoff = datetime(2021, 8, 20)
+    asof = {
+        (r["type"], r["id"]): r["version"]
+        for r in iv
+        if r["valid_from"] <= cutoff
+        and (r["valid_to"] is None or r["valid_to"] > cutoff)
+    }
+    assert asof[("node", 1)] == 2  # version 3 starts 2021-09-01, after cutoff
+
+
 def test_scalar_pick_deterministic(spark):
     df = spark.createDataFrame(
         [(7, "alice", 100), (7, "bob", 102), (8, "carol", 101)],
@@ -589,3 +616,73 @@ def test_interval_join_matches_bruteforce(spark):
     median = spans[len(spans) // 2]
     auto = auto_chunk_seconds(L, R)
     assert median / 2 <= auto <= median * 2 + 1
+
+
+def test_funnel_steps(spark):
+    """Greedy earliest-completion funnel on a hand-built fixture: the gap
+    window is measured from the MATCHED previous step (not the user's
+    first event), out-of-order completions don't count, and the
+    conversion column is users/step1_users."""
+    from datetime import datetime
+
+    from insights_spark.ops.sessions import funnel_steps
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # u1 completes all three in order
+        (1, 1, t(1), "view"), (2, 1, t(2), "click"), (3, 1, t(3), "purchase"),
+        # u2: purchase BEFORE click → reaches step 2 only
+        (4, 2, t(1), "view"), (5, 2, t(2), "purchase"), (6, 2, t(3), "click"),
+        # u3: click too late (gap > 48h from matched view) → step 1 only
+        (7, 3, t(1), "view"), (8, 3, t(4), "click"),
+        # u4: greedy matching — earliest click at t(2) is taken, so the
+        # purchase between t(2) and t(3) counts even though a later click
+        # (t(3)) would have missed it
+        (9, 4, t(1), "view"), (10, 4, t(2), "click"),
+        (11, 4, t(2, 12), "purchase"), (12, 4, t(3), "click"),
+        # u5: never views → not in the funnel at all
+        (13, 5, t(1), "click"), (14, 5, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {r["step"]: (r["event_type"], r["users"], r["conversion"])
+           for r in funnel_steps(
+               ev, ("view", "click", "purchase"), max_gap_hours=48).collect()}
+    assert got[1] == ("view", 4, 1.0)
+    assert got[2] == ("click", 3, 0.75)   # u1, u2, u4 (u3 outside gap)
+    assert got[3] == ("purchase", 2, 0.5)  # u1, u4 (u2 purchased pre-click)
+
+
+def test_cohort_retention(spark):
+    """Hand-built two-cohort fixture: signup week buckets, offset counts,
+    distinct-per-week collapse (two events same week count once), and
+    users without a signup contribute nothing."""
+    from datetime import datetime
+
+    from insights_spark.ops.sessions import cohort_retention
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        # u1 signs up Mon 1/1 week, active weeks 0 and 1 (twice in week 1)
+        (1, 1, d(2), "signup"), (2, 1, d(3), "click"),
+        (3, 1, d(9), "view"), (4, 1, d(10), "view"),
+        # u2 same cohort, only active signup week
+        (5, 2, d(4), "signup"),
+        # u3 signs up in week of 1/8, active offset 1; a PRE-signup event
+        # (1/3) must not create a negative offset
+        (6, 3, d(3), "click"), (7, 3, d(10), "signup"), (8, 3, d(16), "click"),
+        # u4 never signs up
+        (9, 4, d(2), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {(str(r["cohort_week"].date()), r["week_offset"]):
+           (r["active_users"], r["cohort_size"], r["retention"])
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert len(got) == 4  # no negative offsets, no ghost cohorts

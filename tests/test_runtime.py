@@ -333,3 +333,27 @@ def test_corpus_crash_between_appends_replay_converges(spark, tmp_path):
             cj._TEST_CRASH_POINTS.discard(point)
         cj.run(spark, docs, d, resume=True)
         assert snap(d) == snap(ok_dir), point
+
+
+def test_column_profile(spark):
+    """Nulls counted, distincts exclude NULL, numeric min/max in the
+    double lane, string/date in the string lane; approx path returns the
+    same shape with HLL counts within tolerance."""
+    from insights_spark.runtime.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", None, None), (2, None, 2.5, None)],
+        "k long, s string, v double, z string",
+    )
+    got = {r["col_name"]: r for r in column_profile(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_num"], got["k"]["max_num"]) == (1.0, 2.0)
+    assert got["k"]["min_str"] is None  # numeric: string lane empty
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "b")
+    assert got["v"]["n_null"] == 1 and got["v"]["min_num"] == 1.5
+    assert got["z"]["n_distinct"] == 0 and got["z"]["min_str"] is None
+    approx = {r["col_name"]: r for r in column_profile(df, approx=True).collect()}
+    for c in ("k", "s", "v", "z"):  # HLL exact at this cardinality
+        assert approx[c]["n_distinct"] == got[c]["n_distinct"]

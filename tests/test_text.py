@@ -1327,3 +1327,55 @@ def test_cooccurrence_counts_hand_case(spark):
     assert got[("a", "c")] == 2            # (a2,c4) in doc0 + (c,a) in doc1
     assert got[("c", "x")] == 1 and got[("a", "x")] == 1 and got[("b", "x")] == 1
     assert ("b", "c") not in got           # distance 3 > window
+
+
+def test_semantic_prune(spark):
+    """semantic_prune vs a pure-Python replay (sequential-fold dot, same
+    centroid selection, greedy argmax, brute-force components): identical
+    assignment, identical kept set; planted exact dups collapse."""
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.normal(0, 1, 8)] for _ in range(28)]
+    vecs.append(list(vecs[0]))   # 28 = dup of 0
+    vecs.append(list(vecs[3]))   # 29 = dup of 3
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cent_id"], r["cluster_id"], r["is_kept"])
+           for r in simsearch.semantic_prune(
+               df, num_centroids=4, threshold=0.9).collect()}
+
+    # python replay with float32-faithful inputs and sequential folds
+    import struct as _struct
+    f32 = lambda v: [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+    V = {i: f32(v) for i, v in rows}
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cos = lambda a, b: sdot(a, b) / (sdot(a, a) ** 0.5 * sdot(b, b) ** 0.5)
+    M = 2 * len(rows) + 1
+    order = sorted(rows, key=lambda r: ((r[0] * 2654435761 + 42) % M, r[0]))
+    cent = {ci + 1: f32(r[1]) for ci, r in enumerate(order[:4])}
+    asg = {}
+    for i, v in V.items():
+        best = max(cent, key=lambda c: (cos(V[i], cent[c]), -c))
+        asg[i] = best
+    pairs = [(a, b) for a in V for b in V if a < b and asg[a] == asg[b]
+             and cos(V[a], V[b]) >= 0.9]
+    root = {i: i for i in V}
+
+    def find(x):
+        while root[x] != x:
+            x = root[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            root[max(ra, rb)] = min(ra, rb)
+    want = {i: (asg[i], find(i), int(find(i) == i)) for i in V}
+    assert got == want
+    assert got[28][1] == got[0][1] and got[28][2] == 0  # dup pruned
+    assert got[29][1] == got[3][1] and got[29][2] == 0
