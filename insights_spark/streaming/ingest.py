@@ -330,3 +330,76 @@ def stream_cell_counts(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def stream_funnel(
+    events_stream: DataFrame,
+    steps: tuple[str, ...],
+    max_gap_hours: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming conversion funnel — the stateful twin of
+    ``ops.sessions.funnel_steps``: per user, advance a step cursor as
+    matching events arrive; emit a row each time a user REACHES a step.
+
+    State per user is two scalars (matched step index, its event-time in
+    epoch micros) — bounded by the user universe, never by event volume.
+    Within a micro-batch the key's rows are processed in ascending
+    event-time (one bounded concat+sort, same discipline as
+    stream_source_cap); across batches the greedy cursor only moves
+    forward, so with per-user event-time-ordered arrival (the file-replay
+    contract every stream twin here pins) the final reached-step set
+    equals the batch funnel's.
+
+    Output: (user_id, step, event_type, reached_ts), append mode — the
+    per-step user COUNTS of the batch funnel are one groupBy('step') away.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{user_col} long, step int, {type_col} string, reached_ts timestamp"
+    )
+    state_schema = "step long, last_us long"
+    gap_us = (
+        int(round(float(max_gap_hours) * 3600.0 * 1_000_000))
+        if max_gap_hours is not None
+        else None
+    )
+
+    def funnel_fn(key, pdfs, state):
+        step, last_us = (state.get if state.exists else (0, 0))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((step, last_us))
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        out = []
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            if step >= len(steps):
+                break
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            if et != steps[step]:
+                continue
+            if step > 0:
+                if t_us <= last_us:
+                    continue
+                if gap_us is not None and t_us - last_us > gap_us:
+                    continue
+            step += 1
+            last_us = t_us
+            out.append((int(key[0]), step, et, ts))
+        state.update((int(step), int(last_us)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, "step", type_col, "reached_ts"]
+            )
+
+    return (
+        events_stream.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            funnel_fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

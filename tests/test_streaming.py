@@ -348,3 +348,68 @@ def test_stream_cell_counts_matches_batch(spark, tmp_path):
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel's final reached-step set equals the
+    batch funnel_steps counts when events arrive per-user in event-time
+    order (two files, cursor state must survive the batch boundary)."""
+    import time as _time
+    from datetime import datetime
+
+    from insights_spark.ops.sessions import funnel_steps
+    from insights_spark.streaming import ingest
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    early = [
+        (1, 1, d(1), "view"), (2, 1, d(2), "click"),
+        (3, 2, d(1), "view"),
+        (4, 3, d(1), "view"), (5, 3, d(2), "purchase"),  # skips click
+        (6, 4, d(1), "click"),                            # never views
+    ]
+    late = [
+        (7, 1, d(3), "purchase"),   # completes across the batch boundary
+        (8, 2, d(9), "click"),      # outside the 96h gap from view
+        (9, 3, d(3), "click"), (10, 3, d(4), "purchase"),
+    ]
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    ev_dir = str(tmp_path / "fev")
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(ev_dir)
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        ingest.stream_funnel(
+            stream, ("view", "click", "purchase"), max_gap_hours=96)
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql(
+        "SELECT user_id, step, event_type FROM funnel_test").collect()
+    # each (user, step) reached exactly once, despite two micro-batches
+    assert len({(r["user_id"], r["step"]) for r in emitted}) == len(emitted)
+    got_counts = {}
+    for r in emitted:
+        got_counts[r["step"]] = got_counts.get(r["step"], 0) + 1
+
+    ev = spark.createDataFrame(early + late, schema)
+    want = {r["step"]: r["users"]
+            for r in funnel_steps(
+                ev, ("view", "click", "purchase"), max_gap_hours=96).collect()}
+    assert got_counts == {k: v for k, v in want.items() if v > 0}
+    # spot semantics: u1 completes, u2 blocked by gap, u3 in-order only,
+    # u4 never enters
+    by_user = {}
+    for r in emitted:
+        by_user[r["user_id"]] = max(by_user.get(r["user_id"], 0), r["step"])
+    assert by_user == {1: 3, 2: 1, 3: 3}
