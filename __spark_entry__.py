@@ -1707,6 +1707,28 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_scd2_merge(spark, sf_dir):
+    """Incremental SCD2 maintenance (ops/latest.py scd2_merge): the stored
+    dimension is built from pre-1996 versions, then the 1996+ versions
+    apply as a batch — untouched keys pass through, touched keys rebuild
+    from the table's own rows (valid_from IS the version timestamp). The
+    oracle is the FULL recompute over all versions: the merge theorem,
+    same discipline as hot_changesets_inc. The ts split does NOT respect
+    version order per key, so this exercises the out-of-order splice path,
+    not just append-at-the-end."""
+    from insights_spark.ops.latest import scd2_intervals, scd2_merge
+
+    els = _build_elements_with_changeset(spark, sf_dir)
+    cols = ("type", "id", "version", "valid_from", "valid_to", "is_current")
+    base = scd2_intervals(els.filter(F.col("timestamp") < "1996-01-01")).select(*cols)
+    batch = els.filter(F.col("timestamp") >= "1996-01-01").select(
+        "type", "id", "version", "timestamp"
+    )
+    return scd2_merge(base, batch).withColumn(
+        "is_current", F.col("is_current").cast("int")
+    )
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Weekly signup-cohort retention (ops/sessions.py cohort_retention):
     first-signup week per user → distinct (cohort, user, activity-week) →
@@ -2538,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
+        "scd2_merge": _q_scd2_merge,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -3892,6 +3915,25 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "scd2_intervals": """
+            WITH el AS (
+              SELECT l_orderkey AS id,
+                     l_linenumber::BIGINT * 1000000000000
+                       + l_partkey * 1000000 + l_suppkey AS version,
+                     CASE WHEN mod(l_orderkey, 4) = 0 THEN 'node'
+                          WHEN mod(l_orderkey, 4) = 1 THEN 'relation'
+                          ELSE 'way' END AS type,
+                     l_shipdate AS ts
+              FROM lineitem)
+            SELECT type, id, version,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY type, id ORDER BY version)
+                     AS valid_to,
+                   CASE WHEN lead(ts) OVER (PARTITION BY type, id
+                                            ORDER BY version) IS NULL
+                        THEN 1 ELSE 0 END AS is_current
+            FROM el
+        """,
+        "scd2_merge": """
             WITH el AS (
               SELECT l_orderkey AS id,
                      l_linenumber::BIGINT * 1000000000000

@@ -133,6 +133,7 @@ HEADLINE = [
     "column_profile",
     "semantic_prune",
     "cohort_retention",
+    "scd2_merge",
 ]
 
 

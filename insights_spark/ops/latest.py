@@ -100,6 +100,49 @@ def scd2_intervals(
     )
 
 
+def scd2_merge(
+    scd2: DataFrame,
+    batch: DataFrame,
+    keys: tuple[str, ...] = ("type", "id"),
+    version_col: str = "version",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Incremental SCD2 maintenance: apply a batch of NEW versions to a
+    stored SCD2 table without re-reading raw history.
+
+    The trick making this cheap: an SCD2 row is self-contained —
+    valid_from IS its version's timestamp — so the version rows of any
+    key can be recovered from the dimension table itself. The merge is
+    then: keys untouched by the batch pass through without a shuffle of
+    their history; touched keys rebuild from (their stored rows ∪ batch)
+    through the SAME window as scd2_intervals. That makes the result
+    EXACT under arbitrary interleaving (late/out-of-order versions
+    splice into the middle of a key's timeline, closing and re-opening
+    intervals correctly) — not just under append-at-the-end arrival.
+
+    Replay-idempotent: a version already present dedups before the
+    rebuild (exactly-once convergence, same contract as the upsert
+    sinks). Cost ∝ touched keys + batch, never table size: one semi- and
+    one anti-join on the key (broadcast when the batch key set is small)
+    plus the window over touched histories only.
+
+    Output schema = canonical SCD2: (keys..., version, valid_from,
+    valid_to, is_current).
+    """
+    cols = [*keys, version_col, "valid_from", "valid_to", "is_current"]
+    tk = batch.select(*keys).distinct()
+    untouched = scd2.join(tk, list(keys), "left_anti").select(*cols)
+    old_versions = scd2.join(tk, list(keys), "left_semi").select(
+        *keys, version_col, F.col("valid_from").alias(ts_col)
+    )
+    hist = (
+        old_versions.unionByName(batch.select(*keys, version_col, ts_col))
+        .dropDuplicates([*keys, version_col])
+    )
+    rebuilt = scd2_intervals(hist, keys, version_col, ts_col).select(*cols)
+    return untouched.unionByName(rebuilt)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -686,3 +686,39 @@ def test_cohort_retention(spark):
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert got[("2024-01-08", 1)] == (1, 1, 1.0)
     assert len(got) == 4  # no negative offsets, no ghost cohorts
+
+
+def test_scd2_merge_incremental(spark):
+    """scd2_merge == full rebuild under (a) append-at-end, (b) an
+    OUT-OF-ORDER version splicing into the middle of a key's timeline,
+    and (c) replaying the same batch (idempotent convergence)."""
+    from datetime import date
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "type string, id long, version long, timestamp date"
+    )
+    d = date
+    h0 = mk([("node", 1, 1, d(2021, 1, 1)), ("node", 1, 3, d(2021, 3, 1)),
+             ("node", 2, 1, d(2021, 1, 5)),
+             ("way", 7, 1, d(2021, 2, 1))])
+    cols = ["type", "id", "version", "valid_from", "valid_to", "is_current"]
+    base = latest.scd2_intervals(h0).select(*cols)
+    batch = mk([("node", 1, 2, d(2021, 2, 1)),   # splices BETWEEN v1 and v3
+                ("node", 2, 2, d(2021, 6, 1)),   # appends at the end
+                ("relation", 9, 1, d(2021, 7, 1))])  # brand-new key
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    merged = latest.scd2_merge(base, batch)
+    full = latest.scd2_intervals(h0.unionByName(batch)).select(*cols)
+    assert canon(merged) == canon(full)
+    # the spliced row closed the v1 interval and v2 chains into v3
+    rows = {(r["type"], r["id"], r["version"]): r for r in merged.collect()}
+    assert rows[("node", 1, 1)]["valid_to"] == d(2021, 2, 1)
+    assert rows[("node", 1, 2)]["valid_to"] == d(2021, 3, 1)
+    assert rows[("node", 1, 3)]["is_current"] == 1
+    # untouched key passed through
+    assert rows[("way", 7, 1)]["is_current"] == 1
+    # replay: applying the same batch to the merged table is a no-op
+    assert canon(latest.scd2_merge(merged.select(*cols), batch)) == canon(full)
