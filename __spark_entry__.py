@@ -1707,6 +1707,38 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_sketch_rollup(spark, sf_dir):
+    """Re-aggregatable distinct-count sketches (ops/timeseries.py): weekly
+    HLL++ user sketches per event_type, merged to ALL-TIME estimates
+    without re-scanning raw events — the 100 TB rollup pattern. Output
+    pairs the merged estimate with the exact distinct and a within-5%%
+    flag. HLL internals are engine-specific, so this is a rows-only
+    driver check; the lossless-merge / partitioning-invariance /
+    parquet-roundtrip properties are pytest-pinned."""
+    from insights_spark.ops.timeseries import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wk", F.date_trunc("week", F.col("ts"))
+    )
+    sk = build_distinct_sketches(ev, ("event_type", "wk"), "user_id")
+    est = merge_distinct_sketches(sk, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).cast("int").alias("within_5pct"),
+    )
+
+
 def _q_scd2_merge(spark, sf_dir):
     """Incremental SCD2 maintenance (ops/latest.py scd2_merge): the stored
     dimension is built from pre-1996 versions, then the 1996+ versions
@@ -2561,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
         "scd2_merge": _q_scd2_merge,
+        "sketch_rollup": _q_sketch_rollup,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,

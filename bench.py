@@ -134,6 +134,7 @@ HEADLINE = [
     "semantic_prune",
     "cohort_retention",
     "scd2_merge",
+    "sketch_rollup",
 ]
 
 

@@ -124,3 +124,46 @@ def anomaly_buckets(
              > F.lit(float(factor)) * F.col("median_n")).alias("is_spike"),
         )
     )
+
+
+def build_distinct_sketches(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-key HyperLogLog++ sketches for distinct counting — the
+    RE-AGGREGATABLE rollup primitive: store one ~2^lg_config_k-register
+    sketch per fine-grained key (cell × week, source × day, ...) and any
+    coarser distinct count comes from merging sketches, never from
+    re-scanning raw data. That is the pattern that makes "monthly unique
+    editors per country" affordable at 100 TB: the raw fact table is
+    touched once at build time; every subsequent rollup is
+    sketch-count-sized.
+
+    Exactly one decomposable shuffle (hll_sketch_agg combines map-side).
+    Output: (keys..., sketch binary). Estimates are register-max based,
+    so they are partitioning- and order-independent (pytest-pinned).
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("sketch")
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    rollup_keys: tuple[str, ...],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge stored sketches to a coarser grain: (rollup_keys...,
+    est_distinct). Union of HLL sketches is register-wise max — lossless
+    with respect to the sketch (merged == direct-build on the unioned
+    raw data, exactly), so rollups never compound error."""
+    return (
+        sketches.groupBy(*rollup_keys)
+        .agg(F.hll_union_agg(sketch_col).alias("_m"))
+        .select(
+            *rollup_keys,
+            F.hll_sketch_estimate("_m").cast("bigint").alias("est_distinct"),
+        )
+    )

@@ -191,3 +191,42 @@ def test_int8_topk_excludes_self_and_bounds_k(spark):
     rows = out.collect()
     assert len(rows) == 4  # 2 queries × k=2
     assert all(r["vec_id"] != r["query_id"] for r in rows)
+
+
+def test_distinct_sketch_rollup(spark, tmp_path):
+    """HLL sketch re-aggregation: merging weekly sketches equals building
+    one sketch over the unioned raw data (register-wise max is lossless
+    wrt the sketch), estimates are partitioning-invariant, survive a
+    parquet round trip, and sit within HLL error of the exact count."""
+    from insights_spark.ops.timeseries import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(0, 20000).selectExpr(
+        "id % 5 AS wk", "CAST(id % 3 AS STRING) AS et", "id % 4001 AS u"
+    )
+    sk = build_distinct_sketches(df, ("et", "wk"), "u")
+    merged = {r["et"]: r["est_distinct"]
+              for r in merge_distinct_sketches(sk, ("et",)).collect()}
+    direct = {r["et"]: r["est_distinct"]
+              for r in merge_distinct_sketches(
+                  build_distinct_sketches(df, ("et",), "u"), ("et",)).collect()}
+    assert merged == direct  # lossless merge, not approximately equal
+    exact = {r["et"]: r["x"]
+             for r in df.groupBy("et").agg(
+                 F.count_distinct("u").alias("x")).collect()}
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05
+    # partitioning invariance: register-max state ignores row order
+    sk2 = build_distinct_sketches(df.repartition(17, "u"), ("et", "wk"), "u")
+    merged2 = {r["et"]: r["est_distinct"]
+               for r in merge_distinct_sketches(sk2, ("et",)).collect()}
+    assert merged2 == merged
+    # the sketch column is a storable binary: parquet round trip
+    p = str(tmp_path / "sk")
+    sk.write.parquet(p)
+    back = {r["et"]: r["est_distinct"]
+            for r in merge_distinct_sketches(
+                spark.read.parquet(p), ("et",)).collect()}
+    assert back == merged
