@@ -1707,6 +1707,24 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_geofence_dwell(spark, sf_dir):
+    """Geofence dwell (geo × sessions composition): events → synthetic
+    points → broadcast PIP country join (flagship's J6 kernel) → per-user
+    gaps-and-islands on region CHANGES (ops/sessions.py dwell_segments)
+    → per (user, country) visit counts + total observed dwell in exact
+    integer microseconds. Leaving a region (including to no-region NULL)
+    ends the visit."""
+    from insights_spark.geo import pip
+    from insights_spark.ops.sessions import dwell_segments
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pts = _points(ev, "event_id")
+    located = pip.assign_country(pts, _boundary_rows())
+    return dwell_segments(located, region_col="country").select(
+        "user_id", "country", "n_visits", "dwell_us"
+    )
+
+
 def _q_sketch_rollup(spark, sf_dir):
     """Re-aggregatable distinct-count sketches (ops/timeseries.py): weekly
     HLL++ user sketches per event_type, merged to ALL-TIME estimates
@@ -2594,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "scd2_merge": _q_scd2_merge,
         "sketch_rollup": _q_sketch_rollup,
+        "geofence_dwell": _q_geofence_dwell,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -3805,6 +3824,34 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split(s, ''),
                         c -> ascii(c) // 32 = bin)) / 768.0 AS share
             FROM e
+        """,
+        "geofence_dwell": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts,
+                     {_POINTS_SQL.format(k="event_id")}
+              FROM events),
+            loc AS (
+              SELECT event_id, user_id, ts,
+                     {_country_case_sql()} AS country
+              FROM pts),
+            runs AS (
+              SELECT user_id, ts, event_id, country,
+                     CASE WHEN lag(country) OVER w IS DISTINCT FROM country
+                          THEN 1 ELSE 0 END AS nw
+              FROM loc
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r2 AS (
+              SELECT *, sum(nw) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+              FROM runs),
+            seg AS (
+              SELECT user_id, country, run,
+                     epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell
+              FROM r2 WHERE country IS NOT NULL GROUP BY 1, 2, 3)
+            SELECT user_id, country, CAST(count(*) AS BIGINT) AS n_visits,
+                   CAST(sum(dwell) AS BIGINT) AS dwell_us
+            FROM seg GROUP BY 1, 2
         """,
         "cohort_retention": """
             WITH su AS (

@@ -135,6 +135,7 @@ HEADLINE = [
     "cohort_retention",
     "scd2_merge",
     "sketch_rollup",
+    "geofence_dwell",
 ]
 
 

@@ -244,3 +244,61 @@ def cohort_retention(
         (F.col("active_users").cast("double") / F.col("cohort_size").cast("double")
          ).alias("retention"),
     )
+
+
+def dwell_segments(
+    df: DataFrame,
+    region_col: str = "region",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Geofence dwell rollup: per (user, region), how many separate VISITS
+    (maximal runs of consecutive same-region events in the user's
+    timeline) and the total observed dwell time inside.
+
+    Gaps-and-islands on region CHANGES (same machinery as sessionize,
+    different break predicate): lag(region) per user → change flag →
+    running sum = visit id → one groupBy. Rows outside every region
+    (NULL) still participate in run-breaking — leaving a region ends the
+    visit — and are dropped only from the output. Observed dwell of a
+    visit = last event ts − first event ts within the run (exact integer
+    microseconds; a one-event visit dwells 0). Everything is keyed on the
+    user partition: one window shuffle + one aggregation, same cost
+    envelope as sessionize at any scale.
+
+    Output: (user_id, region, n_visits, dwell_us).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    prev = F.lag(region_col).over(w)
+    changed = (
+        prev.isNull() & F.col(region_col).isNotNull()
+    ) | ~(prev.eqNullSafe(F.col(region_col)))
+    runs = (
+        df.select(user_col, ts_col, id_col, region_col)
+        .withColumn("_new", changed.cast("int"))
+        .withColumn(
+            "_run",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        runs.filter(F.col(region_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user_id"), region_col, "_run")
+        .agg(
+            # NTZ→LTZ cast is value-identity under the engine's pinned UTC
+            # session timezone (session.py:56; rolling_user_activity
+            # precedent) — unix_micros only accepts LTZ
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            ).alias("_dwell_us")
+        )
+        .groupBy("user_id", region_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_visits"),
+            F.sum("_dwell_us").cast("bigint").alias("dwell_us"),
+        )
+    )

@@ -722,3 +722,30 @@ def test_scd2_merge_incremental(spark):
     assert rows[("way", 7, 1)]["is_current"] == 1
     # replay: applying the same batch to the merged table is a no-op
     assert canon(latest.scd2_merge(merged.select(*cols), batch)) == canon(full)
+
+
+def test_dwell_segments(spark):
+    """Hand-built track: re-entry counts as a second visit, a NULL
+    (outside) gap breaks the run, one-event visits dwell 0, and dwell is
+    exact integer microseconds within the run."""
+    from datetime import datetime
+
+    from insights_spark.ops.sessions import dwell_segments
+
+    t = lambda m, us=0: datetime(2024, 1, 1, 0, m, 0, us)
+    rows = [
+        (1, 1, t(0), "A"), (2, 1, t(5), "A"),        # visit 1: dwell 5 min
+        (3, 1, t(10), None),                          # outside → breaks
+        (4, 1, t(15), "A"),                           # visit 2: dwell 0
+        (5, 1, t(20), "B"), (6, 1, t(25, 7), "B"),    # B: 5 min + 7 µs
+        (7, 2, t(0), None), (8, 2, t(1), None),       # never inside
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, region string"
+    )
+    got = {(r["user_id"], r["region"]): (r["n_visits"], r["dwell_us"])
+           for r in dwell_segments(ev).collect()}
+    assert got == {
+        (1, "A"): (2, 300_000_000),
+        (1, "B"): (1, 300_000_007),
+    }
