@@ -1707,6 +1707,20 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_cluster_safe_split(spark, sf_dir):
+    """Leakage-free train/test split (text/clean.py cluster_safe_split):
+    the split key is the near-dup CLUSTER id, so a doc and its 0.95-twin
+    can never straddle train/eval — the contamination a doc-keyed split
+    can't prevent. Oracle = the dedup_clusters reachability composed
+    verbatim + the same overflow-safe bucket hash on cluster_id."""
+    from insights_spark.text.clean import cluster_safe_split
+    from insights_spark.text.dedup import minhash_near_dups, near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    labels = near_dup_clusters(d, minhash_near_dups(d, threshold=0.5))
+    return cluster_safe_split(labels)
+
+
 def _q_geofence_dwell(spark, sf_dir):
     """Geofence dwell (geo × sessions composition): events → synthetic
     points → broadcast PIP country join (flagship's J6 kernel) → per-user
@@ -2613,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": _q_scd2_merge,
         "sketch_rollup": _q_sketch_rollup,
         "geofence_dwell": _q_geofence_dwell,
+        "cluster_safe_split": _q_cluster_safe_split,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4902,6 +4917,15 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
     """
+    # composed verbatim on the dedup_clusters reachability (ann_int8
+    # precedent): same clusters, split stamped on the CLUSTER id
+    out["cluster_safe_split"] = (
+        "SELECT doc_id, cluster_id, "
+        "CASE WHEN mod(mod(cluster_id, 1000) * 1000003 + 7, 1000) < 100 "
+        "THEN 'test' ELSE 'train' END AS split FROM ("
+        + out["dedup_clusters"]
+        + ")"
+    )
     out["inverted_index"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
         t AS (SELECT doc_id,

@@ -136,6 +136,7 @@ HEADLINE = [
     "scd2_merge",
     "sketch_rollup",
     "geofence_dwell",
+    "cluster_safe_split",
 ]
 
 

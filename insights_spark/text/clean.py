@@ -92,6 +92,37 @@ def train_test_split(
     )
 
 
+def cluster_safe_split(
+    clusters: DataFrame,
+    test_permille: int = 100,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Leakage-free train/test split: bucket by the near-dup CLUSTER id,
+    not the doc id, so a document and every near-duplicate of it land in
+    the SAME split — the eval set can never contain a near-copy of a
+    training doc (the contamination mode a doc-keyed split like
+    train_test_split cannot prevent: A in train, its 0.95-Jaccard twin B
+    in test).
+
+    Input is the near_dup_clusters labeling (doc_id, cluster_id, ...);
+    the bucket rule is the identical overflow-safe multiplicative hash as
+    train_test_split, applied to cluster_id — map-only stamp, no shuffle
+    beyond what the labeling already paid, content-stable across runs and
+    appends (a cluster never migrates).
+
+    Output: (doc_id, cluster_id, split).
+    """
+    bucket = F.pmod(
+        F.pmod(F.col(cluster_col), F.lit(1000)) * 1000003 + seed, F.lit(1000)
+    )
+    return clusters.select(id_col, cluster_col).withColumn(
+        "split",
+        F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
 def per_source_cap(
     docs: DataFrame,
     max_per_source: int,

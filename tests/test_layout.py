@@ -146,3 +146,50 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tba")
         spark.sql("DROP TABLE IF EXISTS tbb")
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Spark's runtime bloom-filter join pruning: with a selective filter
+    on the dim side of a fact⋈dim join, the optimizer injects
+    bloom_filter_might_contain onto the fact scan — rows that cannot join
+    die before the shuffle. Default thresholds (10 MiB creation / 10 GiB
+    application scan) target cluster scale, so the test lowers them to
+    force injection at fixture size and pins (a) the filter appears,
+    (b) results are identical with the rewrite off."""
+    fact = spark.range(0, 200_000).selectExpr("id AS k", "id % 97 AS v")
+    dim = spark.range(0, 20_000).selectExpr("id AS k", "id % 11 AS grp")
+    fdir, ddir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact.write.parquet(fdir)
+    dim.write.parquet(ddir)
+    f, d = spark.read.parquet(fdir), spark.read.parquet(ddir)
+    j = f.join(d.filter("grp = 3"), "k").selectExpr("sum(v) AS s", "count(*) AS n")
+
+    def run(confs):
+        old = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # fresh plan per conf set: QueryExecution caches per DataFrame
+            jj = f.join(d.filter("grp = 3"), "k").selectExpr(
+                "sum(v) AS s", "count(*) AS n"
+            )
+            plan = jj._jdf.queryExecution().optimizedPlan().toString()
+            row = jj.collect()[0]
+            return plan, (row["s"], row["n"])
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+    on_plan, on_res = run({
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        # "1b", not "0": a zero threshold disables the rewrite entirely
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    })
+    assert "might_contain" in on_plan and "bloom_filter_agg" in on_plan
+    off_plan, off_res = run({
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    })
+    assert "might_contain" not in off_plan
+    assert on_res == off_res and on_res[1] > 0

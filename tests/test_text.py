@@ -1379,3 +1379,28 @@ def test_semantic_prune(spark):
     assert got == want
     assert got[28][1] == got[0][1] and got[28][2] == 0  # dup pruned
     assert got[29][1] == got[3][1] and got[29][2] == 0
+
+
+def test_cluster_safe_split(spark):
+    """Every member of a near-dup cluster lands in the same split (the
+    leakage guarantee), singletons follow their own id bucket, and the
+    assignment matches train_test_split's bucket rule applied to the
+    cluster id."""
+    from insights_spark.text.clean import cluster_safe_split
+
+    labels = spark.createDataFrame(
+        # cluster 50 buckets to test (mod(50*1000003+7,1000)=157? computed
+        # below against the rule, not hand-pinned)
+        [(i, i % 7 if i < 21 else i) for i in range(40)],
+        "doc_id long, cluster_id long",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["split"])
+           for r in cluster_safe_split(labels).collect()}
+    assert len(got) == 40
+    by_cluster = {}
+    for doc, (cl, sp) in got.items():
+        by_cluster.setdefault(cl, set()).add(sp)
+    assert all(len(s) == 1 for s in by_cluster.values())  # no straddling
+    for doc, (cl, sp) in got.items():
+        want = "test" if ((cl % 1000) * 1000003 + 7) % 1000 < 100 else "train"
+        assert sp == want
