@@ -1707,6 +1707,17 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_curriculum(spark, sf_dir):
+    """Curriculum training order (text/pack.py curriculum_order): quality
+    VALUE bands (map-only, content-stable — not ntile rank bands, which
+    would need a global sort), highest first, hash-shuffled within band;
+    the global position rides the shared two-phase prefix scan, never a
+    single-partition ORDER BY window (suite-wide plan rule)."""
+    from insights_spark.text.pack import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"))
+
+
 def _q_cluster_safe_split(spark, sf_dir):
     """Leakage-free train/test split (text/clean.py cluster_safe_split):
     the split key is the near-dup CLUSTER id, so a doc and its 0.95-twin
@@ -2628,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": _q_sketch_rollup,
         "geofence_dwell": _q_geofence_dwell,
         "cluster_safe_split": _q_cluster_safe_split,
+        "curriculum_order": _q_curriculum,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4916,6 +4928,25 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["curriculum_order"] = f"""
+        WITH q AS (
+          SELECT doc_id,
+                 CASE WHEN len({_TOKENS}) > 0 THEN
+                   len(list_distinct({_TOKENS}))::DOUBLE / len({_TOKENS})
+                   ELSE 0.0 END AS uniq
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CAST(least(9, CAST(floor(uniq * 10) AS INT)) AS INT) AS band,
+                 mod(mod(doc_id, 2147483648) * 2654435761 + 17,
+                     1000000007) AS hk
+          FROM q)
+        SELECT doc_id, band,
+               CAST(row_number() OVER (ORDER BY band DESC, hk ASC,
+                                       doc_id ASC) - 1 AS BIGINT)
+                 AS curriculum_rank
+        FROM b
     """
     # composed verbatim on the dedup_clusters reachability (ann_int8
     # precedent): same clusters, split stamped on the CLUSTER id

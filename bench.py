@@ -137,6 +137,7 @@ HEADLINE = [
     "sketch_rollup",
     "geofence_dwell",
     "cluster_safe_split",
+    "curriculum_order",
 ]
 
 

@@ -238,3 +238,53 @@ def sliding_windows(
         F.col("_w.win_tokens").alias("win_tokens"),
         F.col("_w.win_text").alias("win_text"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    bands: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum training order: quality-banded, highest band first,
+    deterministic hash shuffle WITHIN each band — the standard curriculum
+    schedule (clean data early) without sacrificing within-band mixing.
+
+    Band = floor(uniq_token_ratio · bands) clamped to bands-1 — a VALUE
+    band, not a rank band (ntile would need a global sort of ranks;
+    value banding is map-only and content-stable across appends). The
+    global position rides the same two-phase distributed prefix scan as
+    corpus_shuffle (never a single-partition ORDER BY window), ordered by
+    (band DESC, id-hash, id). Downstream: repartitionByRange on
+    curriculum_rank and write — this table IS the schedule.
+
+    Output: (doc_id, band, curriculum_rank 0-based).
+    """
+    from .quality import quality_scores
+
+    q = quality_scores(docs, text_col=text_col).select(
+        id_col, "uniq_token_ratio"
+    )
+    band = F.least(
+        F.lit(bands - 1),
+        F.floor(F.col("uniq_token_ratio") * bands).cast("int"),
+    ).cast("int")
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * 2654435761 + seed,
+        F.lit(1_000_000_007),
+    )
+    d = (
+        q.withColumn("band", band)
+        .withColumn("_hk", h)
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    ranked = global_cumsum(
+        d, "_one", [F.desc("band"), F.asc("_hk"), F.asc(id_col)],
+        out_col="_r", partitions=partitions,
+    )
+    return ranked.select(
+        id_col, "band",
+        (F.col("_r") - 1).cast("long").alias("curriculum_rank"),
+    )

@@ -1404,3 +1404,24 @@ def test_cluster_safe_split(spark):
     for doc, (cl, sp) in got.items():
         want = "test" if ((cl % 1000) * 1000003 + 7) % 1000 < 100 else "train"
         assert sp == want
+
+
+def test_curriculum_order(spark):
+    """Bands are value-derived (clean docs first), ranks are a
+    permutation of 0..n-1, band sequence is non-increasing along the
+    rank, and the order is repartition-invariant (content-stable)."""
+    from insights_spark.text.pack import curriculum_order
+
+    rows = [(i, ("unique words " + " ".join(f"w{j}{i}" for j in range(10)))
+             if i % 3 == 0 else "dup dup dup dup dup dup")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curriculum_order(docs).collect()
+    ranks = sorted(r["curriculum_rank"] for r in out)
+    assert ranks == list(range(30))
+    seq = [r["band"] for r in sorted(out, key=lambda r: r["curriculum_rank"])]
+    assert seq == sorted(seq, reverse=True)  # high-quality bands first
+    assert seq[0] > seq[-1]  # fixture really has two bands
+    again = {r["doc_id"]: r["curriculum_rank"]
+             for r in curriculum_order(docs.repartition(7)).collect()}
+    assert again == {r["doc_id"]: r["curriculum_rank"] for r in out}
