@@ -1707,6 +1707,17 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_equi_depth_hist(spark, sf_dir):
+    """Equal-population histogram of order totals (runtime/profile.py
+    equi_depth_histogram): exact interpolated percentile boundaries
+    (percentile == quantile_cont parity), branch-free bucket rule
+    1 + Σ[v > bound], two passes (bounds agg broadcast back + one
+    groupBy). approx=True is the t-digest scale path, same shape."""
+    from insights_spark.runtime.profile import equi_depth_histogram
+
+    return equi_depth_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 8)
+
+
 def _q_curriculum(spark, sf_dir):
     """Curriculum training order (text/pack.py curriculum_order): quality
     VALUE bands (map-only, content-stable — not ntile rank bands, which
@@ -2640,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_dwell": _q_geofence_dwell,
         "cluster_safe_split": _q_cluster_safe_split,
         "curriculum_order": _q_curriculum,
+        "equi_depth_hist": _q_equi_depth_hist,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4928,6 +4940,29 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    _hist_bucket = "1 + " + " + ".join(
+        f"(o_totalprice > bs[{k}])::INT" for k in range(1, 8)
+    )
+    out["equi_depth_hist"] = f"""
+        WITH b AS (
+          SELECT quantile_cont(o_totalprice,
+                   [{", ".join(str(k / 8) for k in range(1, 8))}]) AS bs,
+                 CAST(min(o_totalprice) AS DOUBLE) AS glo,
+                 CAST(max(o_totalprice) AS DOUBLE) AS ghi
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        c AS (
+          SELECT CAST({_hist_bucket} AS INT) AS bucket
+          FROM orders, b WHERE o_totalprice IS NOT NULL),
+        g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY bucket)
+        SELECT g.bucket,
+               CAST(CASE WHEN g.bucket = 1 THEN b.glo
+                         ELSE b.bs[g.bucket - 1] END AS DOUBLE) AS lo,
+               CAST(CASE WHEN g.bucket = 8 THEN b.ghi
+                         ELSE b.bs[g.bucket] END AS DOUBLE) AS hi,
+               g.n
+        FROM g, b
     """
     out["curriculum_order"] = f"""
         WITH q AS (

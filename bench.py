@@ -138,6 +138,7 @@ HEADLINE = [
     "geofence_dwell",
     "cluster_safe_split",
     "curriculum_order",
+    "equi_depth_hist",
 ]
 
 

@@ -72,3 +72,58 @@ def column_profile(
         for c in cols
     ]
     return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, buckets: int = 8, approx: bool = False
+) -> DataFrame:
+    """Equal-population histogram of a numeric column — the optimizer-
+    style column statistic (equi-depth beats equi-width under skew: every
+    bucket carries ~n/k rows, so selectivity estimates stay honest).
+
+    Boundaries are the exact interpolated percentiles at k/buckets
+    (Spark `percentile` == DuckDB quantile_cont — the
+    lang_quality_median parity precedent); pass approx=True to swap in
+    approx_percentile (t-digest) for the 100 TB single-pass path, same
+    output shape. Bucket of a value = 1 + Σ_k [v > bound_k] — a branch-
+    free total rule both engines evaluate identically; NULLs are
+    excluded. Two passes: one aggregation for the bounds row (broadcast
+    back), one groupBy for the counts.
+
+    Output: (bucket int 1-based, lo, hi, n) — lo/hi are the bucket's
+    boundary values (global min/max at the edges); empty buckets
+    (possible under heavy value duplication) are omitted.
+    """
+    fracs = ", ".join(str(k / buckets) for k in range(1, buckets))
+    fn = "approx_percentile" if approx else "percentile"
+    bounds = df.filter(F.col(col).isNotNull()).agg(
+        F.expr(f"{fn}({col}, array({fracs}))").alias("_bs"),
+        F.min(col).cast("double").alias("_lo"),
+        F.max(col).cast("double").alias("_hi"),
+    )
+    v = F.col(col).cast("double")
+    bucket = F.lit(1)
+    for k in range(1, buckets):
+        bucket = bucket + (v > F.element_at("_bs", k)).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    lo = F.when(F.col("bucket") == 1, F.col("_lo")).otherwise(
+        F.element_at("_bs", F.col("bucket") - 1)
+    )
+    hi = F.when(F.col("bucket") == buckets, F.col("_hi")).otherwise(
+        F.element_at("_bs", F.col("bucket"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(bounds))
+        .select(
+            "bucket",
+            lo.cast("double").alias("lo"),
+            hi.cast("double").alias("hi"),
+            "n",
+        )
+    )

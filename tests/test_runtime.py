@@ -357,3 +357,26 @@ def test_column_profile(spark):
     approx = {r["col_name"]: r for r in column_profile(df, approx=True).collect()}
     for c in ("k", "s", "v", "z"):  # HLL exact at this cardinality
         assert approx[c]["n_distinct"] == got[c]["n_distinct"]
+
+
+def test_equi_depth_histogram(spark):
+    """Buckets cover all non-NULL rows, populations are ~equal on a
+    skewed column, boundaries tile (hi of k == lo of k+1), and the
+    approx path returns the same shape."""
+    from insights_spark.runtime.profile import equi_depth_histogram
+
+    # heavy right skew: k**2 spreads late values far apart
+    df = spark.createDataFrame(
+        [(float(k * k),) for k in range(1000)] + [(None,)], "v double"
+    )
+    out = sorted(equi_depth_histogram(df, "v", 8).collect(),
+                 key=lambda r: r["bucket"])
+    assert sum(r["n"] for r in out) == 1000  # NULL excluded, rest covered
+    assert all(115 <= r["n"] <= 135 for r in out)  # ~125 each, equi-depth
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] == b["lo"]  # boundaries tile
+    assert out[0]["lo"] == 0.0 and out[-1]["hi"] == 999.0 ** 2
+    ap = equi_depth_histogram(df, "v", 8, approx=True).collect()
+    assert sum(r["n"] for r in ap) == 1000
+    assert {f.name for f in equi_depth_histogram(df, "v", 8, approx=True).schema} \
+        == {"bucket", "lo", "hi", "n"}
