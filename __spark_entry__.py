@@ -1707,6 +1707,21 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC (runtime/tablefmt.py snapshot_diff): the change feed
+    between the fixture's append (ts=100) and merge (ts=200) commits —
+    inserts are the odd mod-3 docs the merge brought in, updates are the
+    evens∩mod-3 rows it bumped by 1000 chars; unchanged keys are absent
+    (output is change-sized). One full-outer key join over two
+    time-travel reads."""
+    from insights_spark.runtime.tablefmt import snapshot_diff
+
+    t = _snapshot_table_fixture(spark, sf_dir, "cdc")
+    return snapshot_diff(
+        t, ["doc_id"], from_ts=100, to_ts=200, compare_cols=["n_chars"]
+    )
+
+
 def _q_equi_depth_hist(spark, sf_dir):
     """Equal-population histogram of order totals (runtime/profile.py
     equi_depth_histogram): exact interpolated percentile boundaries
@@ -2652,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": _q_cluster_safe_split,
         "curriculum_order": _q_curriculum,
         "equi_depth_hist": _q_equi_depth_hist,
+        "snapshot_diff": _q_snapshot_diff,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4940,6 +4956,27 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["snapshot_diff"] = """
+        WITH s100 AS (
+          SELECT doc_id, n_chars FROM documents WHERE mod(doc_id, 2) = 0),
+        s200 AS (
+          SELECT doc_id,
+                 CASE WHEN mod(doc_id, 3) = 0 THEN n_chars + 1000
+                      ELSE n_chars END AS n_chars
+          FROM documents
+          WHERE mod(doc_id, 2) = 0 OR mod(doc_id, 3) = 0)
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'insert'
+                    WHEN b.doc_id IS NULL THEN 'delete'
+                    WHEN a.n_chars IS DISTINCT FROM b.n_chars THEN 'update'
+                    END AS change,
+               a.n_chars AS old_n_chars, b.n_chars AS new_n_chars
+        FROM s100 a FULL OUTER JOIN s200 b ON a.doc_id = b.doc_id
+        WHERE CASE WHEN a.doc_id IS NULL THEN 'insert'
+                   WHEN b.doc_id IS NULL THEN 'delete'
+                   WHEN a.n_chars IS DISTINCT FROM b.n_chars THEN 'update'
+                   END IS NOT NULL
     """
     _hist_bucket = "1 + " + " + ".join(
         f"(o_totalprice > bs[{k}])::INT" for k in range(1, 8)

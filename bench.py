@@ -139,6 +139,7 @@ HEADLINE = [
     "cluster_safe_split",
     "curriculum_order",
     "equi_depth_hist",
+    "snapshot_diff",
 ]
 
 

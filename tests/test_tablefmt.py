@@ -154,3 +154,26 @@ def test_compact_small_files(spark, tmp_path):
     removed = t.expire_snapshots(keep_last=1)
     assert len(removed) == 5
     assert _sorted(t.read()) == expect
+
+
+def test_snapshot_diff(spark, tmp_path):
+    """CDC between snapshots: insert/delete/update labeled, unchanged
+    keys absent, NULL→value counts as update (null-safe compare), and
+    diffing a snapshot against itself is empty."""
+    from insights_spark.runtime.tablefmt import SnapshotTable, snapshot_diff
+
+    t = SnapshotTable(spark, str(tmp_path / "cdc"))
+    s1 = t.append(spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"), ts=100)
+    s2 = t.overwrite(spark.createDataFrame(
+        [(1, 10), (2, 20), (4, 40)], "k long, v long"), ts=200)
+    got = {r["k"]: (r["change"], r["old_v"], r["new_v"])
+           for r in snapshot_diff(t, ["k"], from_snapshot=s1,
+                                  to_snapshot=s2).collect()}
+    assert got == {
+        2: ("update", None, 20),   # NULL→value is an update, not noise
+        3: ("delete", 30, None),
+        4: ("insert", None, 40),
+    }  # k=1 unchanged → absent
+    assert snapshot_diff(t, ["k"], from_snapshot=s2,
+                         to_snapshot=s2).count() == 0
