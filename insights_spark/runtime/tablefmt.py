@@ -185,14 +185,18 @@ class SnapshotTable:
 
         return self._retrying(build, "append", ts)
 
-    def overwrite(self, df: DataFrame, ts: int | None = None) -> int:
+    def overwrite(self, df: DataFrame, ts: int | None = None,
+                  extra_summary: dict | None = None) -> int:
         """Commit df as the whole table (Iceberg `replace`): the new
-        snapshot lists only the new dir; history keeps the old ones."""
+        snapshot lists only the new dir; history keeps the old ones.
+        `extra_summary` = the same epoch-stamp hook append has (a
+        replace-shaped streaming sink — e.g. SCD2 maintenance — needs it
+        for exactly-once replay detection)."""
         parent0 = self.current_snapshot_id()
         rel, rows = self._write_data(df, (parent0 or 0) + 1)
 
         def build(parent):
-            return [rel], {"replaced_rows": rows}
+            return [rel], {"replaced_rows": rows, **(extra_summary or {})}
 
         return self._retrying(build, "replace", ts)
 

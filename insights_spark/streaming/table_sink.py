@@ -85,3 +85,68 @@ def stream_to_snapshot_table(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def commit_scd2_epoch(
+    table_path: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    keys: tuple[str, ...] = ("type", "id"),
+    version_col: str = "version",
+    ts_col: str = "timestamp",
+) -> bool:
+    """Idempotently apply one micro-batch of VERSION rows to a stored
+    SCD2 dimension — streaming dimension maintenance.
+
+    Same exactly-once contract as commit_epoch (epoch stamped in the
+    replace snapshot's summary; a replayed epoch is a manifest-scan
+    no-op), but the write is scd2_merge, not an append: untouched keys
+    pass through, touched keys rebuild from the table's own rows, so the
+    dimension stays exact under out-of-order version arrival ACROSS
+    micro-batches too (a late version in epoch 9 splices correctly into
+    intervals committed in epoch 3 — per-key cursor state like
+    stream_funnel's could not do that).
+    """
+    from insights_spark.ops.latest import scd2_intervals, scd2_merge
+
+    t = SnapshotTable(batch_df.sparkSession, table_path)
+    if epoch_id in committed_epochs(t):
+        return False
+    batch = batch_df.select(*keys, version_col, ts_col).dropDuplicates(
+        [*keys, version_col]
+    )
+    cols = [*keys, version_col, "valid_from", "valid_to", "is_current"]
+    if t.current_snapshot_id() is None:
+        merged = scd2_intervals(batch, keys, version_col, ts_col).select(*cols)
+    else:
+        merged = scd2_merge(
+            t.read().select(*cols), batch, keys, version_col, ts_col
+        )
+    t.overwrite(merged, extra_summary={"epoch": int(epoch_id)})
+    return True
+
+
+def stream_scd2_to_table(
+    version_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("type", "id"),
+    version_col: str = "version",
+    ts_col: str = "timestamp",
+    trigger_once: bool = False,
+):
+    """Start a streaming query maintaining an SCD2 dimension from a live
+    version feed: one epoch-stamped replace snapshot per micro-batch.
+    Returns the StreamingQuery."""
+    writer = (
+        version_stream.writeStream
+        .foreachBatch(
+            lambda df, eid: commit_scd2_epoch(
+                table_path, df, eid, keys, version_col, ts_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -76,3 +76,48 @@ def test_streaming_table_compacts(spark, tmp_path):
     assert committed_epochs(t) == {0, 1, 2, 3}
     assert commit_epoch(tbl, spark.createDataFrame(
         [(9, "y")], "id long, v string"), epoch_id=2) is False
+
+
+def test_stream_scd2_maintenance(spark, tmp_path):
+    """Streaming SCD2 dimension: two micro-batches (the second delivering
+    an OUT-OF-ORDER version that splices into epoch-1 intervals) converge
+    to the batch scd2_intervals over all versions; replaying an epoch is
+    a no-op."""
+    import time as _time
+    from datetime import date
+
+    from insights_spark.ops.latest import scd2_intervals
+    from insights_spark.streaming.table_sink import (
+        commit_scd2_epoch,
+        stream_scd2_to_table,
+    )
+
+    schema = "type string, id long, version long, timestamp date"
+    d = date
+    b1 = [("node", 1, 1, d(2021, 1, 1)), ("node", 1, 3, d(2021, 3, 1)),
+          ("way", 7, 1, d(2021, 2, 1))]
+    b2 = [("node", 1, 2, d(2021, 2, 1)),     # late: splices between v1/v3
+          ("node", 2, 1, d(2021, 5, 1))]
+    src = str(tmp_path / "vsrc")
+    tbl = str(tmp_path / "vtbl")
+    ckpt = str(tmp_path / "vckpt")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_scd2_to_table(stream, tbl, ckpt, trigger_once=True)
+    q.awaitTermination(180)
+
+    cols = ["type", "id", "version", "valid_from", "valid_to", "is_current"]
+    got = sorted(tuple(r) for r in
+                 SnapshotTable(spark, tbl).read().select(*cols).collect())
+    want = sorted(tuple(r) for r in scd2_intervals(
+        spark.createDataFrame(b1 + b2, schema)).select(*cols).collect())
+    assert got == want and len(got) == 5
+    # replaying an already-committed epoch changes nothing
+    t = SnapshotTable(spark, tbl)
+    before = t.current_snapshot_id()
+    assert commit_scd2_epoch(tbl, spark.createDataFrame(b2, schema), 1) is False
+    assert t.current_snapshot_id() == before
