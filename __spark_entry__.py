@@ -1707,6 +1707,33 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_check_constraints(spark, sf_dir):
+    """Declarative data-quality gate (runtime/profile.py
+    check_constraints): not-null / range / accepted-values / unique in
+    ONE aggregation pass (conditional sums + count-distinct share the
+    shuffle), plus a referential-integrity anti-join of lineitem order
+    keys against orders. The range rule on o_custkey is planted to FAIL
+    (violations > 0) so the gate is non-vacuous."""
+    from insights_spark.runtime.profile import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    rules = [
+        {"rule": "not_null", "col": "o_orderkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "range", "col": "o_totalprice", "lo": 0.0, "hi": 1e9},
+        {"rule": "range", "col": "o_custkey", "lo": 0, "hi": 10},
+        {"rule": "accepted", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+    ]
+    base = check_constraints(o, rules)
+    ref = check_constraints(
+        li, [{"rule": "ref", "col": "l_orderkey", "other": o,
+              "other_col": "o_orderkey"}]
+    )
+    return base.unionByName(ref)
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """Snapshot CDC (runtime/tablefmt.py snapshot_diff): the change feed
     between the fixture's append (ts=100) and merge (ts=200) commits —
@@ -2668,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum,
         "equi_depth_hist": _q_equi_depth_hist,
         "snapshot_diff": _q_snapshot_diff,
+        "check_constraints": _q_check_constraints,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4956,6 +4984,58 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["check_constraints"] = """
+        SELECT 'not_null' AS rule, 'o_orderkey' AS col,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                    AS INT) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'unique', 'o_orderkey',
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(count(o_orderkey) = count(DISTINCT o_orderkey) AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'range', 'o_totalprice',
+               CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 1e9)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 1e9)
+                             THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'range', 'o_custkey',
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                              AND (o_custkey < 0 OR o_custkey > 10)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                              AND (o_custkey < 0 OR o_custkey > 10)
+                             THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'accepted', 'o_orderstatus',
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'ref', 'l_orderkey',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE l.l_orderkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE l.l_orderkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    = 0 AS INT)
     """
     out["snapshot_diff"] = """
         WITH s100 AS (

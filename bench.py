@@ -140,6 +140,7 @@ HEADLINE = [
     "curriculum_order",
     "equi_depth_hist",
     "snapshot_diff",
+    "check_constraints",
 ]
 
 

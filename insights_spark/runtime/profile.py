@@ -127,3 +127,82 @@ def equi_depth_histogram(
             "n",
         )
     )
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality gate (the dbt-tests / expectations shape):
+    evaluate a rule list against a table in as few passes as possible and
+    return one row per rule with its violation count.
+
+    Rule specs (dicts):
+      {"rule": "not_null", "col": c}
+      {"rule": "range", "col": c, "lo": x, "hi": y}   # inclusive, NULL ok
+      {"rule": "accepted", "col": c, "values": [...]} # NULL ok
+      {"rule": "unique", "col": c}                    # NULLs ignored
+      {"rule": "ref", "col": c, "other": DataFrame, "other_col": k}
+
+    Row-local rules (not_null/range/accepted) compile to conditional sums
+    in ONE aggregation pass; unique adds count vs count-distinct to the
+    SAME pass (one Expand shuffle for all of them); each ref rule is one
+    anti-join against the (deduped, broadcastable) key side. Output:
+    (rule, col, violations, passed) — a gate wired after every load, so
+    the cheap path had to be the default.
+    """
+    aggs, names = [], []
+    for r in rules:
+        if r["rule"] == "not_null":
+            aggs.append(F.sum(F.col(r["col"]).isNull().cast("long")))
+            names.append(("not_null", r["col"]))
+        elif r["rule"] == "range":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ((c < r["lo"]) | (c > r["hi"]))
+            aggs.append(F.sum(bad.cast("long")))
+            names.append(("range", r["col"]))
+        elif r["rule"] == "accepted":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.isin(*r["values"])
+            aggs.append(F.sum(bad.cast("long")))
+            names.append(("accepted", r["col"]))
+        elif r["rule"] == "unique":
+            c = F.col(r["col"])
+            aggs.append(
+                F.sum(c.isNotNull().cast("long")) - F.count_distinct(c)
+            )
+            names.append(("unique", r["col"]))
+        elif r["rule"] != "ref":
+            raise ValueError(f"unknown rule {r['rule']}")
+    out = None
+    if aggs:
+        one = df.agg(*[a.alias(f"_v{i}") for i, a in enumerate(aggs)])
+        rows = [
+            F.struct(
+                F.lit(rule).alias("rule"),
+                F.lit(col).alias("col"),
+                F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("bigint")
+                .alias("violations"),
+            )
+            for i, (rule, col) in enumerate(names)
+        ]
+        out = one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    for r in rules:
+        if r["rule"] != "ref":
+            continue
+        keys = r["other"].select(
+            F.col(r["other_col"]).alias(r["col"])
+        ).distinct()
+        orphans = (
+            df.filter(F.col(r["col"]).isNotNull())
+            .join(keys, r["col"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            .select(
+                F.lit("ref").alias("rule"),
+                F.lit(r["col"]).alias("col"),
+                "violations",
+            )
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    if out is None:
+        raise ValueError("no rules given")
+    return out.withColumn(
+        "passed", (F.col("violations") == 0).cast("int")
+    )

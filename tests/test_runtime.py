@@ -380,3 +380,33 @@ def test_equi_depth_histogram(spark):
     assert sum(r["n"] for r in ap) == 1000
     assert {f.name for f in equi_depth_histogram(df, "v", 8, approx=True).schema} \
         == {"bucket", "lo", "hi", "n"}
+
+
+def test_check_constraints(spark):
+    """Each rule kind counts its violations exactly; NULLs pass range and
+    accepted (only not_null flags them); unique ignores NULLs; ref counts
+    orphan rows (not distinct orphan keys)."""
+    from insights_spark.runtime.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "O"), (1, -2.0, "X"), (2, None, None), (None, 7.0, "F")],
+        "k long, v double, s string",
+    )
+    dim = spark.createDataFrame([(1,)], "fk long")
+    got = {(r["rule"], r["col"]): (r["violations"], r["passed"])
+           for r in check_constraints(df, [
+               {"rule": "not_null", "col": "k"},
+               {"rule": "unique", "col": "k"},
+               {"rule": "range", "col": "v", "lo": 0.0, "hi": 10.0},
+               {"rule": "accepted", "col": "s", "values": ["O", "F"]},
+               {"rule": "ref", "col": "k", "other": dim, "other_col": "fk"},
+           ]).collect()}
+    assert got[("not_null", "k")] == (1, 0)
+    assert got[("unique", "k")] == (1, 0)      # k=1 twice; NULL ignored
+    assert got[("range", "v")] == (1, 0)       # -2 only; NULL passes
+    assert got[("accepted", "s")] == (1, 0)    # 'X' only; NULL passes
+    assert got[("ref", "k")] == (1, 0)         # k=2 orphan; NULL passes
+    clean = spark.createDataFrame([(1, 1.0, "O")], "k long, v double, s string")
+    ok = check_constraints(clean, [{"rule": "not_null", "col": "k"},
+                                   {"rule": "unique", "col": "k"}]).collect()
+    assert all(r["passed"] == 1 and r["violations"] == 0 for r in ok)
