@@ -193,3 +193,42 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     })
     assert "might_contain" not in off_plan
     assert on_res == off_res and on_res[1] > 0
+
+
+def test_aqe_skew_join_split(spark, tmp_path):
+    """AQE's runtime skew handling: with one key carrying 90% of the
+    left side, the SortMergeJoin is re-planned at runtime with the hot
+    partition SPLIT (skew=true in the final plan) — no manual salting —
+    and results match the run with skew handling off. Thresholds are
+    lowered to make fixture-sized partitions count as skewed; at real
+    scale the defaults fire on the same shape."""
+    import re
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.range(0, 300_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v"
+    ).write.parquet(lp)
+    spark.range(0, 300_000).selectExpr("id AS k", "id % 5 AS w").write.parquet(rp)
+    l, r = spark.read.parquet(lp), spark.read.parquet(rp)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = l.join(r, "k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan and "skew=true" in plan
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        j2 = l.join(r, "k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        assert j2.collect()[0] == row
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
