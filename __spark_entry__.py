@@ -1707,6 +1707,21 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_score_calibration(spark, sf_dir):
+    """Per-source percentile-rank score calibration (text/quality.py
+    score_percentile_rank): cume_dist semantics without the
+    partitionBy(source) window (a handful of giant sources would each
+    sort on one task) — global rank on the shared two-phase prefix scan,
+    per-source offsets broadcast back. Score = uniq_token_ratio."""
+    from insights_spark.text.quality import quality_scores, score_percentile_rank
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_scores(d).select(
+        "doc_id", "uniq_token_ratio"
+    ).join(d.select("doc_id", "source"), "doc_id")
+    return score_percentile_rank(q, "uniq_token_ratio")
+
+
 def _q_check_constraints(spark, sf_dir):
     """Declarative data-quality gate (runtime/profile.py
     check_constraints): not-null / range / accepted-values / unique in
@@ -2696,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_hist": _q_equi_depth_hist,
         "snapshot_diff": _q_snapshot_diff,
         "check_constraints": _q_check_constraints,
+        "score_calibration": _q_score_calibration,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -4984,6 +5000,19 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["score_calibration"] = f"""
+        WITH q AS (
+          SELECT doc_id, source,
+                 CASE WHEN len({_TOKENS}) > 0 THEN
+                   len(list_distinct({_TOKENS}))::DOUBLE / len({_TOKENS})
+                   ELSE 0.0 END AS uniq_token_ratio
+          FROM documents)
+        SELECT source, doc_id, uniq_token_ratio,
+               cume_dist() OVER (PARTITION BY source
+                                 ORDER BY uniq_token_ratio, doc_id)
+                 AS pct_rank
+        FROM q
     """
     out["check_constraints"] = """
         SELECT 'not_null' AS rule, 'o_orderkey' AS col,

@@ -141,6 +141,7 @@ HEADLINE = [
     "equi_depth_hist",
     "snapshot_diff",
     "check_constraints",
+    "score_calibration",
 ]
 
 

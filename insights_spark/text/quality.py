@@ -199,3 +199,49 @@ def doc_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31,
         F.lit(seed).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod),
     )
+
+
+def score_percentile_rank(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile-rank calibration of a quality score — the
+    step before thresholding a classifier across heterogeneous sources
+    (FineWeb-style): raw score scales differ per source, so the keep/drop
+    cut is made on each doc's WITHIN-SOURCE cumulative rank in [0, 1].
+
+    Semantics = ``cume_dist() OVER (PARTITION BY group ORDER BY score,
+    id)`` with the id tiebreak making ranks total. The IMPLEMENTATION
+    avoids that window: at 100 TB a handful of giant sources would each
+    sort on one task under partitionBy(source). Instead the global rank
+    rides the shared two-phase prefix scan ordered by (group, score, id),
+    and each group's offset (global rank at its start) comes from a
+    group-count rollup broadcast back — pct = (global_rank − offset) / n.
+    Identical values, distributed sort.
+
+    Output: input keys + (pct_rank double in (0, 1]).
+    """
+    from .pack import global_cumsum
+
+    d = df.select(group_col, id_col, score_col).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    ranked = global_cumsum(
+        d, "_one", [F.asc(group_col), F.asc(score_col), F.asc(id_col)],
+        out_col="_gr",
+    )
+    totals = ranked.groupBy(group_col).agg(
+        F.max("_gr").alias("_hi"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        ranked.join(F.broadcast(totals), group_col)
+        .select(
+            group_col, id_col, score_col,
+            (
+                (F.col("_gr") - (F.col("_hi") - F.col("_n"))).cast("double")
+                / F.col("_n").cast("double")
+            ).alias("pct_rank"),
+        )
+    )

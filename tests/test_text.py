@@ -1425,3 +1425,26 @@ def test_curriculum_order(spark):
     again = {r["doc_id"]: r["curriculum_rank"]
              for r in curriculum_order(docs.repartition(7)).collect()}
     assert again == {r["doc_id"]: r["curriculum_rank"] for r in out}
+
+
+def test_score_percentile_rank(spark):
+    """The two-phase implementation equals cume_dist() OVER (PARTITION BY
+    group ORDER BY score, id) exactly — including ties broken by id — and
+    is repartition-invariant."""
+    from pyspark.sql.window import Window
+
+    from insights_spark.text.quality import score_percentile_rank
+
+    rows = [("a", i, float(i % 4)) for i in range(12)] + \
+           [("b", 100 + i, 0.5) for i in range(5)]  # all-ties group
+    df = spark.createDataFrame(rows, "source string, doc_id long, s double")
+    got = {r["doc_id"]: r["pct_rank"]
+           for r in score_percentile_rank(df, "s").collect()}
+    w = Window.partitionBy("source").orderBy(F.asc("s"), F.asc("doc_id"))
+    want = {r["doc_id"]: r["cd"]
+            for r in df.withColumn("cd", F.cume_dist().over(w)).collect()}
+    assert got == want
+    assert max(got.values()) == 1.0 and min(got.values()) > 0.0
+    again = {r["doc_id"]: r["pct_rank"]
+             for r in score_percentile_rank(df.repartition(7), "s").collect()}
+    assert again == got
