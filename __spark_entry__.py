@@ -1707,6 +1707,18 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_lang_margin(spark, sf_dir):
+    """Language-id confidence (text/quality.py lang_margin): top-1/top-2
+    stopword-density margin + mixed-language flag (the CLD-style
+    'reliable' bit) — code-switched pages must not route on the argmax
+    alone. Map-only column scoring, ties by language code both engines."""
+    from insights_spark.text.quality import lang_margin
+
+    return lang_margin(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "lang_second", "margin", "is_mixed"
+    )
+
+
 def _q_score_calibration(spark, sf_dir):
     """Per-source percentile-rank score calibration (text/quality.py
     score_percentile_rank): cume_dist semantics without the
@@ -2712,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "check_constraints": _q_check_constraints,
         "score_calibration": _q_score_calibration,
+        "lang_margin": _q_lang_margin,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -5000,6 +5013,27 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["lang_margin"] = f"""
+        WITH scored AS (SELECT doc_id, {lang_scores} FROM documents),
+        u AS (
+          SELECT doc_id, 'de' AS lang, r_de AS r FROM scored
+          UNION ALL SELECT doc_id, 'en', r_en FROM scored
+          UNION ALL SELECT doc_id, 'fr', r_fr FROM scored
+          UNION ALL SELECT doc_id, 'sw', r_sw FROM scored),
+        rk AS (
+          SELECT doc_id, lang, r,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY r DESC, lang ASC) AS rn
+          FROM u)
+        SELECT a.doc_id,
+               CASE WHEN a.r > 0 THEN a.lang END AS lang_pred,
+               CASE WHEN b.r > 0 THEN b.lang END AS lang_second,
+               a.r - b.r AS margin,
+               CAST(a.r > 0 AND b.r > 0 AND (a.r - b.r) < 0.1 AS INT)
+                 AS is_mixed
+        FROM rk a JOIN rk b
+          ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
     """
     out["score_calibration"] = f"""
         WITH q AS (

@@ -142,6 +142,7 @@ HEADLINE = [
     "snapshot_diff",
     "check_constraints",
     "score_calibration",
+    "lang_margin",
 ]
 
 

@@ -245,3 +245,44 @@ def score_percentile_rank(
             ).alias("pct_rank"),
         )
     )
+
+
+def lang_margin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-id confidence: top-1 vs top-2 stopword-density margin and
+    a mixed-language flag. Code-switched or boilerplate-heavy pages score
+    two languages nearly equally — those are the docs a per-language
+    corpus must NOT route on the argmax alone (the standard CLD-style
+    "reliable" bit). Same pure-column scoring as lang_id (sort the
+    per-language score structs once, read slots 1 and 2); map-only, no
+    UDF, no shuffle.
+
+    Output columns: lang_pred (NULL when nothing matches), lang_second,
+    margin (top1 − top2 density, 0.0 when nothing matches), is_mixed
+    (int: both scores positive and margin < 0.1).
+    """
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))
+        scores.append(
+            F.struct(
+                (-F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0))).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    arr = F.sort_array(F.array(*scores))
+    top, second = arr[0], arr[1]
+    margin = (-top["neg"]) - (-second["neg"])
+    return (
+        df.withColumn("lang_pred", F.when(top["neg"] < 0, top["lang"]))
+        .withColumn("lang_second", F.when(second["neg"] < 0, second["lang"]))
+        .withColumn("margin", margin)
+        .withColumn(
+            "is_mixed",
+            (
+                (top["neg"] < 0) & (second["neg"] < 0) & (margin < 0.1)
+            ).cast("int"),
+        )
+    )

@@ -1448,3 +1448,27 @@ def test_score_percentile_rank(spark):
     again = {r["doc_id"]: r["pct_rank"]
              for r in score_percentile_rank(df.repartition(7), "s").collect()}
     assert again == got
+
+
+def test_lang_margin(spark):
+    """Mixed-language detection: a clearly-English doc is confident, a
+    50/50 en/de code-switch is flagged mixed, a stopword-free doc
+    predicts nothing (NULLs, margin 0), and lang_pred always agrees with
+    lang_id's argmax."""
+    docs = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is the best"),
+         (2, "the house und das ist the plan und es ist gut is it"),
+         (3, "zzz qqq xxx yyy"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality.lang_margin(docs).collect()}
+    assert got[1]["lang_pred"] == "en" and got[1]["is_mixed"] == 0
+    assert got[1]["margin"] > 0.1
+    assert got[2]["is_mixed"] == 1 and got[2]["margin"] < 0.1
+    assert {got[2]["lang_pred"], got[2]["lang_second"]} == {"en", "de"}
+    assert got[3]["lang_pred"] is None and got[3]["margin"] == 0.0
+    assert got[3]["is_mixed"] == 0
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in quality.lang_id(docs).collect()}
+    assert all(got[i]["lang_pred"] == pred[i] for i in pred)
