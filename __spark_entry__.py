@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -1707,6 +1708,41 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_scd2_lookup(spark, sf_dir):
+    """SCD2 as-of enrichment (ops/latest.py scd2_lookup): every order
+    probes the element dimension at its order date — ONE key equi-join
+    + [valid_from, valid_to) range filter instead of a window over
+    version history; at most one interval matches (gapless TIME-ordered
+    tiling), and keys with no version as of the probe keep NULL.
+
+    The fixture's composite version is NOT time-ordered (an out-of-order
+    history — scd2_merge's splice case), so the dimension build first
+    normalizes to a per-key (ts, version) rank: intervals only tile the
+    timeline when the interval order IS time order. Probing the
+    version-ordered build instead fans out (measured: 18.7k rows from
+    15k probes) — that ordering contract is the lookup's precondition."""
+    from insights_spark.ops.latest import scd2_intervals, scd2_lookup
+
+    els = _build_elements_with_changeset(spark, sf_dir)
+    w = Window.partitionBy("type", "id").orderBy("timestamp", "version")
+    seq = els.withColumn("seq", F.row_number().over(w))
+    dim = scd2_intervals(seq, version_col="seq").select(
+        "type", "id", "version", "valid_from", "valid_to"
+    )
+    k = F.col("o_orderkey")
+    facts = _t(spark, sf_dir, "orders").select(
+        F.when(F.pmod(k, F.lit(4)) == 0, F.lit("node"))
+        .when(F.pmod(k, F.lit(4)) == 1, F.lit("relation"))
+        .otherwise(F.lit("way"))
+        .alias("type"),
+        k.alias("id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return scd2_lookup(facts, dim, keys=("type", "id"), attrs=("version",)
+                       ).select("type", "id", "ts",
+                                F.col("version").alias("asof_version"))
+
+
 def _q_lang_margin(spark, sf_dir):
     """Language-id confidence (text/quality.py lang_margin): top-1/top-2
     stopword-density margin + mixed-language flag (the CLD-style
@@ -2725,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_constraints": _q_check_constraints,
         "score_calibration": _q_score_calibration,
         "lang_margin": _q_lang_margin,
+        "scd2_lookup": _q_scd2_lookup,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -5013,6 +5050,37 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["scd2_lookup"] = """
+        WITH el AS (
+          SELECT l_orderkey AS id,
+                 l_linenumber::BIGINT * 1000000000000
+                   + l_partkey * 1000000 + l_suppkey AS version,
+                 CASE WHEN mod(l_orderkey, 4) = 0 THEN 'node'
+                      WHEN mod(l_orderkey, 4) = 1 THEN 'relation'
+                      ELSE 'way' END AS type,
+                 l_shipdate AS ts
+          FROM lineitem),
+        seq AS (
+          SELECT *, row_number() OVER (PARTITION BY type, id
+                                       ORDER BY ts, version) AS sq
+          FROM el),
+        scd AS (
+          SELECT type, id, version, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY type, id ORDER BY sq)
+                   AS valid_to
+          FROM seq),
+        f AS (
+          SELECT CASE WHEN mod(o_orderkey, 4) = 0 THEN 'node'
+                      WHEN mod(o_orderkey, 4) = 1 THEN 'relation'
+                      ELSE 'way' END AS type,
+                 o_orderkey AS id, o_orderdate AS ts
+          FROM orders)
+        SELECT f.type, f.id, f.ts, s.version AS asof_version
+        FROM f LEFT JOIN scd s
+          ON f.type = s.type AND f.id = s.id
+         AND f.ts >= s.valid_from
+         AND (s.valid_to IS NULL OR f.ts < s.valid_to)
     """
     out["lang_margin"] = f"""
         WITH scored AS (SELECT doc_id, {lang_scores} FROM documents),

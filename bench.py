@@ -143,6 +143,7 @@ HEADLINE = [
     "check_constraints",
     "score_calibration",
     "lang_margin",
+    "scd2_lookup",
 ]
 
 

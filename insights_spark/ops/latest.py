@@ -143,6 +143,44 @@ def scd2_merge(
     return untouched.unionByName(rebuilt)
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    scd2: DataFrame,
+    keys: tuple[str, ...],
+    fact_ts: str = "ts",
+    attrs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Enrich facts with the dimension state AS OF each fact's event time
+    — the payoff of materializing SCD2: the lookup is a key equi-join
+    plus a [valid_from, valid_to) range predicate, NOT a per-query
+    window over version history (latest_version) or a sort-merge as-of
+    (asof_join). Each fact matches AT MOST one interval (intervals tile
+    the key's timeline gaplessly — pytest-pinned in scd2_intervals), so
+    the join never fans out.
+
+    Plan shape: ONE equi-join on the key (the range predicate rides as a
+    post-join filter Spark evaluates inside the join), co-partitioned
+    with however the dimension is stored; broadcast when the dimension
+    fits. Facts before the key's first version (or with no key) keep
+    NULL attrs — left join, never dropped.
+    """
+    dim = scd2.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        F.col("valid_from").alias("_vf"),
+        F.col("valid_to").alias("_vt"),
+        *[F.col(a) for a in attrs],
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_dk_{k}"))
+    cond = cond & (F.col(fact_ts) >= F.col("_vf")) & (
+        F.col("_vt").isNull() | (F.col(fact_ts) < F.col("_vt"))
+    )
+    return facts.join(dim, cond, "left").drop(
+        *[f"_dk_{k}" for k in keys], "_vf", "_vt"
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

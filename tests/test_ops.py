@@ -749,3 +749,38 @@ def test_dwell_segments(spark):
         (1, "A"): (2, 300_000_000),
         (1, "B"): (1, 300_000_007),
     }
+
+
+def test_scd2_lookup(spark):
+    """As-of enrichment against the SCD2 dimension: boundary probes hit
+    the interval STARTING at the probe ts ([from, to) semantics), probes
+    before the first version get NULL, open rows catch everything after,
+    tied-timestamp versions leave zero-width intervals that match
+    nothing, and the join never fans out (one row per fact)."""
+    from datetime import date
+
+    from insights_spark.ops.latest import scd2_intervals, scd2_lookup
+
+    d = date
+    hist = spark.createDataFrame(
+        [("n", 1, 1, d(2021, 1, 1)), ("n", 1, 2, d(2021, 2, 1)),
+         ("n", 1, 3, d(2021, 2, 1)),   # tied ts: v2's interval is empty
+         ("n", 2, 1, d(2021, 6, 1))],
+        "type string, id long, version long, timestamp date",
+    )
+    dim = scd2_intervals(hist).select(
+        "type", "id", "version", "valid_from", "valid_to")
+    facts = spark.createDataFrame(
+        [(1, "n", 1, d(2020, 12, 1)),  # before first → NULL
+         (2, "n", 1, d(2021, 1, 15)),  # inside v1
+         (3, "n", 1, d(2021, 2, 1)),   # boundary → v3 (v2 zero-width)
+         (4, "n", 1, d(2022, 1, 1)),   # open row
+         (5, "n", 2, d(2021, 1, 1)),   # other key, before first
+         (6, "x", 9, d(2021, 1, 1))],  # unknown key
+        "fid long, type string, id long, ts date",
+    )
+    out = scd2_lookup(facts, dim, keys=("type", "id"),
+                      attrs=("version",)).collect()
+    assert len(out) == 6  # no fan-out
+    got = {r["fid"]: r["version"] for r in out}
+    assert got == {1: None, 2: 1, 3: 3, 4: 3, 5: None, 6: None}
