@@ -1708,6 +1708,32 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts (text/links.py triangle_counts) over the
+    pagerank fixture's deterministic 3-out graph: degree-ordered
+    orientation caps the wedge join at O(√m) out-degree per node (the
+    hub-skew bound id-order cannot give); the result is
+    orientation-invariant, so the oracle verifies with the plain
+    canonical a<b<c three-way self-join."""
+    from insights_spark.text.links import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                F.pmod(F.col("doc_id") * 7919 + 104729 * k, F.col("n"))
+                for k in (1, 2, 3)
+            ])).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return triangle_counts(edges)
+
+
 def _q_scd2_lookup(spark, sf_dir):
     """SCD2 as-of enrichment (ops/latest.py scd2_lookup): every order
     probes the element dimension at its order date — ONE key equi-join
@@ -2762,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": _q_score_calibration,
         "lang_margin": _q_lang_margin,
         "scd2_lookup": _q_scd2_lookup,
+        "triangles": _q_triangles,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -5050,6 +5077,27 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["triangles"] = """
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 mod(doc_id * 7919 + 104729 * k, (SELECT n FROM n)) AS dst
+          FROM documents, unnest([1, 2, 3]) AS t(k)),
+        ue AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src != dst),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM ue e1
+          JOIN ue e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b),
+        corners AS (
+          SELECT a AS id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY id
     """
     out["scd2_lookup"] = """
         WITH el AS (

@@ -144,6 +144,7 @@ HEADLINE = [
     "score_calibration",
     "lang_margin",
     "scd2_lookup",
+    "triangles",
 ]
 
 

@@ -48,3 +48,26 @@ def test_bfs_unreachable_absent_and_partitioning_invariant(spark):
     out2 = _dists(
         bfs_hop_distance(e.repartition(7), _src(spark, [0]), max_hops=6))
     assert out2 == out
+
+
+def test_triangle_counts(spark):
+    """Degree-ordered triangle counting vs known graphs: K4 (every node
+    in 3 triangles), a disjoint 3-cycle, a pendant node (absent), a
+    star (no triangles at all), and invariance to edge direction /
+    duplication in the input."""
+    from insights_spark.text.links import triangle_counts
+
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b] + \
+            [(4, 5), (6, 7), (7, 8), (8, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+    # one-directional + duplicated edges give the same answer
+    half = [(6, 7), (7, 8), (6, 8), (6, 7), (8, 7)]
+    got2 = {r["id"]: r["n_triangles"]
+            for r in triangle_counts(
+                spark.createDataFrame(half, "src long, dst long")).collect()}
+    assert got2 == {6: 1, 7: 1, 8: 1}
+    star = [(0, i) for i in range(1, 9)]
+    assert triangle_counts(
+        spark.createDataFrame(star, "src long, dst long")).count() == 0
