@@ -1708,6 +1708,28 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_rolling_active(spark, sf_dir):
+    """Trailing-7-day active users per day from stored per-day HLL
+    sketches (ops/timeseries.py rolling_active_sketches): one raw scan,
+    bounded sequence-explode contribution join, register-max merges —
+    never a distinct over a range window, never a window_days× re-scan.
+    Rows-only driver check (HLL internals engine-specific); the
+    lossless-merge equality is pytest-pinned."""
+    from insights_spark.ops.timeseries import rolling_active_sketches
+
+    return rolling_active_sketches(_t(spark, sf_dir, "events"), 7)
+
+
+def _q_event_transitions(spark, sf_dir):
+    """First-order clickstream transition matrix (ops/sessions.py
+    event_transitions): per-user lag window → (cur, nxt) pair rollup →
+    probability as one division over the |types|²-row pair table. Ties
+    on ts break by event_id on both engines."""
+    from insights_spark.ops.sessions import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def _q_triangles(spark, sf_dir):
     """Per-node triangle counts (text/links.py triangle_counts) over the
     pagerank fixture's deterministic 3-out graph: degree-ordered
@@ -2789,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_margin": _q_lang_margin,
         "scd2_lookup": _q_scd2_lookup,
         "triangles": _q_triangles,
+        "event_transitions": _q_event_transitions,
+        "rolling_active": _q_rolling_active,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -5077,6 +5101,20 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["event_transitions"] = """
+        WITH p AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events),
+        g AS (
+          SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        SELECT cur, nxt, n,
+               CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+        FROM g
     """
     out["triangles"] = """
         WITH n AS (SELECT count(*) AS n FROM documents),

@@ -145,6 +145,8 @@ HEADLINE = [
     "lang_margin",
     "scd2_lookup",
     "triangles",
+    "event_transitions",
+    "rolling_active",
 ]
 
 

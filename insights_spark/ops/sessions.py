@@ -302,3 +302,39 @@ def dwell_segments(
             F.sum("_dwell_us").cast("bigint").alias("dwell_us"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for each (current type → next type) pair, how often it occurs and
+    its probability among the current type's outgoing transitions — the
+    clickstream model behind next-action prediction and funnel design.
+
+    One lag window per user (same shuffle as sessionize), one pair
+    rollup; the probability is a single division of two BIGINT counts
+    (total via a window over the TYPE-PAIR rollup, whose cardinality is
+    |types|² — a few dozen rows, not data-sized). Last events of each
+    user have no successor and drop out.
+
+    Output: (cur, nxt, n, p).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    pairs = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("_nxt", F.lead(type_col).over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col(type_col).alias("cur"), F.col("_nxt").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy("cur")
+    return pairs.select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+         ).alias("p"),
+    )

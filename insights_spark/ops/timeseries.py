@@ -167,3 +167,48 @@ def merge_distinct_sketches(
             F.hll_sketch_estimate("_m").cast("bigint").alias("est_distinct"),
         )
     )
+
+
+def rolling_active_sketches(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU + trailing-window active users per day from HLL sketches —
+    the DAU/WAU/MAU board without ever re-scanning raw events: the fact
+    table is touched ONCE (one day-keyed sketch build); every trailing
+    window is a register-max merge of ≤ window_days stored sketches.
+
+    The naive alternatives both fail at scale: count_distinct OVER a
+    RANGE frame holds per-user state per day, and a day×window re-scan
+    reads the raw table window_days times. Here each day's sketch
+    contributes to its next window_days target days via a bounded
+    sequence-explode (window_days rows per day — dimension-sized), one
+    groupBy merges. Merge is lossless wrt the sketch (register max), so
+    the trailing estimate EQUALS a direct build over the window's raw
+    union — pytest-pinned.
+
+    Output: (day date, dau_est, wactive_est) for days present in the
+    data (trailing windows anchored on observed days only).
+    """
+    by_day = events.select(
+        F.col(ts_col).cast("date").alias("day"), F.col(user_col).alias("u")
+    )
+    sk = by_day.groupBy("day").agg(
+        F.hll_sketch_agg("u").alias("sketch")
+    )
+    contrib = sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
+        F.col("day"), "sketch",
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("tday"), "sketch")
+    wactive = contrib.groupBy("tday").agg(
+        F.hll_union_agg("sketch").alias("_m")
+    ).select(
+        F.col("tday").alias("day"),
+        F.hll_sketch_estimate("_m").cast("bigint").alias("wactive_est"),
+    )
+    dau = sk.select(
+        "day", F.hll_sketch_estimate("sketch").cast("bigint").alias("dau_est")
+    )
+    return dau.join(wactive, "day").select("day", "dau_est", "wactive_est")

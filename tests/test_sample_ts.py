@@ -230,3 +230,33 @@ def test_distinct_sketch_rollup(spark, tmp_path):
             for r in merge_distinct_sketches(
                 spark.read.parquet(p), ("et",)).collect()}
     assert back == merged
+
+
+def test_rolling_active_sketches(spark):
+    """The trailing-window estimate EQUALS a direct sketch build over the
+    window's raw union (lossless register-max merge), DAU matches exact
+    counts at tiny cardinality, and windows anchor only on observed
+    days."""
+    import datetime as _dt
+
+    from insights_spark.ops.timeseries import rolling_active_sketches
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in [0, 1, 2, 5, 9]:  # gap days: 3-4 and 6-8 silent
+        for u in range(10 + d):
+            rows.append((eid, base + _dt.timedelta(days=d, hours=u % 24), u))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+    got = {str(r["day"]): (r["dau_est"], r["wactive_est"])
+           for r in rolling_active_sketches(ev, window_days=3).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-03",
+                        "2024-01-06", "2024-01-10"}  # observed days only
+    # tiny cardinalities: HLL exact here → DAU = users that day,
+    # trailing-3 = union of days t-2..t
+    assert got["2024-01-01"] == (10, 10)
+    assert got["2024-01-02"] == (11, 11)   # users ⊂ day-2's set
+    assert got["2024-01-03"] == (12, 12)
+    assert got["2024-01-06"] == (15, 15)   # days 4-5 silent; only day 5's
+    assert got["2024-01-10"] == (19, 19)
