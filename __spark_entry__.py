@@ -1708,6 +1708,47 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_cube_rollup(spark, sf_dir):
+    """OLAP ROLLUP over the flagship's located events: tile-density
+    totals at (country, z-tile), per-country subtotals, and the grand
+    total in ONE pass — Spark's native `rollup()` compiles to a single
+    Expand + aggregation (no per-level re-scan), the same shape DuckDB's
+    ROLLUP produces. grouping_id disambiguates NULL-as-subtotal from
+    NULL-as-value (events outside every country)."""
+    from insights_spark.geo import pip, tiles
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    located = tiles.with_tile(pip.assign_country(pts, _boundary_rows()), z=4)
+    return (
+        located.rollup("country", "x")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("density"),
+        )
+        .select("country", F.col("x").cast("long").alias("x"), "gid", "density")
+    )
+
+
+def _q_pivot_counts(spark, sf_dir):
+    """Pivot surface: per-user event counts spread into one column per
+    event type (`groupBy().pivot(values pinned)`) — pinning the pivot
+    values keeps the plan a single pass with NO distinct-values pre-query
+    (the two-job surprise of unpinned pivot). Oracle = conditional
+    aggregation, which is exactly what pivot compiles to."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in types],
+    )
+
+
 def _q_rolling_active(spark, sf_dir):
     """Trailing-7-day active users per day from stored per-day HLL
     sketches (ops/timeseries.py rolling_active_sketches): one raw scan,
@@ -2813,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "event_transitions": _q_event_transitions,
         "rolling_active": _q_rolling_active,
+        "cube_rollup": _q_cube_rollup,
+        "pivot_counts": _q_pivot_counts,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -5101,6 +5144,33 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["cube_rollup"] = f"""
+        WITH pts AS (
+          SELECT event_id, {_POINTS_SQL.format(k="event_id")} FROM events),
+        loc AS (
+          SELECT {_country_case_sql()} AS country,
+                 greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 16.0)
+                                        AS INT), 15)) AS x
+          FROM pts)
+        SELECT country, CAST(x AS BIGINT) AS x,
+               CAST(GROUPING(country, x) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS density
+        FROM loc GROUP BY ROLLUP (country, x)
+    """
+    out["pivot_counts"] = """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error
+        FROM events GROUP BY user_id
     """
     out["event_transitions"] = """
         WITH p AS (

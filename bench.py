@@ -147,6 +147,8 @@ HEADLINE = [
     "triangles",
     "event_transitions",
     "rolling_active",
+    "cube_rollup",
+    "pivot_counts",
 ]
 
 

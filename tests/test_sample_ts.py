@@ -260,3 +260,30 @@ def test_rolling_active_sketches(spark):
     assert got["2024-01-03"] == (12, 12)
     assert got["2024-01-06"] == (15, 15)   # days 4-5 silent; only day 5's
     assert got["2024-01-10"] == (19, 19)
+
+
+def test_cube_rollup_and_pivot_queries(spark):
+    """ROLLUP invariants on the registered query at sf0.001: every level
+    sums to the grand total, gid separates NULL-as-subtotal from
+    NULL-as-value; pivot row count == distinct users and per-user counts
+    sum to the table size."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    r = e.queries()["cube_rollup"](spark, sf).collect()
+    grand = [x for x in r if x["gid"] == 3]
+    assert len(grand) == 1
+    total = grand[0]["density"]
+    assert sum(x["density"] for x in r if x["gid"] == 0) == total
+    assert sum(x["density"] for x in r if x["gid"] == 1) == total
+    # NULL country appears BOTH as a value (gid 0/1) and inside subtotals
+    assert any(x["country"] is None and x["gid"] == 1 for x in r)
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert total == n_events
+
+    p = e.queries()["pivot_counts"](spark, sf).collect()
+    users = spark.read.parquet(f"{sf}/events.parquet") \
+        .select("user_id").distinct().count()
+    assert len(p) == users
+    cols = [c for c in p[0].asDict() if c.startswith("n_")]
+    assert sum(sum(row[c] for c in cols) for row in p) == n_events
