@@ -2804,8 +2804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Cumulatively across CORRECTNESS_r01-r04 every registered
     # query EXCEPT eleven has a driver-green row (VERDICT r4 "What's
     # missing" #1) — those eleven lead this round, followed by queries NEW
-    # in round 5, so that by r05 the cumulative driver coverage is 111/111
-    # plus the round-5 additions.
+    # in round 5 (sections a+b = 47 entries, all inside the 50-window), so
+    # that by r05 the cumulative driver coverage is 111/111 plus every
+    # round-5 addition; the window's last 3 slots re-green (c) entries.
     return {
         # (a) registered late in r4, never through the driver's own gate
         "zonal_stats": _q_zonal_stats,
