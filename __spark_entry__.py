@@ -1708,6 +1708,36 @@ def _build_elements_with_changeset(spark, sf_dir):
     )
 
 
+def _q_unpivot_counts(spark, sf_dir):
+    """Unpivot (melt) surface — the inverse reshape of pivot_counts:
+    wide per-user type counts back to long (user_id, event_type, n) via
+    DataFrame.unpivot, zero-count cells preserved (the round trip is
+    lossless, unlike re-aggregating raw events which drops absent
+    pairs). Map-only on the wide table."""
+    wide = _q_pivot_counts(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        wide.unpivot(
+            "user_id", [f"n_{t}" for t in types], "metric", "n"
+        )
+        .select(
+            "user_id",
+            F.expr("substring(metric, 3)").alias("event_type"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def _q_event_gaps(spark, sf_dir):
+    """Inter-arrival cadence per event type (ops/sessions.py
+    event_gap_stats): per-(user, type) lag window → exact interpolated
+    p50/p90 of gap seconds — session-timeout tuning / bot-cadence
+    profiling. Gap = integer µs / 1e6, identical doubles both engines."""
+    from insights_spark.ops.sessions import event_gap_stats
+
+    return event_gap_stats(_t(spark, sf_dir, "events"))
+
+
 def _q_cube_rollup(spark, sf_dir):
     """OLAP ROLLUP over the flagship's located events: tile-density
     totals at (country, z-tile), per-country subtotals, and the grand
@@ -2857,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active": _q_rolling_active,
         "cube_rollup": _q_cube_rollup,
         "pivot_counts": _q_pivot_counts,
+        "event_gaps": _q_event_gaps,
+        "unpivot_counts": _q_unpivot_counts,
         # (c) driver-green in earlier rounds (re-greened as window filler)
         "ann_ivf": _q_ann_ivf,
         "audio_features": _q_audio_features,
@@ -5145,6 +5177,29 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mod(doc_id * 1000003 + 7, 1000) < 100
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """
+    out["unpivot_counts"] = """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        t AS (SELECT * FROM (VALUES ('click'), ('view'), ('purchase'),
+                                    ('signup'), ('error')) v(et)),
+        c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+        SELECT u.user_id, t.et AS event_type,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM u CROSS JOIN t
+        LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.et
+    """
+    out["event_gaps"] = """
+        WITH g AS (
+          SELECT event_type,
+                 (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id)))::DOUBLE / 1000000.0 AS gap_s
+          FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               quantile_cont(gap_s, 0.5) AS p50_gap_s,
+               quantile_cont(gap_s, 0.9) AS p90_gap_s
+        FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
     """
     out["cube_rollup"] = f"""
         WITH pts AS (

@@ -149,6 +149,8 @@ HEADLINE = [
     "rolling_active",
     "cube_rollup",
     "pivot_counts",
+    "event_gaps",
+    "unpivot_counts",
 ]
 
 

@@ -338,3 +338,48 @@ def event_transitions(
         (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
          ).alias("p"),
     )
+
+
+def event_gap_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Activity-cadence profile: per event type, the median and p90 of
+    the gap (seconds) since the SAME user's previous event of that type
+    — the inter-arrival distribution behind session-timeout tuning and
+    bot detection (machine traffic has freakishly tight, regular gaps).
+
+    One lag window per (user, type) — same key family as sessionize —
+    then a per-type exact percentile rollup (interpolated `percentile`
+    == quantile_cont, the lang_quality_median parity rule; percentile
+    state is bounded per type, and |types| is small by definition for
+    this rollup to make sense). Gaps are exact integer microseconds
+    converted with one division by 1e6 — identical IEEE doubles on both
+    engines. First events per (user, type) have no gap and drop out.
+
+    Output: (event_type, n_gaps, p50_gap_s, p90_gap_s).
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    prev = F.lag(ts_col).over(w)
+    gaps = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn(
+            "_gap_s",
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            ).cast("double")
+            / F.lit(1000000.0),
+        )
+        .filter(F.col("_gap_s").isNotNull())
+    )
+    return gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("percentile(_gap_s, 0.5)").alias("p50_gap_s"),
+        F.expr("percentile(_gap_s, 0.9)").alias("p90_gap_s"),
+    )

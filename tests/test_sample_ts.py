@@ -287,3 +287,37 @@ def test_cube_rollup_and_pivot_queries(spark):
     assert len(p) == users
     cols = [c for c in p[0].asDict() if c.startswith("n_")]
     assert sum(sum(row[c] for c in cols) for row in p) == n_events
+
+
+def test_event_gaps_and_unpivot(spark):
+    """event_gap_stats: hand-computed gaps per type (cross-user streams
+    independent, first events excluded, exact interpolated percentiles);
+    unpivot round trip: pivot → melt is lossless including zero cells."""
+    import datetime as _dt
+
+    import __spark_entry__ as e
+    from insights_spark.ops.sessions import event_gap_stats
+
+    t0 = _dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + _dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(0), "click"), (2, 1, s(10), "click"), (3, 1, s(40), "click"),
+        (4, 2, s(0), "click"), (5, 2, s(20), "click"),
+        (6, 1, s(5), "view"),  # single event of its type: no gap row
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    got = {r["event_type"]: (r["n_gaps"], r["p50_gap_s"], r["p90_gap_s"])
+           for r in event_gap_stats(ev).collect()}
+    # click gaps: u1 → 10, 30; u2 → 20 → sorted [10, 20, 30]
+    assert got["click"] == (3, 20.0, 28.0)  # p90 interpolated: 20+0.8*10
+    assert "view" not in got
+
+    sf = "/root/testdata/sf0.001"
+    long = e.queries()["unpivot_counts"](spark, sf)
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    users = spark.read.parquet(f"{sf}/events.parquet") \
+        .select("user_id").distinct().count()
+    rows2 = long.collect()
+    assert len(rows2) == users * 5       # zero cells preserved
+    assert sum(r["n"] for r in rows2) == n_events
