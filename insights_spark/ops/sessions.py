@@ -1,9 +1,12 @@
-"""Sessionization — gaps-and-islands over per-user event streams.
+"""Per-user event-stream analytics: sessionization, funnels, cohorts,
+dwell, transitions, cadence — the gaps-and-islands / lag-window family.
 
 A web-scale training-data pipeline needs user/session rollups (session
 boundaries feed both analytics and per-session document grouping). The
 reference has no session operator (its closest shape is the chunked
-driver loop, insights.py:1-40); this is engine-native:
+driver loop, insights.py:1-40); this is engine-native. Everything here
+shares ONE cost envelope: windows and joins keyed on the user partition,
+no global shuffle, skew bounded by the busiest single user:
 
 Batch path (:func:`sessionize`): classic gaps-and-islands —
 ``lag(ts) OVER (PARTITION BY user ORDER BY ts)`` → new-session flag when
