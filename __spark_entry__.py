@@ -2756,6 +2756,27 @@ def _q_moran_i(spark, sf_dir):
     return moran_i_exact(counts)
 
 
+def _q_getis_ord(spark, sf_dir):
+    """Per-cell Getis-Ord G_i* hotspot flags (geo/smooth.py:
+    getis_ord_exact) — the LOCAL sibling of moran_i: which hex cells are
+    significantly hot at z > 1.96, decided by an exact integer
+    cross-multiplied significance test (no sqrt, no floats). Cells are
+    weighted by floor(value) — floor is exact in both engines, and raw
+    counts on this hash-spread fixture are TOO uniform to light any cell
+    (measured: 0/1721 hot) while the value surface yields 46/1721 ≈ the
+    2.5% a z>1.96 tail should pass, keeping the flag non-vacuous (pii
+    precedent). Same res-1 fixture reasoning as hex_smooth/moran_i."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.smooth import getis_ord_exact
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id", "value"),
+                  "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.sum(F.floor(F.col("value"))).cast("long").alias("n"))
+    return getis_ord_exact(counts)
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-point int64 PageRank (text/links.py), 5 supersteps over a
     deterministic 3-out link graph on the documents table (dst =
@@ -2850,7 +2871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize": _q_quantize,
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
-        # (b) new in round 5
+        # (b) new in round 5 (newest first — session-5 additions lead)
+        "getis_ord": _q_getis_ord,
         "hot_changesets_inc": _q_hot_changesets_inc,
         "pagerank": _q_pagerank,
         "moran_i": _q_moran_i,
@@ -5556,6 +5578,41 @@ def oracle_sql() -> dict[str, str]:
         dn AS (SELECT CAST(COALESCE(sum(dev::HUGEINT * dev::HUGEINT), 0)
                            AS DECIMAL(38,0)) AS den FROM base)
         SELECT t.n_cells, pr.w_pairs, pr.num, dn.den FROM tot t, pr, dn
+    """
+    # Getis-Ord G_i*: the hex chain carries the exact integer weight
+    # w = floor(value) (floor-then-cast is exact in both engines; a bare
+    # double->BIGINT cast would truncate in Spark but ROUND in DuckDB);
+    # ring fan-out replays RING1 incl. self; the z>1.96 test is the same
+    # integer cross-multiplication, HUGEINT products vs Spark DECIMAL(38,0).
+    _go_src = ("SELECT event_id, CAST(floor(value) AS BIGINT) AS w, "
+               + _POINTS_SQL.format(k="event_id") + " FROM events")
+    _go_num = "(n_cells * ring_wx - ring_w * s_tot)"
+    out["getis_ord"] = f"""
+        WITH {_hex_cells_chain_sql(1, src=_go_src, carry="event_id, w")},
+        cnts AS (SELECT cell, CAST(sum(w) AS BIGINT) AS n
+                 FROM hexed GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                       CAST(sum(n) AS BIGINT) AS s_tot,
+                       CAST(sum(n * n) AS BIGINT) AS q_tot FROM cnts),
+        fan AS (SELECT n AS xj, cell + d AS target FROM cnts,
+                (SELECT unnest([0, 268435456, -268435456, 1, -1,
+                                268435455, -268435455]) AS d)),
+        ring AS (SELECT target AS cell, CAST(count(*) AS BIGINT) AS ring_w,
+                        CAST(sum(xj) AS BIGINT) AS ring_wx
+                 FROM fan GROUP BY 1),
+        j AS (SELECT c.cell, c.n AS x, r.ring_w, r.ring_wx,
+                     t.n_cells, t.s_tot, t.q_tot
+              FROM cnts c JOIN ring r USING (cell), tot t)
+        SELECT cell, x, ring_w, ring_wx,
+               CAST({_go_num} AS BIGINT) AS gi_num,
+               CAST(({_go_num} > 0) AND
+                    (625::HUGEINT * (n_cells - 1)
+                         * {_go_num}::HUGEINT * {_go_num}::HUGEINT
+                     > 2401::HUGEINT
+                         * (n_cells * q_tot - s_tot * s_tot)::HUGEINT
+                         * (n_cells * ring_w - ring_w * ring_w)::HUGEINT)
+                    AS INT) AS is_hot
+        FROM j
     """
     out["pagerank"] = _pagerank_sql(5)
     # BFS: UNION (not ALL) dedups (id, dist) pairs, so the recursion

@@ -269,3 +269,96 @@ def moran_i_exact(
         .crossJoin(F.broadcast(den))
         .select("n_cells", "w_pairs", "num", "den")
     )
+
+
+def getis_ord_exact(
+    cell_counts: DataFrame,
+    cell_col: str = "cell",
+    cnt_col: str = "n",
+    z_num: int = 49,
+    z_den: int = 25,
+) -> DataFrame:
+    """Per-cell Getis–Ord G_i* hotspot statistic over the hex-cell rollup
+    in EXACT integer arithmetic (Getis & Ord 1992 / Ord & Getis 1995,
+    public; the "star" variant where the cell weights itself, w_ii = 1).
+
+    The local sibling of ``moran_i_exact``: Moran's I answers "is the
+    WHOLE surface clustered?", G_i* answers "WHICH cells are hot?" — the
+    per-cell z-score behind every hotspot map:
+
+        z_i = (Σ_j w_ij x_j − x̄ W_i)
+              / ( s·sqrt( (n·W_i − W_i²) / (n−1) ) )
+
+    with W_i = Σ_j w_ij (occupied ring positions incl. self), S = Σx,
+    Q = Σx², x̄ = S/n, s² = Q/n − x̄². Floats + sqrt would poison the
+    bit-exact oracle gate, so the kernel multiplies through by n and
+    squares the significance test. Per occupied cell it returns integers
+
+        (cell, x, ring_w = W_i, ring_wx = Σ_j w_ij x_j,
+         gi_num = n·ring_wx − W_i·S)
+
+    and the flag ``is_hot`` ⟺ z_i > z_num/z_den (default 49/25 = 1.96,
+    the two-sided 5% Gaussian point) evaluated EXACTLY:
+
+        gi_num > 0  AND
+        z_den²·(n−1)·gi_num² > z_num²·(n·Q − S²)·(n·W_i − W_i²)
+
+    — every factor an integer both engines derive identically; the two
+    big products ride DECIMAL(38,0) (gi_num can reach ~10⁹ at sf1 scale;
+    its square overflows int64). The consumer recovers the float z-score
+    as gi_num·sqrt((n−1)/((n·Q−S²)·(n·W_i−W_i²))) when it wants one.
+
+    Scale posture (100 TB): input is the OCCUPIED-cell rollup (bounded by
+    distinct cells, not events). One 7× explode + ONE shuffle keyed on the
+    target cell id + an equi-join back to occupied cells (AQE
+    co-partitioned) + a 3-scalar global agg broadcast back — the same
+    2-shuffle layout as hex_focal_smooth; no UDF, no collect, and the
+    oracle replays every step in ANSI SQL.
+    """
+    occ = cell_counts.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(cnt_col).cast("long").alias("x"),
+    )
+    tot = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("x").cast("long").alias("s_tot"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_tot"),
+    )
+    targets = F.array(
+        *[
+            F.col("cell") + F.lit(dq * (1 << 28) + dr).cast("long")
+            for (dq, dr) in RING1
+        ]
+    )
+    contrib = occ.select(F.explode(targets).alias("_t"), F.col("x").alias("_xj"))
+    ring = contrib.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("ring_w"),
+        F.sum("_xj").cast("long").alias("ring_wx"),
+    )
+    j = (
+        occ.join(ring, occ["cell"] == ring["_t"])
+        .drop("_t")
+        .crossJoin(F.broadcast(tot))
+    )
+    gi_num = (F.col("n_cells") * F.col("ring_wx")
+              - F.col("ring_w") * F.col("s_tot"))
+    var_g = (F.col("n_cells") * F.col("q_tot")
+             - F.col("s_tot") * F.col("s_tot"))
+    var_l = (F.col("n_cells") * F.col("ring_w")
+             - F.col("ring_w") * F.col("ring_w"))
+    lhs = (
+        gi_num.cast("decimal(19,0)") * gi_num.cast("decimal(19,0)")
+        * ((F.col("n_cells") - 1) * F.lit(z_den * z_den)).cast("decimal(19,0)")
+    )
+    rhs = (
+        var_g.cast("decimal(19,0)") * var_l.cast("decimal(19,0)")
+        * F.lit(z_num * z_num).cast("decimal(19,0)")
+    )
+    return j.select(
+        "cell",
+        "x",
+        "ring_w",
+        "ring_wx",
+        gi_num.cast("long").alias("gi_num"),
+        ((gi_num > 0) & (lhs > rhs)).cast("int").alias("is_hot"),
+    )

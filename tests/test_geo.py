@@ -1085,3 +1085,64 @@ def test_dp_simplify_properties(spark):
         for i in range(a + 1, b):
             cross = (xs[i] - xs[a]) * dy - (ys[i] - ys[a]) * dx
             assert cross * cross <= seg2 * tol * tol + 1e-12
+
+
+def test_getis_ord_hand_and_brute_force(spark):
+    """G_i* integer columns and the exact z>1.96 flag vs a python brute
+    force (fractions-exact, independent code path) over a lattice with a
+    spike, a dense uniform blob, and isolated singletons — plus the hand
+    case: a lone spike above a flat floor is hot, the floor is not."""
+    import random
+    from fractions import Fraction
+
+    from insights_spark.geo.cells import hex_encode, hex_ring_ids
+    from insights_spark.geo.smooth import getis_ord_exact
+
+    # hand case: 7x7 flat floor of 1s with a 100-spike in the middle.
+    # (a 5x5 floor is NOT enough: the spike inflates the global s so much
+    # its own z is only ~1.6 — the statistic is self-damping on tiny n)
+    occupied = {}
+    for dq in range(-3, 4):
+        for dr in range(-3, 4):
+            occupied[hex_encode(6, dq, dr)] = 1
+    spike = hex_encode(6, 0, 0)
+    occupied[spike] = 100
+    df = spark.createDataFrame(
+        [(c, n) for c, n in occupied.items()], "cell long, n long")
+    got = {r["cell"]: r for r in getis_ord_exact(df).collect()}
+    assert got[spike]["is_hot"] == 1
+    corner = hex_encode(6, -3, -3)
+    assert got[corner]["is_hot"] == 0
+
+    # brute force on a mixed random surface
+    rng = random.Random(43)
+    occupied = {}
+    for dq in range(-2, 3):
+        for dr in range(-2, 3):
+            occupied[hex_encode(6, dq, dr)] = rng.randint(1, 60)
+    for _ in range(30):
+        occupied[hex_encode(6, rng.randint(-40, 40), rng.randint(-40, 40))] = (
+            rng.randint(1, 60)
+        )
+    df = spark.createDataFrame(
+        [(c, n) for c, n in occupied.items()], "cell long, n long")
+    got = {r["cell"]: r for r in getis_ord_exact(df).collect()}
+    assert set(got) == set(occupied)
+
+    n = len(occupied)
+    s = sum(occupied.values())
+    q = sum(v * v for v in occupied.values())
+    for c, x in occupied.items():
+        # hex_ring_ids already includes the cell itself (the G_i* star)
+        ring = [y for y in hex_ring_ids(c, 1) if y in occupied]
+        w_i = len(ring)
+        wx = sum(occupied[y] for y in ring)
+        r = got[c]
+        assert (r["x"], r["ring_w"], r["ring_wx"]) == (x, w_i, wx)
+        gi_num = n * wx - w_i * s
+        assert r["gi_num"] == gi_num
+        # exact rational z² compare, fractions so no float rounding
+        lhs = Fraction(gi_num * gi_num * (n - 1))
+        rhs = Fraction(49, 25) ** 2 * (n * q - s * s) * (n * w_i - w_i * w_i)
+        want_hot = 1 if (gi_num > 0 and lhs > rhs) else 0
+        assert r["is_hot"] == want_hot, (c, gi_num, lhs, rhs)
