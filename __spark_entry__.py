@@ -2777,6 +2777,21 @@ def _q_getis_ord(spark, sf_dir):
     return getis_ord_exact(counts)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter (text/lm.py): a bigram model trained
+    on the trusted slice doc_id % 4 == 0 scores EVERY document in integer
+    milli-bits per bigram (floor-log2-quantized Laplace surprisal — no
+    libm, so the oracle matches bit-for-bit). keep_below 24450 splits the
+    sf0.01 fixture non-vacuously (measured: train docs average 24302,
+    held-out 24484; ~half the corpus on each side of the cut)."""
+    from insights_spark.text.lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(
+        docs, F.expr("doc_id % 4 = 0"), keep_below_milli=24450
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-point int64 PageRank (text/links.py), 5 supersteps over a
     deterministic 3-out link graph on the documents table (dst =
@@ -2873,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
         "getis_ord": _q_getis_ord,
+        "lm_perplexity": _q_lm_perplexity,
         "hot_changesets_inc": _q_hot_changesets_inc,
         "pagerank": _q_pagerank,
         "moran_i": _q_moran_i,
@@ -5578,6 +5594,33 @@ def oracle_sql() -> dict[str, str]:
         dn AS (SELECT CAST(COALESCE(sum(dev::HUGEINT * dev::HUGEINT), 0)
                            AS DECIMAL(38,0)) AS den FROM base)
         SELECT t.n_cells, pr.w_pairs, pr.num, dn.den FROM tot t, pr, dn
+    """
+    # Bigram-LM surprisal: the token chain is the shared _TOKENS split;
+    # bigrams via LATERAL generate_series (1-based list index i, i+1 =
+    # Spark's 0-based t[i-1], t[i]); the floor-log2 quantization is
+    # length(bin(q))-1 in BOTH engines — no libm log anywhere.
+    out["lm_perplexity"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM d, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+        tr AS (SELECT * FROM g WHERE doc_id % 4 = 0),
+        big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM tr GROUP BY 1, 2),
+        uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        voc AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM tr),
+        sc AS (SELECT g.doc_id,
+                      ((COALESCE(u.c1, 0) + voc.v) * {1 << 20})
+                          // (COALESCE(b.c12, 0) + 1) AS q
+               FROM g LEFT JOIN big b USING (w1, w2)
+                      LEFT JOIN uni u USING (w1), voc),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(length(bin(q)) - 1) AS BIGINT) AS bits_sum
+               FROM sc GROUP BY 1)
+        SELECT doc_id, n_bigrams, bits_sum,
+               (bits_sum * 1000) // n_bigrams AS bits_per_bigram_milli,
+               CAST((bits_sum * 1000) // n_bigrams < 24450 AS INT) AS keep
+        FROM pd
     """
     # Getis-Ord G_i*: the hex chain carries the exact integer weight
     # w = floor(value) (floor-then-cast is exact in both engines; a bare

@@ -1472,3 +1472,60 @@ def test_lang_margin(spark):
     pred = {r["doc_id"]: r["lang_pred"]
             for r in quality.lang_id(docs).collect()}
     assert all(got[i]["lang_pred"] == pred[i] for i in pred)
+
+
+def test_bigram_lm_scores_hand_case(spark):
+    """Exact hand-computed surprisal bits on a 4-doc corpus: the model
+    trains on docs 0 and 4 (id % 4 == 0); an in-model doc scores fewer
+    bits than a fully-OOV doc and the keep threshold separates them; a
+    1-token doc is dropped (guards the sequence(1,0) reversed-pair trap);
+    min_count prunes hapax bigrams."""
+    from insights_spark.text.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),          # train: (the,cat) (cat,sat)
+            (4, "the cat ran"),          # train: (the,cat) (cat,ran)
+            (1, "the cat sat"),          # in-model doc
+            (2, "zig zag zog"),          # fully OOV doc
+            (3, "word"),                 # 1 token -> no bigrams -> dropped
+        ],
+        "doc_id long, text string",
+    )
+
+    # model: c12(the,cat)=2, c12(cat,sat)=1, c12(cat,ran)=1;
+    # c1(the)=2, c1(cat)=2; V = |{cat, sat, ran}| = 3
+    def bits(c1, c12, v=3):
+        q = ((c1 + v) * (1 << 20)) // (c12 + 1)
+        return q.bit_length() - 1
+
+    in_model = ((bits(2, 2) + bits(2, 1)) * 1000) // 2     # doc 1: 20500
+    oov = ((2 * bits(0, 0)) * 1000) // 2                   # doc 2: 21000
+    assert in_model < oov
+    thresh = (in_model + oov) // 2                         # separates them
+
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            docs, F.expr("doc_id % 4 = 0"), keep_below_milli=thresh
+        ).collect()
+    }
+    assert 3 not in out  # no bigrams
+    assert set(out) == {0, 1, 2, 4}
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["bits_sum"] == bits(2, 2) + bits(2, 1)
+    assert out[1]["bits_per_bigram_milli"] == in_model
+    assert out[1]["keep"] == 1
+    assert out[2]["bits_sum"] == 2 * bits(0, 0)
+    assert out[2]["bits_per_bigram_milli"] == oov
+    assert out[2]["keep"] == 0
+
+    # min_count=2 prunes the hapax bigrams -> doc 1's (cat,sat) backs off
+    out_p = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            docs, F.expr("doc_id % 4 = 0"), keep_below_milli=thresh,
+            min_count=2,
+        ).collect()
+    }
+    assert out_p[1]["bits_sum"] == bits(2, 2) + bits(2, 0)
