@@ -2792,6 +2792,33 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_host_stats(spark, sf_dir):
+    """Host-level crawl rollup (text/urls.py:host_stats). Planted URLs
+    spread docs over 5 hosts with a host-dependent mirror factor: host h
+    gets page ids doc_id DIV (5·(h+1)), so dup_per_mille climbs ≈ 0 / 500
+    / 660 / 750 / 800 across hosts — the keep gate (≤ 600, ≥ 50 docs)
+    splits them 2-keep / 3-drop, non-vacuous both ways. Every 10th doc
+    wears a MESSY spelling (case-variant host, default port, fragment):
+    Spark runs the real canonicalizer on it while the oracle derives the
+    clean form from the planted structure — an independent ground truth,
+    stronger than replaying the same regexes."""
+    from insights_spark.text.urls import host_stats
+
+    h = F.pmod(F.col("doc_id"), F.lit(5))
+    page = F.expr("doc_id DIV (5 * (doc_id % 5 + 1))").cast("string")
+    clean = F.concat(F.lit("https://www.site"), h.cast("string"),
+                     F.lit(".example/p/"), page)
+    messy = F.concat(F.lit("HTTPS://www.Site"), h.cast("string"),
+                     F.lit(".Example:443/p/"), page, F.lit("#ref"))
+    pages = _t(spark, sf_dir, "documents").select(
+        F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 9, messy)
+        .otherwise(clean).alias("url"),
+        F.col("n_chars"),
+    )
+    return host_stats(pages, bytes_col="n_chars", min_docs=50,
+                      max_dup_per_mille=600)
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-point int64 PageRank (text/links.py), 5 supersteps over a
     deterministic 3-out link graph on the documents table (dst =
@@ -2889,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in round 5 (newest first — session-5 additions lead)
         "getis_ord": _q_getis_ord,
         "lm_perplexity": _q_lm_perplexity,
+        "host_stats": _q_host_stats,
         "hot_changesets_inc": _q_hot_changesets_inc,
         "pagerank": _q_pagerank,
         "moran_i": _q_moran_i,
@@ -5594,6 +5622,27 @@ def oracle_sql() -> dict[str, str]:
         dn AS (SELECT CAST(COALESCE(sum(dev::HUGEINT * dev::HUGEINT), 0)
                            AS DECIMAL(38,0)) AS den FROM base)
         SELECT t.n_cells, pr.w_pairs, pr.num, dn.den FROM tot t, pr, dn
+    """
+    # Host rollup: ground truth derived from the PLANTED structure (host
+    # and page id straight from doc_id), independent of the canonicalizer
+    # Spark exercises on the messy 10th-doc variants.
+    out["host_stats"] = """
+        WITH u AS (SELECT doc_id, n_chars, doc_id % 5 AS h,
+                          doc_id // (5 * (doc_id % 5 + 1)) AS page
+                   FROM documents),
+        c AS (SELECT 'www.site' || h || '.example' AS host,
+                     'https://www.site' || h || '.example/p/' || page AS canon,
+                     n_chars
+              FROM u)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canon) AS BIGINT) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+               ((count(*) - count(DISTINCT canon)) * 1000) // count(*)
+                   AS dup_per_mille,
+               CAST(count(*) >= 50 AND
+                    ((count(*) - count(DISTINCT canon)) * 1000) // count(*)
+                        <= 600 AS INT) AS keep
+        FROM c GROUP BY 1
     """
     # Bigram-LM surprisal: the token chain is the shared _TOKENS split;
     # bigrams via LATERAL generate_series (1-based list index i, i+1 =

@@ -94,3 +94,62 @@ def url_dedup(
         "n_variants",
         "n_urls",
     )
+
+
+def host_of(canonical: Column) -> Column:
+    """The host of an already-canonical URL (ports are gone for http/https
+    after canonical_url; other schemes keep theirs)."""
+    return F.regexp_extract(canonical, r"^[^:]+://([^/?#]*)", 1)
+
+
+def host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    bytes_col: str | None = None,
+    min_docs: int = 1,
+    max_dup_per_mille: int = 1000,
+) -> DataFrame:
+    """Host-level crawl rollup + keep/drop decision — the host-granularity
+    filter public pipelines run BEFORE any per-document scoring
+    (RefinedWeb/Falcon drops whole hosts by URL/dup profile; C4's blocklist
+    is host-keyed): a host whose pages are mostly duplicate canonical URLs
+    is a mirror, a crawler trap, or a template farm, and dropping it costs
+    one integer compare instead of a million document scores.
+
+    Output per host: (host, n_docs, n_pages = distinct canonical URLs,
+    total_bytes, dup_per_mille = (n_docs − n_pages)·1000 DIV n_docs,
+    keep = n_docs ≥ min_docs AND dup_per_mille ≤ max_dup_per_mille) — all
+    integers, exactly reproducible.
+
+    Scale posture (100 TB): canonicalization + host extraction are
+    map-only column expressions; the rollup is ONE hash shuffle keyed on
+    host with countDistinct's standard two-phase expansion (partial
+    distinct on (host, canon) first — Catalyst plans it; hosts are the
+    natural unit of crawl skew, and a mega-host lands in the FIRST phase
+    keyed (host, canon), which spreads it). No UDF, no collect.
+    """
+    canon = canonical_url(F.col(url_col))
+    rows = pages.select(
+        host_of(canon).alias("host"),
+        canon.alias("_canon"),
+        (F.col(bytes_col) if bytes_col else F.lit(0)).cast("long").alias("_b"),
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_pages = F.countDistinct("_canon").cast("long")
+    agg = rows.groupBy("host").agg(
+        n_docs.alias("n_docs"),
+        n_pages.alias("n_pages"),
+        F.sum("_b").cast("long").alias("total_bytes"),
+    )
+    dup = F.expr("((n_docs - n_pages) * 1000) DIV n_docs")
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_pages",
+        "total_bytes",
+        dup.alias("dup_per_mille"),
+        (
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (dup <= F.lit(max_dup_per_mille))
+        ).cast("int").alias("keep"),
+    )

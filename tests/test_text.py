@@ -1529,3 +1529,41 @@ def test_bigram_lm_scores_hand_case(spark):
         ).collect()
     }
     assert out_p[1]["bits_sum"] == bits(2, 2) + bits(2, 0)
+
+
+def test_host_stats_hand_case(spark):
+    """Host rollup on hand pages: messy spellings fold into their clean
+    canonical before the distinct count; dup_per_mille is exact integer
+    per-mille; both keep gates (dup ratio, min_docs) fire."""
+    from insights_spark.text.urls import host_stats
+
+    rows = [
+        # mirror.example: 4 fetches of ONE page (2 messy spellings)
+        ("https://mirror.example/a", 10),
+        ("HTTPS://Mirror.Example:443/a#frag", 20),
+        ("https://mirror.example/a?utm_source=x", 30),
+        ("https://mirror.example/a/", 40),
+        # good.example: 4 fetches, 3 distinct pages
+        ("https://good.example/x", 1),
+        ("https://good.example/y", 2),
+        ("https://good.example/z", 3),
+        ("https://good.example/x", 4),
+        # tiny.example: 1 page, fails min_docs
+        ("https://tiny.example/only", 7),
+    ]
+    df = spark.createDataFrame(rows, "url string, b long")
+    got = {
+        r["host"]: r
+        for r in host_stats(
+            df, bytes_col="b", min_docs=2, max_dup_per_mille=500
+        ).collect()
+    }
+    assert got["mirror.example"]["n_docs"] == 4
+    assert got["mirror.example"]["n_pages"] == 1
+    assert got["mirror.example"]["total_bytes"] == 100
+    assert got["mirror.example"]["dup_per_mille"] == 750
+    assert got["mirror.example"]["keep"] == 0
+    assert got["good.example"]["n_pages"] == 3
+    assert got["good.example"]["dup_per_mille"] == 250
+    assert got["good.example"]["keep"] == 1
+    assert got["tiny.example"]["keep"] == 0  # min_docs gate
