@@ -2819,6 +2819,17 @@ def _q_host_stats(spark, sf_dir):
                       max_dup_per_mille=600)
 
 
+def _q_shard_assign(spark, sf_dir):
+    """Equal-byte output-shard layout (text/pack.py:shard_layout): docs in
+    doc_id order cut into ~4 KiB shards by exclusive-prefix-sum offset —
+    the two-phase distributed scan, never a single-partition window. The
+    oracle is the window-function prefix sum, which DuckDB can afford at
+    oracle scale."""
+    from insights_spark.text.pack import shard_layout
+
+    return shard_layout(_t(spark, sf_dir, "documents"), target_bytes=4096)
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-point int64 PageRank (text/links.py), 5 supersteps over a
     deterministic 3-out link graph on the documents table (dst =
@@ -2917,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_ord": _q_getis_ord,
         "lm_perplexity": _q_lm_perplexity,
         "host_stats": _q_host_stats,
+        "shard_assign": _q_shard_assign,
         "hot_changesets_inc": _q_hot_changesets_inc,
         "pagerank": _q_pagerank,
         "moran_i": _q_moran_i,
@@ -5622,6 +5634,20 @@ def oracle_sql() -> dict[str, str]:
         dn AS (SELECT CAST(COALESCE(sum(dev::HUGEINT * dev::HUGEINT), 0)
                            AS DECIMAL(38,0)) AS den FROM base)
         SELECT t.n_cells, pr.w_pairs, pr.num, dn.den FROM tot t, pr, dn
+    """
+    # Shard layout: the oracle's prefix sum is a window function (fine at
+    # oracle scale; the engine side uses the two-phase distributed scan).
+    out["shard_assign"] = """
+        WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS b,
+                          sum(CAST(n_chars AS BIGINT)) OVER (
+                              ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM documents WHERE n_chars > 0)
+        SELECT (cum - b) // 4096 AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1
     """
     # Host rollup: ground truth derived from the PLANTED structure (host
     # and page id straight from doc_id), independent of the canonicalizer

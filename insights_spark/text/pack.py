@@ -288,3 +288,48 @@ def curriculum_order(
         id_col, "band",
         (F.col("_r") - 1).cast("long").alias("curriculum_rank"),
     )
+
+
+def shard_layout(
+    docs: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    bytes_col: str = "n_chars",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic equal-byte output sharding — the step that turns a
+    filtered corpus into the ~fixed-size training shards every public
+    data release ships (C4/Pile/RedPajama all publish N-MB shard files):
+    docs are laid out in ascending ``id_col`` order and cut into shards of
+    ~``target_bytes`` by offset — doc d lands in shard
+    floor(start_offset(d) / target_bytes), where start_offset is the
+    exclusive prefix sum of ``bytes_col``. A document never splits; shard
+    sizes deviate from target by at most one document.
+
+    Output: one row per shard — (shard_id, n_docs, shard_bytes,
+    first_doc, last_doc) — all BIGINT, bit-identical across partitionings
+    because the layout is a pure function of the (id, bytes) relation.
+
+    Scale posture (100 TB): the prefix sum rides the repo-wide TWO-PHASE
+    distributed scan (global_cumsum_multi — per-partition partials, one
+    tiny driver-side offset table, map-side add-back; no single-partition
+    window anywhere, plan-test-pinned suite-wide), then ONE hash shuffle
+    on shard_id for the rollup. This is the exact shape a writer uses to
+    `repartitionByRange(shard_id)` into equal output files.
+    """
+    t = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(bytes_col).cast("long").alias("_b"),
+    ).filter(F.col("_b") > 0)
+    cum = global_cumsum(t, "_b", [F.asc("doc_id")], partitions=partitions)
+    assigned = cum.select(
+        "doc_id",
+        "_b",
+        F.expr(f"(_cum_global - _b) DIV {int(target_bytes)}").alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_b").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

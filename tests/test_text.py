@@ -1567,3 +1567,33 @@ def test_host_stats_hand_case(spark):
     assert got["good.example"]["dup_per_mille"] == 250
     assert got["good.example"]["keep"] == 1
     assert got["tiny.example"]["keep"] == 0  # min_docs gate
+
+
+def test_shard_layout_hand_case(spark):
+    """Byte-offset sharding: docs never split, every shard's start offset
+    is below its id's byte boundary, zero-byte docs drop, and the layout
+    is invariant to input partitioning (the two-phase scan contract)."""
+    from insights_spark.text.pack import shard_layout
+
+    rows = [(i, b) for i, b in enumerate([60, 60, 60, 10, 100, 5, 0, 40])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r["shard_id"]: r for r in shard_layout(df, 100).collect()}
+    # offsets: 0,60,120,180,190,290,295 -> shards 0,0,1,1,1,2,2
+    assert got[0]["n_docs"] == 2 and got[0]["shard_bytes"] == 120
+    assert got[0]["first_doc"] == 0 and got[0]["last_doc"] == 1
+    assert got[1]["n_docs"] == 3 and got[1]["shard_bytes"] == 170
+    assert got[2]["n_docs"] == 2 and got[2]["shard_bytes"] == 45
+    assert got[2]["first_doc"] == 5 and got[2]["last_doc"] == 7  # 0-byte 6 gone
+    assert sum(r["shard_bytes"] for r in got.values()) == 335
+
+    # partition invariance: 1 vs 7 input partitions, identical layout
+    got7 = {
+        r["shard_id"]: (r["n_docs"], r["shard_bytes"], r["first_doc"],
+                        r["last_doc"])
+        for r in shard_layout(df.repartition(7), 100).collect()
+    }
+    want = {
+        k: (v["n_docs"], v["shard_bytes"], v["first_doc"], v["last_doc"])
+        for k, v in got.items()
+    }
+    assert got7 == want
