@@ -151,6 +151,11 @@ HEADLINE = [
     "pivot_counts",
     "event_gaps",
     "unpivot_counts",
+    # round-5 session-5 additions
+    "getis_ord",
+    "lm_perplexity",
+    "host_stats",
+    "shard_assign",
 ]
 
 
