@@ -1239,6 +1239,22 @@ def _q_frontier_cells(spark, sf_dir):
     return frontier_cells(counts)
 
 
+def _q_idw_fill(spark, sf_dir):
+    """IDW gap-fill (geo/smooth.py:idw_fill): inverse-distance-weighted
+    estimate at EMPTY res-1 cells from occupied ring-1 (weight 2) and
+    ring-2 (weight 1) neighbors — one 18× explode + ONE target-keyed
+    shuffle + one left_anti on the same key, all on the bounded cell
+    rollup; est is one IEEE division of two exact BIGINTs."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.smooth import idw_fill
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return idw_fill(counts, min_ring1=3)
+
+
 def _q_quantize(spark, sf_dir):
     """Per-vector affine int8 quantization (text/quant.py) — the storage
     half of the embedding stack: map-only, zero shuffle, no UDF; both
@@ -2925,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "idw_fill": _q_idw_fill,
         "getis_ord": _q_getis_ord,
         "lm_perplexity": _q_lm_perplexity,
         "host_stats": _q_host_stats,
@@ -4980,6 +4997,32 @@ def oracle_sql() -> dict[str, str]:
         FROM fan f LEFT JOIN cnts o ON o.cell = f.nb
         WHERE o.cell IS NULL
         GROUP BY 1, 2
+    """
+    from insights_spark.geo.smooth import RING1 as _R1, RING2 as _R2
+
+    _offw = ", ".join(
+        [f"({dq * (1 << 28) + dr}::BIGINT, 2::BIGINT)"
+         for (dq, dr) in _R1 if (dq, dr) != (0, 0)]
+        + [f"({dq * (1 << 28) + dr}::BIGINT, 1::BIGINT)"
+           for (dq, dr) in _R2]
+    )
+    out["idw_fill"] = f"""
+        WITH {_hex_cnts_sql(1)},
+        offs AS (SELECT * FROM (VALUES {_offw}) AS t(off, w)),
+        fan AS (SELECT c.cell + o.off AS t, o.w AS w, c.n
+                FROM cnts c, offs o),
+        agg AS (SELECT t,
+                       CAST(sum(CASE WHEN w = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ring1_nbrs,
+                       CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ring2_nbrs,
+                       CAST(sum(w * n) AS BIGINT) AS w_num,
+                       CAST(sum(w) AS BIGINT) AS w_den
+                FROM fan GROUP BY 1)
+        SELECT a.t AS cell, ring1_nbrs, ring2_nbrs, w_num, w_den,
+               CAST(w_num AS DOUBLE) / w_den AS est
+        FROM agg a LEFT JOIN cnts o ON o.cell = a.t
+        WHERE o.cell IS NULL AND ring1_nbrs >= 3
     """
     from insights_spark import synth as _synth
 

@@ -1146,3 +1146,73 @@ def test_getis_ord_hand_and_brute_force(spark):
         rhs = Fraction(49, 25) ** 2 * (n * q - s * s) * (n * w_i - w_i * w_i)
         want_hot = 1 if (gi_num > 0 and lhs > rhs) else 0
         assert r["is_hot"] == want_hot, (c, gi_num, lhs, rhs)
+
+
+def test_idw_fill_brute_force(spark):
+    """IDW gap-fill vs a Fraction-exact brute force over axial hex
+    distance: est = (2*sum_ring1 + sum_ring2) / (2*c1 + c2), only EMPTY
+    cells with >= min_ring1 occupied immediate neighbors."""
+    import random
+    from fractions import Fraction
+
+    from insights_spark.geo.cells import hex_decode, hex_encode
+    from insights_spark.geo.smooth import idw_fill
+
+    rng = random.Random(57)
+    counts = {}
+    # ring of 6 around an EMPTY center -> classic hole, est = exact mean
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        counts[hex_encode(6, dq, dr)] = rng.randint(1, 9)
+    # scattered noise incl. cells whose gaps have ring-2-only support
+    for _ in range(30):
+        counts.setdefault(
+            hex_encode(6, rng.randint(-10, 10), rng.randint(-10, 10)),
+            rng.randint(1, 9),
+        )
+
+    def hexdist(a, b):
+        _, qa, ra = hex_decode(a)
+        _, qb, rb = hex_decode(b)
+        dq, dr = qa - qb, ra - rb
+        return (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+
+    min_ring1 = 3
+    want = {}
+    qs = [hex_decode(c)[1] for c in counts]
+    rs = [hex_decode(c)[2] for c in counts]
+    for q in range(min(qs) - 2, max(qs) + 3):
+        for r in range(min(rs) - 2, max(rs) + 3):
+            t = hex_encode(6, q, r)
+            if t in counts:
+                continue
+            ring1 = [c for c in counts if hexdist(t, c) == 1]
+            ring2 = [c for c in counts if hexdist(t, c) == 2]
+            if len(ring1) < min_ring1:
+                continue
+            num = 2 * sum(counts[c] for c in ring1) + sum(
+                counts[c] for c in ring2
+            )
+            den = 2 * len(ring1) + len(ring2)
+            want[t] = (len(ring1), len(ring2), num, den,
+                       Fraction(num, den))
+    assert want, "fixture must produce at least one gap"
+
+    df = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()], "cell long, n long"
+    )
+    got = {
+        r["cell"]: (r["ring1_nbrs"], r["ring2_nbrs"], r["w_num"],
+                    r["w_den"], r["est"])
+        for r in idw_fill(df, min_ring1=min_ring1).collect()
+    }
+    assert set(got) == set(want)
+    for cell, (c1, c2, num, den, frac) in want.items():
+        g1, g2, gnum, gden, gest = got[cell]
+        assert (g1, g2, gnum, gden) == (c1, c2, num, den)
+        assert gest == num / den  # the ONE IEEE division, bit-pinned
+    # the enclosed center is a gap with all 6 ring-1 neighbors
+    center = hex_encode(6, 0, 0)
+    assert center in got and got[center][0] == 6
+    # empty input -> empty output, no crash
+    empty = spark.createDataFrame([], "cell long, n long")
+    assert idw_fill(empty).count() == 0
