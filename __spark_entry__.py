@@ -1255,6 +1255,21 @@ def _q_idw_fill(spark, sf_dir):
     return idw_fill(counts, min_ring1=3)
 
 
+def _q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram (geo/smooth.py:semivariogram_exact):
+    per-lag γ(h) for h=1..3 over the res-1 cell rollup — positive-packed
+    half-offset fan (9×) + ONE equi-join on the neighbor id + a 3-row
+    rollup; sse exact BIGINT, gamma one IEEE division."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.smooth import semivariogram_exact
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(1, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return semivariogram_exact(counts, max_h=3)
+
+
 def _q_quantize(spark, sf_dir):
     """Per-vector affine int8 quantization (text/quant.py) — the storage
     half of the embedding stack: map-only, zero shuffle, no UDF; both
@@ -2941,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "semivariogram": _q_semivariogram,
         "idw_fill": _q_idw_fill,
         "getis_ord": _q_getis_ord,
         "lm_perplexity": _q_lm_perplexity,
@@ -5023,6 +5039,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(w_num AS DOUBLE) / w_den AS est
         FROM agg a LEFT JOIN cnts o ON o.cell = a.t
         WHERE o.cell IS NULL AND ring1_nbrs >= 3
+    """
+    from insights_spark.geo.smooth import _ring_offsets as _ro
+
+    _vario = ", ".join(
+        f"({dq * (1 << 28) + dr}::BIGINT, {h}::BIGINT)"
+        for h in (1, 2, 3)
+        for (dq, dr) in _ro(h)
+        if dq * (1 << 28) + dr > 0
+    )
+    out["semivariogram"] = f"""
+        WITH {_hex_cnts_sql(1)},
+        offs AS (SELECT * FROM (VALUES {_vario}) AS t(off, h)),
+        pairs AS (SELECT o.h, a.n AS xi, b.n AS xj
+                  FROM cnts a JOIN offs o ON true
+                       JOIN cnts b ON b.cell = a.cell + o.off)
+        SELECT h, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum((xi - xj) * (xi - xj)) AS BIGINT) AS sse,
+               CAST(sum((xi - xj) * (xi - xj)) AS DOUBLE)
+                   / (2 * count(*)) AS gamma
+        FROM pairs GROUP BY 1
     """
     from insights_spark import synth as _synth
 

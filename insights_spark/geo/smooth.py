@@ -445,3 +445,85 @@ def idw_fill(
         "w_den",
         (F.col("w_num") / F.col("w_den")).alias("est"),
     )
+
+
+def _ring_offsets(h: int) -> list:
+    """All axial offsets at hex distance exactly ``h`` (6·h of them)."""
+    return [
+        (dq, dr)
+        for dq in range(-h, h + 1)
+        for dr in range(-h, h + 1)
+        if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 == h
+    ]
+
+
+def semivariogram_exact(
+    cell_counts: DataFrame,
+    cell_col: str = "cell",
+    cnt_col: str = "n",
+    max_h: int = 3,
+) -> DataFrame:
+    """Empirical semivariogram over the hex-cell rollup in EXACT integer
+    arithmetic (Matheron 1963 estimator, public) — the geostatistics
+    primitive that quantifies HOW FAR spatial correlation reaches:
+
+        γ(h) = Σ_{pairs at hex distance h} (x_i − x_j)² / (2·N_h)
+
+    for each lag h = 1..max_h. Moran's I gives one global clustering
+    number, G_i* flags individual cells; the variogram gives the
+    *structure* — γ rising toward a sill tells you the practical
+    correlation range, which is exactly the number that should pick the
+    focal-smoothing radius and the hex resolution upstream.
+
+    Each unordered pair is counted ONCE: the ring-h offset set is closed
+    under negation, so the kernel fans only the POSITIVE-packed half
+    (packed offset dq·2²⁸ + dr > 0 — 3h of the 6h offsets) and joins
+    back to occupied cells. Output per lag: (h, n_pairs, sse —
+    Σ(x_i−x_j)² as exact BIGINT, gamma = sse/(2·n_pairs) — ONE IEEE
+    division of exact integers, reproduced bit-for-bit by the oracle).
+    Lags with zero pairs are absent.
+
+    Scale posture (100 TB): input is the bounded OCCUPIED-cell rollup;
+    one (3·Σh)× explode + ONE equi-join on the BIGINT neighbor id (AQE
+    co-partitioned with the fan shuffle) + a ≤max_h-row rollup. No UDF,
+    no geometry, no all-pairs — pair count is bounded by 3·Σh × occupied
+    cells, never quadratic.
+    """
+    occ = cell_counts.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(cnt_col).cast("long").alias("x"),
+    )
+    fan = F.array(
+        *[
+            F.struct(
+                (F.col("cell") + F.lit(dq * (1 << 28) + dr).cast("long")
+                 ).alias("t"),
+                F.lit(h).alias("h"),
+            )
+            for h in range(1, max_h + 1)
+            for (dq, dr) in _ring_offsets(h)
+            if dq * (1 << 28) + dr > 0
+        ]
+    )
+    pairs = (
+        occ.select(F.explode(fan).alias("f"), F.col("x").alias("xi"))
+        .select(F.col("f.t").alias("_t"), F.col("f.h").alias("h"), "xi")
+        .join(
+            occ.select(F.col("cell").alias("_t"), F.col("x").alias("xj")),
+            "_t",
+        )
+    )
+    d = F.col("xi") - F.col("xj")
+    return (
+        pairs.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(d * d).cast("long").alias("sse"),
+        )
+        .select(
+            "h",
+            "n_pairs",
+            "sse",
+            (F.col("sse") / (F.lit(2) * F.col("n_pairs"))).alias("gamma"),
+        )
+    )

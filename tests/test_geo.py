@@ -1216,3 +1216,63 @@ def test_idw_fill_brute_force(spark):
     # empty input -> empty output, no crash
     empty = spark.createDataFrame([], "cell long, n long")
     assert idw_fill(empty).count() == 0
+
+
+def test_semivariogram_brute_force(spark):
+    """Matheron semivariogram vs an all-pairs Fraction brute force:
+    per-lag pair counts, exact SSE, and the one-IEEE-division gamma;
+    every unordered pair counted exactly once."""
+    import random
+    from fractions import Fraction
+
+    from insights_spark.geo.cells import hex_decode, hex_encode
+    from insights_spark.geo.smooth import semivariogram_exact
+
+    rng = random.Random(61)
+    counts = {}
+    # smooth gradient field -> gamma must RISE with lag (non-vacuous)
+    for q in range(-4, 5):
+        for r in range(-4, 5):
+            if rng.random() < 0.8:
+                counts[hex_encode(6, q, r)] = 10 * (q + 5) + r + 5
+
+    def hexdist(a, b):
+        _, qa, ra = hex_decode(a)
+        _, qb, rb = hex_decode(b)
+        dq, dr = qa - qb, ra - rb
+        return (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+
+    max_h = 3
+    want = {}
+    cells_l = sorted(counts)
+    for i, a in enumerate(cells_l):
+        for b in cells_l[i + 1:]:
+            h = hexdist(a, b)
+            if 1 <= h <= max_h:
+                n, s = want.get(h, (0, 0))
+                want[h] = (n + 1, s + (counts[a] - counts[b]) ** 2)
+    assert set(want) == {1, 2, 3}
+
+    df = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()], "cell long, x long"
+    )
+    got = {
+        r["h"]: (r["n_pairs"], r["sse"], r["gamma"])
+        for r in semivariogram_exact(
+            df, cnt_col="x", max_h=max_h
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for h, (n, s) in want.items():
+        gn, gs, gg = got[h]
+        assert (gn, gs) == (n, s)
+        assert gg == s / (2 * n)            # bit-pinned single division
+        assert Fraction(s, 2 * n) > 0
+    # spatial correlation: variance grows with lag on a gradient field
+    assert got[1][2] < got[2][2] < got[3][2]
+    # empty + singleton inputs -> no pairs, no crash
+    empty = spark.createDataFrame([], "cell long, x long")
+    assert semivariogram_exact(empty, cnt_col="x").count() == 0
+    one = spark.createDataFrame([(hex_encode(6, 0, 0), 5)],
+                                "cell long, x long")
+    assert semivariogram_exact(one, cnt_col="x").count() == 0
