@@ -2656,6 +2656,37 @@ def _q_bfs_hops(spark, sf_dir):
         F.col("id").alias("doc_id"), "dist")
 
 
+def _q_sssp(spark, sf_dir):
+    """Bounded weighted SSSP (text/links.py:sssp_weighted): min total
+    edge weight within 4 edges from the doc_id≡0 (mod 97) seeds over the
+    shared 3-out graph, weight 1+(src+dst) mod 9 — frontier-pruned
+    Bellman–Ford supersteps (join + dst-keyed MIN pre-combine), all
+    integer, so the bounded-step path-enumeration oracle matches exactly."""
+    from insights_spark.text.links import sssp_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                F.pmod(F.col("doc_id") * 7919 + 104729 * k, F.col("n"))
+                for k in (1, 2, 3)
+            ])).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .withColumn(
+            "w", F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(9))
+        )
+    )
+    sources = docs.select(F.col("doc_id").alias("id")).filter(
+        F.pmod(F.col("id"), F.lit(97)) == 0)
+    return sssp_weighted(edges, sources, rounds=4).select(
+        F.col("id").alias("doc_id"), "dist")
+
+
 def _layout_qcell(level: int = 3) -> int:
     """Level-`level` S2 cell of event_id=1's synthetic point — the
     deterministic probe cell for the layout-scan query (same derivation
@@ -2956,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "sssp": _q_sssp,
         "semivariogram": _q_semivariogram,
         "idw_fill": _q_idw_fill,
         "getis_ord": _q_getis_ord,
@@ -5829,6 +5861,24 @@ def oracle_sql() -> dict[str, str]:
             FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 3
         )
         SELECT id AS doc_id, CAST(min(dist) AS INT) AS dist
+        FROM walk GROUP BY id
+    """
+    out["sssp"] = """
+        WITH RECURSIVE nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                              FROM documents),
+        e AS (SELECT src, dst, 1 + mod(src + dst, 9) AS w FROM (
+                SELECT doc_id AS src,
+                       mod(doc_id * 7919 + 104729 * k.k, nn.n) AS dst
+                FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k)
+              WHERE dst <> src),
+        walk(id, d, steps) AS (
+            SELECT doc_id, CAST(0 AS BIGINT), 0
+            FROM documents WHERE mod(doc_id, 97) = 0
+            UNION ALL
+            SELECT e.dst, w.d + e.w, w.steps + 1
+            FROM walk w JOIN e ON e.src = w.id WHERE w.steps < 4
+        )
+        SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
         FROM walk GROUP BY id
     """
     # quad compaction: both levels unrolled; z7 xy from the shared

@@ -205,3 +205,64 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 6,
+) -> DataFrame:
+    """Bounded-horizon weighted single-source shortest paths — the
+    weighted sibling of ``bfs_hop_distance`` (Bellman–Ford 1958 with
+    frontier pruning, the delta-stepping-lite Pregel shape, all public):
+    minimum total integer edge weight from ANY seed node using at most
+    ``rounds`` edges. Hop distance treats a slow 3-hop detour and a fast
+    one alike; weighted distance is what crawl schedulers and
+    link-quality features actually want (edge weight = latency, penalty,
+    or inverse trust).
+
+    Input: edges (``src``, ``dst``, ``w`` — non-negative integer),
+    sources (``id``). Output: (id, dist) for every node reachable within
+    ``rounds`` edges; seeds at 0; unreachable ABSENT. Bellman–Ford
+    invariant: after k rounds dist(v) = min weight over paths of ≤ k
+    edges — all-integer min-folds, order-free, engine-exact (the oracle
+    is a bounded-step recursive path enumeration + one min rollup).
+
+    Scale posture (10^12 edges): per round ONE hash join of edges
+    against the IMPROVED-last-round frontier only (not the full dist
+    table — settled regions stop generating traffic), a dst-keyed MIN
+    pre-combine (decomposable → map-side partials absorb hub skew, the
+    measured r4 rule), and one left-join relaxation against the current
+    dist table. Frontier and dist are localCheckpointed per round — the
+    iterative-plan-accretion lesson from BFS/pagerank. Vote-to-halt is
+    one bounded isEmpty scalar.
+    """
+    dist = sources.select(
+        F.col("id"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w").cast("long")).alias("nd"),
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
