@@ -442,6 +442,20 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_prefix_jaccard(spark, sf_dir):
+    """Exact Jaccard similarity join via prefix filtering
+    (text/dedup.py:prefix_jaccard_pairs): candidates only from each
+    doc's rarest grams under the global (df, gram) order, integer
+    threshold gate inter·2 ≥ uni·1. The oracle is the INDEPENDENT
+    brute-force all-pairs join — its agreement empirically proves the
+    prefix lemma's completeness on real data."""
+    from insights_spark.text.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), t_num=1, t_den=2, n=3
+    )
+
+
 def _q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (text/rank.py) with the rational (log-free)
     Robertson idf and a sorted-fold score sum, so the oracle reproduces
@@ -2987,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "prefix_jaccard": _q_prefix_jaccard,
         "sssp": _q_sssp,
         "semivariogram": _q_semivariogram,
         "idw_fill": _q_idw_fill,
@@ -3669,6 +3684,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash": f"""
             SELECT doc_id, {', '.join(mh)} FROM documents
+        """,
+        "prefix_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+            gsets AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, len(tok) - 1),
+                       i -> array_to_string(tok[i:i+2], ' '))) AS gs
+              FROM toks WHERE len(tok) >= 3),
+            grams AS (SELECT doc_id, unnest(gs) AS gram FROM gsets),
+            inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b,
+                             CAST(count(*) AS BIGINT) AS i
+                      FROM grams g1 JOIN grams g2 USING (gram)
+                      WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets)
+            SELECT a, b, i AS inter,
+                   CAST(sa.sz + sb.sz - i AS BIGINT) AS uni,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                       JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i * 2 >= (sa.sz + sb.sz - i) * 1
         """,
         "ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),

@@ -751,3 +751,95 @@ def cluster_savings(
                    F.col("n_chars")).otherwise(0)
         ).alias("kept_chars"),
     ).withColumn("saved_chars", F.col("total_chars") - F.col("kept_chars"))
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering — the scalable
+    exact counterpart to MinHash-LSH (Chaudhuri et al. ICDE'06 /
+    Bayardo et al. WWW'07 "Scaling Up All Pairs", both public). LSH is
+    probabilistic (misses pairs at a known rate); ``ngram_jaccard_pairs``
+    is exact but joins on EVERY shared gram; prefix filtering is exact
+    AND generates candidates only from each document's rarest grams.
+
+    Threshold is the rational ``t_num/t_den`` (default 1/2) so both the
+    prefix length and the final gate are INTEGER arithmetic: under one
+    global gram order, two sets with J ≥ t must share a gram within
+    their first ``|s| − ⌈t·|s|⌉ + 1`` grams (if the prefixes were
+    disjoint, the overlap is at most min(|a|,|b|) − prefix excess <
+    t·|a∪b| — the standard lemma), where ⌈t·|s|⌉ =
+    (t_num·|s| + t_den − 1) div t_den. The global order is (df, gram)
+    ascending — rarest first, total because gram strings are unique —
+    so prefixes hold precisely the grams least likely to collide.
+
+    Output: (a, b, inter, uni, jaccard) with a < b and
+    inter·t_den ≥ uni·t_num (exact integer gate); ``jaccard`` itself is
+    ONE IEEE division of the two exact integers. Grams are DISTINCT word
+    n-grams; docs with < n tokens have no grams and never pair.
+
+    Scale posture (100 TB): the df table is one decomposable gram-keyed
+    count; the sort key attach is ONE gram-keyed join back to the
+    exploded grams; candidate generation explodes ONLY the ~(1−t)·|s|
+    prefix grams and equi-joins on gram — hot grams sort to the END of
+    the order and stay out of prefixes, which is what bounds the
+    candidate blowup (the same role the df-cap plays for
+    ngram_jaccard_pairs, but without changing the similarity's
+    semantics). Verification joins the two bounded gram arrays per
+    surviving candidate — never all-pairs.
+    """
+    ga = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams_np(n)(F.col(text_col))).alias("_g"),
+    ).where(F.size("_g") > 0).persist()
+    g = ga.select("id", F.explode("_g").alias("gram"))
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    # global (df, gram) sort order attached in one gram-keyed join, then
+    # re-rolled per doc; prefix = first |s| - ceil(t*|s|) + 1 grams
+    sorted_g = (
+        g.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "gram"))).alias("_sg"))
+        .select(
+            "id",
+            F.transform("_sg", lambda s: s["gram"]).alias("_grams"),
+        )
+    )
+    sz = F.size("_grams")
+    ceil_ts = F.expr(
+        f"({t_num} * size(_grams) + {t_den - 1}) div {t_den}"
+    )
+    plen = sz.cast("long") - ceil_ts + F.lit(1)
+    prefix = sorted_g.select(
+        "id", F.explode(F.slice("_grams", 1, plen)).alias("gram")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("a"), "gram")
+        .join(prefix.select(F.col("id").alias("b"), "gram"), "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        cand.join(ga.select(F.col("id").alias("a"),
+                            F.col("_g").alias("_ga")), "a")
+        .join(ga.select(F.col("id").alias("b"),
+                        F.col("_g").alias("_gb")), "b")
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("_ga", "_gb")).cast("long")
+            .alias("inter"),
+            (F.size("_ga") + F.size("_gb")).cast("long").alias("_sab"),
+        )
+        .withColumn("uni", F.col("_sab") - F.col("inter"))
+        .where(F.col("inter") * F.lit(t_den) >= F.col("uni") * F.lit(t_num))
+    )
+    return verified.select(
+        "a", "b", "inter", "uni",
+        (F.col("inter") / F.col("uni")).alias("jaccard"),
+    )

@@ -1597,3 +1597,54 @@ def test_shard_layout_hand_case(spark):
         for k, v in got.items()
     }
     assert got7 == want
+
+
+def test_prefix_jaccard_exact_vs_brute_force(spark):
+    """Prefix-filter similarity join == brute-force all-pairs Jaccard
+    (completeness of the prefix lemma), exact integer inter/uni, and the
+    candidate set actually prunes."""
+    from insights_spark.text.dedup import (
+        _word_ngrams_py,
+        prefix_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),   # ~dup of 1
+        (3, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+        (4, "completely different text about spark shuffle planning"),
+        (5, "completely different text about spark shuffle planning"),  # dup of 4
+        (6, "short text"),                                          # < n tokens
+        (7, "spark shuffle planning is completely different text about"),
+        (8, ""),
+    ]
+    t_num, t_den, n = 1, 2, 3
+    sets = {i: set(_word_ngrams_py(t, n)) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ga, gb = sets[a], sets[b]
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            uni = len(ga | gb)
+            if inter * t_den >= uni * t_num:
+                want[(a, b)] = (inter, uni)
+    assert want, "fixture must contain similar pairs"
+    assert (1, 3) in want and want[(1, 3)][0] == want[(1, 3)][1]  # exact dup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["uni"], r["jaccard"])
+        for r in prefix_jaccard_pairs(df, t_num, t_den, n).collect()
+    }
+    assert set(got) == set(want)
+    for k, (i, u) in want.items():
+        gi, gu, gj = got[k]
+        assert (gi, gu) == (i, u)
+        assert gj == i / u                  # one IEEE division, bit-pinned
+    # empty input -> no crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_jaccard_pairs(empty).count() == 0
