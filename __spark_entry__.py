@@ -442,6 +442,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """Integer-exact Lloyd k-means (text/simsearch.py:kmeans_lloyd_int):
+    k=8, 3 iterations over the 64-d embeddings — broadcast-centroid
+    literals, JVM-codegen'd zip_with distance, decomposable (cluster,
+    dim)-keyed update; bit-identical to the unrolled SQL recurrence."""
+    from insights_spark.text.simsearch import kmeans_lloyd_int
+
+    return kmeans_lloyd_int(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3, scale=1024
+    )
+
+
 def _q_prefix_jaccard(spark, sf_dir):
     """Exact Jaccard similarity join via prefix filtering
     (text/dedup.py:prefix_jaccard_pairs): candidates only from each
@@ -3001,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "kmeans": _q_kmeans,
         "prefix_jaccard": _q_prefix_jaccard,
         "sssp": _q_sssp,
         "semivariogram": _q_semivariogram,
@@ -3223,6 +3236,57 @@ def _hex_cnts_sql(res: int) -> str:
     return f"""{_hex_cells_chain_sql(res)},
         cnts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
                  FROM hexed GROUP BY 1)"""
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024,
+                d: int = 64) -> str:
+    """Unrolled integer Lloyd k-means: the same floor-quantize /
+    argmin-(dist, cid) / floor-mean-adjusted-numerator recurrence as
+    text/simsearch.py:kmeans_lloyd_int. The power-of-two scale makes the
+    quantization exact in both engines; ``(s - ((s % m + m) % m)) // m``
+    hits an exact multiple so DuckDB's truncating ``//`` equals Spark's
+    truncating ``div`` equals floor, negative sums included."""
+    dist = (f"CAST(list_aggregate(list_transform(range(1, {d + 1}), "
+            f"i -> (q.q[i] - c.cv[i]) * (q.q[i] - c.cv[i])), 'sum') "
+            f"AS BIGINT)")
+    parts = [f"""
+        q AS (SELECT vec_id AS id,
+                     list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))
+                       AS q
+              FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+                      AS cid, q AS cv
+               FROM q ORDER BY id LIMIT {k})"""]
+    for t in range(iters):
+        parts.append(f"""
+        d{t} AS (SELECT q.id, q.q, c.cid, {dist} AS dist
+                 FROM q CROSS JOIN c{t} c),
+        a{t} AS (SELECT id, q, cid, dist FROM (
+                   SELECT *, row_number() OVER (PARTITION BY id
+                            ORDER BY dist, cid) AS rn FROM d{t})
+                 WHERE rn = 1)""")
+        if t < iters - 1:
+            parts.append(f"""
+        u{t} AS (SELECT cid, pos, (s - ((s % m + m) % m)) // m AS c FROM (
+                   SELECT cid, u.i AS pos, CAST(sum(q[u.i]) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS m
+                   FROM a{t} CROSS JOIN
+                        (SELECT unnest(range(1, {d + 1})) AS i) u
+                   GROUP BY 1, 2)),
+        c{t + 1} AS (SELECT c{t}.cid, coalesce(n.cv, c{t}.cv) AS cv
+                     FROM c{t} LEFT JOIN
+                          (SELECT cid, list(c ORDER BY pos) AS cv
+                           FROM u{t} GROUP BY cid) n USING (cid))""")
+    last = iters - 1
+    return f"""
+        WITH {','.join(parts)}
+        SELECT r.cluster, r.n, r.inertia, c.cv AS centroid
+        FROM (SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dist) AS BIGINT) AS inertia
+              FROM a{last} GROUP BY 1) r
+        JOIN c{last} c ON c.cid = r.cluster
+    """
+
 
 def _pagerank_sql(iters: int = 5) -> str:
     """Unrolled fixed-point PageRank: the same integer recurrence as
@@ -5916,6 +5980,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
         FROM walk GROUP BY id
     """
+    out["kmeans"] = _kmeans_sql(k=8, iters=3, scale=1024, d=64)
     # quad compaction: both levels unrolled; z7 xy from the shared
     # slippy-map mapping, x/y widened to BIGINT to match Spark's `div`.
     out["quad_compact"] = f"""

@@ -513,3 +513,121 @@ def semantic_prune(
         "cluster_id",
         F.col("is_canonical").cast("int").alias("is_kept"),
     )
+
+
+def kmeans_lloyd_int(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column in EXACT integer
+    arithmetic (Lloyd 1957/1982, public) — the clustering primitive
+    behind semantic corpus partitioning, cluster-balanced mixing, and
+    SemDeDup-style pruning, here with a bit-reproducible contract no
+    float k-means can offer (float centroid sums reorder under shuffle).
+
+    Three exactness devices:
+    - vectors quantize by a POWER-OF-TWO scale: x·1024 is exact in
+      double, so floor() lands identically in every engine;
+    - centroid update is the floor-mean via the adjusted numerator
+      ``(s − pmod(s, m)) div m`` — the numerator is an exact multiple of
+      m, so truncating and flooring division agree even for negative
+      sums (DuckDB's ``//`` truncates, Spark's ``div`` truncates; both
+      hit the same multiple);
+    - argmin ties break on the smallest centroid id via lexicographic
+      struct ordering (array_min on struct(d, cid) ≡ ORDER BY d, cid).
+
+    Init: the k smallest ids' vectors (deterministic, SQL-replicable).
+    Empty clusters keep their previous centroid. Output per cluster
+    after the final assignment: (cluster, n, inertia — Σ member
+    distances² as exact BIGINT, centroid array<bigint>).
+
+    Scale posture (100 TB): the classic broadcast-centroids shape — per
+    iteration the k×d centroid table (k ≤ a few hundred) is collected
+    and re-broadcast as a LITERAL (bounded driver traffic, the
+    simsearch ≤256-row-sample precedent), assignment is a map-only pass
+    with JVM-codegen'd zip_with/aggregate (no Python in the loop), and
+    the update is ONE decomposable (cluster, dim)-keyed sum — map-side
+    partials absorb the biggest-cluster skew. The quantized vector table
+    is persisted once and reused by all iterations.
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))"
+        ).alias("q"),
+    ).persist()
+    init = q.orderBy("id").limit(k).collect()     # bounded: k rows
+    cents = [(i, list(r["q"])) for i, r in enumerate(init)]
+
+    def _cent_lit():
+        return F.array(*[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cv])
+                .alias("cv"),
+            )
+            for cid, cv in cents
+        ])
+
+    assigned = None
+    for it in range(iters):
+        best = F.array_min(
+            F.transform(
+                _cent_lit(),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"), c["cv"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = q.select(
+            "id", "q",
+            best["cid"].alias("cluster"), best["d"].alias("dist"),
+        )
+        if it == iters - 1:
+            break
+        upd = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("m"))
+            .select(
+                "cluster", "pos",
+                F.expr("(s - pmod(s, m)) div m").alias("c"),
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                 .alias("sc"))
+            .select(
+                "cluster",
+                F.expr("transform(sc, x -> x.c)").alias("cv"),
+            )
+        )
+        got = {r["cluster"]: [int(v) for v in r["cv"]]
+               for r in upd.collect()}        # bounded: <= k rows
+        cents = [(cid, got.get(cid, cv)) for cid, cv in cents]
+
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        "cluster long, centroid array<bigint>",
+    )
+    roll = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    return roll.join(F.broadcast(cent_df), "cluster").select(
+        "cluster", "n", "inertia", "centroid"
+    )

@@ -1648,3 +1648,74 @@ def test_prefix_jaccard_exact_vs_brute_force(spark):
     # empty input -> no crash
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert prefix_jaccard_pairs(empty).count() == 0
+
+
+def test_kmeans_lloyd_int_brute_force(spark):
+    """Integer Lloyd vs a pure-Python replica: floor quantization,
+    argmin with smallest-cid ties, floor-mean update (negative sums),
+    empty-cluster carry, exact inertia."""
+    import math
+    import random
+
+    from insights_spark.text.simsearch import kmeans_lloyd_int
+
+    rng = random.Random(83)
+    d, k, iters, scale = 4, 3, 3, 1024
+    vecs = []
+    for i in range(40):
+        base = [(-1.0, -1.0), (1.0, 1.0), (0.0, 2.0)][i % 3]
+        vecs.append((i, [
+            base[0] + rng.uniform(-0.2, 0.2),
+            base[1] + rng.uniform(-0.2, 0.2),
+            rng.uniform(-0.5, 0.5),
+            rng.uniform(-0.5, 0.5),
+        ][:d]))
+
+    def quant(v):
+        # round-trip through float32 first: the column is array<float>,
+        # so Spark quantizes the float32-rounded value
+        import numpy as np
+
+        return [math.floor(float(np.float32(x)) * scale) for x in v]
+
+    def floordiv(s, m):
+        return (s - (s % m if s % m >= 0 else s % m)) // m  # py % is pmod
+
+    qv = {i: quant(v) for i, v in vecs}
+    cents = [(c, list(qv[c])) for c in range(k)]  # ids 0..k-1 smallest
+    assigned = {}
+    for it in range(iters):
+        assigned = {}
+        for i, qq in qv.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(qq, cv)), cid)
+                for cid, cv in cents
+            )
+            assigned[i] = (best[1], best[0])
+        if it == iters - 1:
+            break
+        new = {}
+        for cid, _ in cents:
+            members = [qv[i] for i, (c, _d) in assigned.items() if c == cid]
+            if members:
+                new[cid] = [
+                    floordiv(sum(col), len(members))
+                    for col in zip(*members)
+                ]
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    want = {}
+    for cid, cv in cents:
+        mem = [(i, dd) for i, (c, dd) in assigned.items() if c == cid]
+        if mem:
+            want[cid] = (len(mem), sum(dd for _, dd in mem), tuple(cv))
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["cluster"]: (r["n"], r["inertia"], tuple(r["centroid"]))
+        for r in kmeans_lloyd_int(df, k=k, iters=iters, scale=scale).collect()
+    }
+    assert got == want
+    assert len(got) == k and sum(n for n, _, _ in got.values()) == 40
