@@ -442,6 +442,19 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_concurrency(spark, sf_dir):
+    """Peak-concurrency sweep (ops/intervals.py:concurrency_sweep) over
+    the 6 h-gap session intervals: boundary rollup (one decomposable
+    shuffle, bounded by distinct instants) + BOTH running sums on the
+    shared two-phase prefix scan — closed-interval concurrent and
+    half-open concurrent_after, all integer."""
+    from insights_spark.ops.intervals import concurrency_sweep
+    from insights_spark.ops.sessions import sessionize
+
+    sess = sessionize(_t(spark, sf_dir, "events"), gap_minutes=360.0)
+    return concurrency_sweep(sess)
+
+
 def _q_kmeans(spark, sf_dir):
     """Integer-exact Lloyd k-means (text/simsearch.py:kmeans_lloyd_int):
     k=8, 3 iterations over the 64-d embeddings — broadcast-centroid
@@ -3013,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "concurrency": _q_concurrency,
         "kmeans": _q_kmeans,
         "prefix_jaccard": _q_prefix_jaccard,
         "sssp": _q_sssp,
@@ -4690,6 +4704,44 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["concurrency"] = """
+        WITH l AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_ts
+          FROM events),
+        f AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 21600 SECONDS
+                      THEN 1 ELSE 0 END AS is_new
+          FROM l),
+        s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM f),
+        sess AS (SELECT user_id, session_idx,
+                        min(ts) AS session_start, max(ts) AS session_end
+                 FROM s GROUP BY user_id, session_idx),
+        b AS (SELECT session_start AS t, 1 AS ds, 0 AS de FROM sess
+              UNION ALL
+              SELECT session_end, 0, 1 FROM sess),
+        g AS (SELECT t, CAST(sum(ds) AS BIGINT) AS n_starts,
+                     CAST(sum(de) AS BIGINT) AS n_ends
+              FROM b GROUP BY 1),
+        c AS (SELECT t, n_starts, n_ends,
+                     sum(n_starts) OVER (ORDER BY t ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cs,
+                     sum(n_ends) OVER (ORDER BY t ASC
+                                       ROWS UNBOUNDED PRECEDING) AS ce
+              FROM g)
+        SELECT t, n_starts, n_ends,
+               CAST(cs - (ce - n_ends) AS BIGINT) AS concurrent,
+               CAST(cs - ce AS BIGINT) AS concurrent_after
+        FROM c
     """
     out["rep_filters"] = f"""
         WITH d AS (SELECT doc_id, {_TOKENS} AS toks,

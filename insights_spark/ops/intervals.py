@@ -122,3 +122,68 @@ def interval_join(
             "a_start", "b_start",
         )
     )
+
+
+def concurrency_sweep(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Sweep-line concurrency over CLOSED intervals [start, end] — the
+    "how many sessions were active at once" primitive behind peak-load
+    sizing and capacity planning (the classic event-boundary sweep,
+    public textbook material).
+
+    One row per distinct boundary timestamp t:
+
+    - ``n_starts`` / ``n_ends``     boundaries at exactly t
+    - ``concurrent``                #{i : start_i ≤ t ≤ end_i} — ends at
+                                    t still count (closed intervals, the
+                                    sessionize output contract where
+                                    session_end is the last event's ts)
+    - ``concurrent_after``          #{i : start_i ≤ t < end_i} — the
+                                    level that persists after t; its max
+                                    equals the half-open-reading peak
+
+    Both derive from ONE pair of global running sums: concurrent =
+    cum_starts(≤t) − cum_ends(<t) = cs − (ce − n_ends); after = cs − ce.
+    The peak is ``max(concurrent)`` downstream; single-point intervals
+    (start == end) contribute a +1/−1 at the same t and are counted at
+    exactly that instant.
+
+    Scale posture (100 TB): boundaries roll up by timestamp FIRST (one
+    decomposable shuffle — the output is bounded by DISTINCT boundary
+    instants, not intervals), then both running sums ride the shared
+    two-phase distributed prefix scan (text/pack.py:global_cumsum_multi)
+    in ONE ordered exchange — no single-partition window anywhere
+    (suite-wide plan test). All integer, engine-exact.
+    """
+    from insights_spark.text.pack import global_cumsum_multi
+
+    b = intervals.select(
+        F.col(start_col).alias("t"),
+        F.lit(1).cast("long").alias("_s"),
+        F.lit(0).cast("long").alias("_e"),
+    ).unionByName(
+        intervals.select(
+            F.col(end_col).alias("t"),
+            F.lit(0).cast("long").alias("_s"),
+            F.lit(1).cast("long").alias("_e"),
+        )
+    )
+    g = b.groupBy("t").agg(
+        F.sum("_s").alias("n_starts"),
+        F.sum("_e").alias("n_ends"),
+    )
+    c = global_cumsum_multi(
+        g, ["n_starts", "n_ends"], [F.asc("t")], ["_cs", "_ce"]
+    )
+    return c.select(
+        "t",
+        "n_starts",
+        "n_ends",
+        (F.col("_cs") - (F.col("_ce") - F.col("n_ends")))
+        .cast("long").alias("concurrent"),
+        (F.col("_cs") - F.col("_ce")).cast("long")
+        .alias("concurrent_after"),
+    )

@@ -784,3 +784,48 @@ def test_scd2_lookup(spark):
     assert len(out) == 6  # no fan-out
     got = {r["fid"]: r["version"] for r in out}
     assert got == {1: None, 2: 1, 3: 3, 4: 3, 5: None, 6: None}
+
+
+def test_concurrency_sweep_brute_force(spark):
+    """Sweep-line vs brute-force instant counting: closed-interval
+    concurrent at each boundary, half-open concurrent_after, peak,
+    single-point intervals, repartition invariance."""
+    import random
+    from datetime import datetime, timedelta
+
+    from insights_spark.ops.intervals import concurrency_sweep
+
+    rng = random.Random(91)
+    base = datetime(2024, 3, 1)
+    ivals = []
+    for i in range(60):
+        s = base + timedelta(minutes=rng.randint(0, 500))
+        e = s + timedelta(minutes=rng.randint(0, 90))
+        ivals.append((i, s, e))
+    ivals.append((60, base, base))                      # point interval
+    assert any(s == e for _, s, e in ivals)
+
+    bounds = sorted({t for _, s, e in ivals for t in (s, e)})
+    want = {}
+    for t in bounds:
+        conc = sum(1 for _, s, e in ivals if s <= t <= e)
+        after = sum(1 for _, s, e in ivals if s <= t < e)
+        ns = sum(1 for _, s, e in ivals if s == t)
+        ne = sum(1 for _, s, e in ivals if e == t)
+        want[t] = (ns, ne, conc, after)
+
+    df = spark.createDataFrame(
+        ivals, "id long, session_start timestamp, session_end timestamp"
+    )
+    for reparted in (df, df.repartition(7)):
+        got = {
+            r["t"]: (r["n_starts"], r["n_ends"], r["concurrent"],
+                     r["concurrent_after"])
+            for r in concurrency_sweep(reparted).collect()
+        }
+        assert got == want
+    peak = max(c for _, _, c, _ in want.values())
+    assert peak > 1
+    empty = spark.createDataFrame(
+        [], "id long, session_start timestamp, session_end timestamp")
+    assert concurrency_sweep(empty).count() == 0
