@@ -442,6 +442,25 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_cusum(spark, sf_dir):
+    """Per-cell CUSUM changepoint (ops/timeseries.py:cusum_changepoint)
+    over daily res-0 hex counts: S'_t = T·prefix − t·total exact
+    BIGINT, argmax |S'| by one min(struct) — integrates shift evidence
+    across the whole series where single-bucket z-tests stay silent."""
+    from insights_spark.geo import cells
+    from insights_spark.ops.timeseries import cusum_changepoint
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    wk = pts.groupBy(
+        cells.hex_udf(0, use_h3=False)(F.col("lon"), F.col("lat"))
+        .alias("cell"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cusum_changepoint(wk, ["cell"], "day", "n", min_points=6)
+
+
 def _q_concurrency(spark, sf_dir):
     """Peak-concurrency sweep (ops/intervals.py:concurrency_sweep) over
     the 6 h-gap session intervals: boundary rollup (one decomposable
@@ -3026,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "cusum": _q_cusum,
         "concurrency": _q_concurrency,
         "kmeans": _q_kmeans,
         "prefix_jaccard": _q_prefix_jaccard,
@@ -4704,6 +4724,37 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["cusum"] = f"""
+        WITH {_hex_cells_chain_sql(
+            0,
+            src="SELECT event_id, ts, "
+                + _POINTS_SQL.format(k='event_id') + " FROM events",
+            carry="event_id, ts",
+        )},
+        wk AS (SELECT cell, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM hexed GROUP BY 1, 2),
+        st AS (SELECT cell, day, n,
+                      CAST(row_number() OVER (PARTITION BY cell
+                           ORDER BY day) AS BIGINT) AS t,
+                      CAST(sum(n) OVER (PARTITION BY cell ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+                      CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT)
+                        AS total,
+                      CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+                        AS len
+               FROM wk),
+        cand AS (SELECT cell,
+                        {{'negabs': -abs(len * pre - t * total),
+                          't_star': t, 'at_wk': day,
+                          's_star': len * pre - t * total,
+                          'total': total, 'n_points': len}} AS c
+                 FROM st WHERE len >= 6)
+        SELECT cell, (pick).t_star AS t_star, (pick).at_wk AS at,
+               (pick).s_star AS s_star, (pick).total AS total,
+               (pick).n_points AS n_points
+        FROM (SELECT cell, min(c) AS pick FROM cand GROUP BY cell)
     """
     out["concurrency"] = """
         WITH l AS (

@@ -212,3 +212,76 @@ def rolling_active_sketches(
         "day", F.hll_sketch_estimate("sketch").cast("bigint").alias("dau_est")
     )
     return dau.join(wactive, "day").select("day", "dau_est", "wactive_est")
+
+
+def cusum_changepoint(
+    counts: DataFrame,
+    key_cols: list,
+    order_col: str = "week",
+    val_col: str = "n",
+    min_points: int = 8,
+) -> DataFrame:
+    """Per-key CUSUM changepoint estimate over an ordered count series,
+    in EXACT integer arithmetic (Page 1954 cumulative-sum test; the
+    argmax-|S| changepoint estimator is the classic offset-CUSUM form,
+    public). Answers "WHEN did this cell's activity level shift?" —
+    the sequential sibling of anomaly_buckets (which asks "is this
+    single bucket off?") and trending (recent-vs-past ratio): CUSUM
+    integrates evidence across the whole series, so a modest persistent
+    step that no single-bucket z-test flags still peaks sharply.
+
+    For each key's observed series x_1..x_T (ordered by ``order_col``,
+    t = 1-based rank): S_t = Σ_{i≤t} (x_i − x̄). Multiplying through by
+    T clears the rational mean — S'_t = T·prefix_t − t·total, an exact
+    BIGINT both engines derive identically. Output per key with ≥
+    ``min_points`` observations:
+
+    - ``t_star``, ``at`` — the argmax of |S'_t| (1-based rank and the
+      ``order_col`` value there); ties break to the SMALLEST t via one
+      min(struct) argmax (no window re-scan, the home_cells idiom)
+    - ``s_star`` — signed S'_{t*}; > 0 means the early segment sits
+      ABOVE the series mean (a step DOWN after ``at``), < 0 a step UP
+    - ``total``, ``n_points`` — series sum and length (consumers
+      recover the unscaled CUSUM as s_star / n_points)
+
+    Scale posture (100 TB): one decomposable (key, bucket) rollup
+    upstream (the caller's — e.g. the weekly cell rollup), then ONE
+    key-partitioned window pass (rank + prefix + the two per-key
+    aggregates ride the same sort) and ONE min(struct) groupBy — no
+    global window, no self-join, skew bounded by the longest single
+    series (series length = weeks of history, inherently small).
+    """
+    from pyspark.sql.window import Window
+
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.asc(order_col))
+    wall = Window.partitionBy(*keys)
+    x = F.col(val_col).cast("long")
+    base = (
+        counts.withColumn("_t", F.row_number().over(w).cast("long"))
+        .withColumn("_prefix", F.sum(x).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_total", F.sum(x).over(wall))
+        .withColumn("_len", F.count(F.lit(1)).over(wall).cast("long"))
+    )
+    s = F.col("_len") * F.col("_prefix") - F.col("_t") * F.col("_total")
+    cand = base.where(F.col("_len") >= F.lit(min_points)).select(
+        *key_cols,
+        F.struct(
+            (-F.abs(s)).alias("_negabs"),
+            F.col("_t").alias("t_star"),
+            F.col(order_col).alias("at"),
+            s.alias("s_star"),
+            F.col("_total").alias("total"),
+            F.col("_len").alias("n_points"),
+        ).alias("_c"),
+    )
+    m = cand.groupBy(*key_cols).agg(F.min("_c").alias("_m"))
+    return m.select(
+        *key_cols,
+        F.col("_m.t_star").alias("t_star"),
+        F.col("_m.at").alias("at"),
+        F.col("_m.s_star").alias("s_star"),
+        F.col("_m.total").alias("total"),
+        F.col("_m.n_points").alias("n_points"),
+    )

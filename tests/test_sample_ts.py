@@ -321,3 +321,53 @@ def test_event_gaps_and_unpivot(spark):
     rows2 = long.collect()
     assert len(rows2) == users * 5       # zero cells preserved
     assert sum(r["n"] for r in rows2) == n_events
+
+
+def test_cusum_changepoint_brute_force(spark):
+    """CUSUM argmax-|S| changepoint vs a pure-Python replica: step
+    series peaks at the step, flat series peaks deterministically at
+    the smallest-t tie, min_points gate, direction signs."""
+    import random
+
+    from insights_spark.ops.timeseries import cusum_changepoint
+
+    rng = random.Random(101)
+    rows = []
+    series = {}
+    # key 1: step DOWN at t=10 (s_star > 0); key 2: step UP at t=6
+    # (s_star < 0); key 3: flat (tie -> t=1); key 4: too short (gated)
+    series[1] = [20 + rng.randint(-2, 2) for _ in range(10)] + \
+                [5 + rng.randint(-2, 2) for _ in range(10)]
+    series[2] = [3] * 6 + [30] * 8
+    series[3] = [7] * 12
+    series[4] = [50, 1, 50]
+    for k, xs in series.items():
+        for i, v in enumerate(xs):
+            rows.append((k, i + 1, v))
+
+    want = {}
+    for k, xs in series.items():
+        T = len(xs)
+        if T < 8:
+            continue
+        total = sum(xs)
+        best = None
+        pref = 0
+        for t, v in enumerate(xs, start=1):
+            pref += v
+            s = T * pref - t * total
+            c = (-abs(s), t, t, s, total, T)
+            best = c if best is None or c < best else best
+        want[k] = best[1:]
+
+    df = spark.createDataFrame(rows, "cell long, week long, n long")
+    got = {
+        r["cell"]: (r["t_star"], r["at"], r["s_star"], r["total"],
+                    r["n_points"])
+        for r in cusum_changepoint(df, ["cell"]).collect()
+    }
+    assert got == want
+    assert 4 not in got
+    assert got[1][0] == 10 and got[1][2] > 0      # step down at t=10
+    assert got[2][0] == 6 and got[2][2] < 0       # step up after t=6
+    assert got[3] == (1, 1, 0, 7 * 12, 12)        # flat: tie -> t=1, S=0
