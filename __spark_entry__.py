@@ -442,6 +442,32 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_communities(spark, sf_dir):
+    """Label-propagation communities (text/links.py:label_propagation):
+    4 synchronous rounds over the symmetrized 3-out doc graph,
+    (count DESC, label ASC) deterministic ties — the modular structure
+    star-CC (one component here) cannot see."""
+    from insights_spark.text.links import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                F.pmod(F.col("doc_id") * 7919 + 104729 * k, F.col("n"))
+                for k in (1, 2, 3)
+            ])).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return label_propagation(edges, iters=4).select(
+        F.col("id").alias("doc_id"), "label"
+    )
+
+
 def _q_cusum(spark, sf_dir):
     """Per-cell CUSUM changepoint (ops/timeseries.py:cusum_changepoint)
     over daily res-0 hex counts: S'_t = T·prefix − t·total exact
@@ -3045,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "communities": _q_communities,
         "cusum": _q_cusum,
         "concurrency": _q_concurrency,
         "kmeans": _q_kmeans,
@@ -3319,6 +3346,36 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024,
                      CAST(sum(dist) AS BIGINT) AS inertia
               FROM a{last} GROUP BY 1) r
         JOIN c{last} c ON c.cid = r.cluster
+    """
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation over the shared 3-out doc
+    graph (symmetrized, self-loops dropped): same (count DESC, label
+    ASC) struct-argmax recurrence as text/links.py:label_propagation."""
+    parts = ["""
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        e0 AS (SELECT src, dst FROM (
+                 SELECT doc_id AS src,
+                        mod(doc_id * 7919 + 104729 * k.k, nn.n) AS dst
+                 FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k)
+               WHERE dst <> src),
+        e AS (SELECT src, dst FROM e0
+              UNION
+              SELECT dst, src FROM e0),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)"""]
+    for t in range(iters):
+        parts.append(f"""
+        c{t} AS (SELECT e.dst AS id, l.label,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM e JOIN l{t} l ON e.src = l.id
+                 GROUP BY 1, 2),
+        l{t + 1} AS (SELECT id,
+                            (min({{'negc': -c, 'l': label}})).l AS label
+                     FROM c{t} GROUP BY id)""")
+    return f"""
+        WITH {','.join(parts)}
+        SELECT id, label FROM l{iters}
     """
 
 
@@ -6083,6 +6140,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
         FROM walk GROUP BY id
     """
+    out["communities"] = (
+        _lpa_sql(iters=4)
+        .replace("SELECT id, label", "SELECT id AS doc_id, label")
+    )
     out["kmeans"] = _kmeans_sql(k=8, iters=3, scale=1024, d=64)
     # quad compaction: both levels unrolled; z7 xy from the shared
     # slippy-map mapping, x/y widened to BIGINT to match Spark's `div`.

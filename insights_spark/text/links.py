@@ -266,3 +266,56 @@ def sssp_weighted(
         )
         frontier = improved
     return dist
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007, public) with DETERMINISTIC tie-breaking —
+    communities are the modular structure star-CC cannot see (CC merges
+    everything reachable; LPA splits a connected graph into densely-knit
+    groups — topic clusters in a link graph, coordinated-edit rings).
+
+    Contract: undirected view (edges symmetrized, self-loops dropped),
+    labels start as node ids; each round EVERY node simultaneously
+    adopts the most frequent label among its neighbors, ties to the
+    SMALLEST label (canonical LPA breaks ties randomly — useless for an
+    engine-exact gate; the (count DESC, label ASC) rule is the same
+    min(struct) argmax as home_cells/cusum). A FIXED ``iters`` keeps
+    the result well-defined under the known sync-LPA oscillation on
+    bipartite-ish structures — bit-identical across engines either way.
+    Output: (id, label) for every edge endpoint.
+
+    Scale posture (10^12 edges): per round ONE edges⋈labels hash join
+    (src-keyed), ONE decomposable (dst, label) count (map-side partials
+    absorb hub skew), ONE min(struct) argmax groupBy — the 2-shuffle
+    Pregel superstep, same as pagerank. Labels are localCheckpointed per
+    round (plan-accretion lesson); no collect anywhere.
+    """
+    ue = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        ue.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nbr = ue.join(labels, ue["src"] == labels["id"]).select(
+            F.col("dst").alias("nid"), "label"
+        )
+        cnt = nbr.groupBy("nid", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        labels = (
+            cnt.groupBy("nid")
+            .agg(F.min(F.struct((-F.col("c")).alias("negc"),
+                                F.col("label").alias("l"))).alias("p"))
+            .select(F.col("nid").alias("id"), F.col("p.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

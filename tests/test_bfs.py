@@ -140,3 +140,46 @@ def test_sssp_multi_source_cycle_unreachable(spark):
     got = _dists(sssp_weighted(
         _wedges(spark, trip), _src(spark, seeds), rounds=6))
     assert got == cur
+
+
+def test_label_propagation_brute_force(spark):
+    """Sync LPA with (count DESC, label ASC) ties vs a pure-Python
+    replica: two cliques joined by one bridge edge resolve to two
+    communities; replica matches exactly at every fixed iteration
+    count."""
+    from insights_spark.text.links import label_propagation
+
+    # clique A = {0..4}, clique B = {10..14}, bridge 4-10
+    cl = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    e = cl(range(5)) + cl(range(10, 15)) + [(4, 10), (7, 7)]  # self-loop dropped
+
+    def brute(iters):
+        adj = {}
+        for a, b in e:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {n: n for n in adj}
+        for _ in range(iters):
+            new = {}
+            for node, nbrs in adj.items():
+                cnts = {}
+                for nb in nbrs:
+                    cnts[lab[nb]] = cnts.get(lab[nb], 0) + 1
+                new[node] = min(cnts, key=lambda L: (-cnts[L], L))
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(e, "src long, dst long")
+    for iters in (1, 4):
+        got = {r["id"]: r["label"]
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == brute(iters)
+    final = {r["id"]: r["label"]
+             for r in label_propagation(df, iters=4).collect()}
+    assert 7 not in final                      # self-loop-only node absent
+    a_labels = {final[n] for n in range(5)}
+    b_labels = {final[n] for n in range(10, 15)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels                # two communities survive
