@@ -442,6 +442,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_od_flows(spark, sf_dir):
+    """Origin–destination flow matrix (geo/track.py:od_flows) between
+    res-0 hex cells over each user's chronological event points — one
+    user-partitioned window lag + ONE (from, to)-keyed rollup with
+    exact distinct movers; dwell (same-cell) pairs excluded."""
+    from insights_spark.geo.track import od_flows
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pts = _points(ev, "event_id")
+    return od_flows(pts, res=0, id_col="event_id")
+
+
 def _q_communities(spark, sf_dir):
     """Label-propagation communities (text/links.py:label_propagation):
     4 synchronous rounds over the symmetrized 3-out doc graph,
@@ -3071,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "od_flows": _q_od_flows,
         "communities": _q_communities,
         "cusum": _q_cusum,
         "concurrency": _q_concurrency,
@@ -4781,6 +4794,24 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_idx
+    """
+    out["od_flows"] = f"""
+        WITH {_hex_cells_chain_sql(
+            0,
+            src="SELECT event_id, user_id, ts, "
+                + _POINTS_SQL.format(k='event_id') + " FROM events",
+            carry="event_id, user_id, ts",
+        )},
+        lagged AS (SELECT user_id, cell,
+                          lag(cell) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS prev
+                   FROM hexed)
+        SELECT prev AS cell_from, cell AS cell_to,
+               CAST(count(*) AS BIGINT) AS n_moves,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM lagged
+        WHERE prev IS NOT NULL AND prev <> cell
+        GROUP BY 1, 2
     """
     out["cusum"] = f"""
         WITH {_hex_cells_chain_sql(

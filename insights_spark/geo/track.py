@@ -128,3 +128,55 @@ def home_cells(
             "n_cells",
         )
     )
+
+
+def od_flows(
+    points: DataFrame,
+    res: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "id",
+) -> DataFrame:
+    """Origin–destination flow matrix between hex cells — the
+    spatial-interaction rollup behind movement/commuting matrices
+    (classic OD-matrix analysis, public): for every user's
+    chronologically consecutive point pairs whose CELLS differ, count
+    the directed (origin_cell, dest_cell) move.
+
+    Output: (cell_from, cell_to, n_moves, n_users — exact distinct
+    movers). Same-cell consecutive points are dwell, not movement —
+    excluded (dwell is ``sessions.dwell_segments``' job); ties on ts
+    order by ``id_col`` so both engines see identical lag sequences
+    (the sessionize rule).
+
+    Scale posture (100 TB): cell encode is the shared Arrow-batched
+    kernel (one map pass); ONE user-partitioned window (skew bounded by
+    the busiest user) emits the lag pairs; the matrix rollup is ONE
+    (from, to)-keyed shuffle — n_moves decomposable (map-side combine),
+    n_users an exact count-distinct bounded by the pair's movers. The
+    matrix is bounded by OCCUPIED cell pairs actually traveled, not
+    |cells|².
+    """
+    from pyspark.sql.window import Window as W
+
+    from .cells import hex_udf
+
+    pts = points.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat"))
+        .alias("cell"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("_ts"), F.asc("_id"))
+    moved = (
+        pts.withColumn("_prev", F.lag("cell").over(w))
+        .where(F.col("_prev").isNotNull()
+               & (F.col("_prev") != F.col("cell")))
+    )
+    return moved.groupBy(
+        F.col("_prev").alias("cell_from"), F.col("cell").alias("cell_to")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

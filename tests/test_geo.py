@@ -1276,3 +1276,44 @@ def test_semivariogram_brute_force(spark):
     one = spark.createDataFrame([(hex_encode(6, 0, 0), 5)],
                                 "cell long, x long")
     assert semivariogram_exact(one, cnt_col="x").count() == 0
+
+
+def test_od_flows_brute_force(spark):
+    """OD matrix vs hand-computed moves: dwell excluded, direction
+    preserved, ts ties ordered by id, exact distinct movers."""
+    from datetime import datetime
+
+    from insights_spark.geo.cells import hex_center
+    from insights_spark.geo.track import od_flows
+
+    # three res-0 cell centers, far apart
+    from insights_spark.geo.cells import hex_encode
+
+    ca, cb, cc = (hex_encode(0, 0, 0), hex_encode(0, 3, 0),
+                  hex_encode(0, 0, 3))
+    la, lb, lc = hex_center(ca), hex_center(cb), hex_center(cc)
+    t = lambda m: datetime(2024, 5, 1, 0, m)
+    rows = [
+        # user 1: A -> B -> B (dwell) -> C
+        (1, t(0), 1, *la), (1, t(1), 2, *lb), (1, t(2), 3, *lb),
+        (1, t(3), 4, *lc),
+        # user 2: A -> B, and a ts TIE at t(5) ordered by id: B -> A
+        (2, t(4), 5, *la), (2, t(5), 6, *lb), (2, t(5), 7, *la),
+        # user 3: single point, no moves
+        (3, t(6), 8, *lc),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, id long, lon double, lat double"
+    )
+    got = {
+        (r["cell_from"], r["cell_to"]): (r["n_moves"], r["n_users"])
+        for r in od_flows(df, res=0, id_col="id").collect()
+    }
+    assert got == {
+        (ca, cb): (2, 2),          # users 1 and 2
+        (cb, cc): (1, 1),          # user 1
+        (cb, ca): (1, 1),          # user 2's tie resolved by id order
+    }
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, id long, lon double, lat double")
+    assert od_flows(empty, res=0, id_col="id").count() == 0
