@@ -442,6 +442,32 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_hits(spark, sf_dir):
+    """HITS hubs & authorities (text/links.py:hits_fixed_point): 4
+    rounds of integer sum + L∞ div-normalization over the directed
+    3-out doc graph — the directory-vs-content distinction PageRank's
+    single score cannot make; bit-equal to the unrolled SQL recurrence."""
+    from insights_spark.text.links import hits_fixed_point
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                F.pmod(F.col("doc_id") * 7919 + 104729 * k, F.col("n"))
+                for k in (1, 2, 3)
+            ])).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return hits_fixed_point(edges, iters=4).select(
+        F.col("id").alias("doc_id"), "hub", "auth"
+    )
+
+
 def _q_od_flows(spark, sf_dir):
     """Origin–destination flow matrix (geo/track.py:od_flows) between
     res-0 hex cells over each user's chronological event points — one
@@ -3083,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "hits": _q_hits,
         "od_flows": _q_od_flows,
         "communities": _q_communities,
         "cusum": _q_cusum,
@@ -3359,6 +3386,51 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024,
                      CAST(sum(dist) AS BIGINT) AS inertia
               FROM a{last} GROUP BY 1) r
         JOIN c{last} c ON c.cid = r.cluster
+    """
+
+
+def _hits_sql(iters: int = 4, scale: int = 10**6) -> str:
+    """Unrolled integer HITS over the shared 3-out doc graph (multi-edges
+    preserved): same sum / L-inf div-normalize recurrence as
+    text/links.py:hits_fixed_point; all operands nonnegative so DuckDB's
+    truncating ``//`` equals Spark's ``div`` equals floor."""
+    parts = ["""
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        e AS (SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       mod(doc_id * 7919 + 104729 * k.k, nn.n) AS dst
+                FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k)
+              WHERE dst <> src),
+        nodes AS (SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM e
+                    UNION ALL SELECT dst FROM e)),
+        h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes)"""]
+    for t in range(iters):
+        parts.append(f"""
+        ar{t} AS (SELECT e.dst AS id, CAST(sum(hh.h) AS BIGINT) AS raw
+                  FROM e JOIN h{t} hh ON e.src = hh.id GROUP BY 1),
+        am{t} AS (SELECT greatest(coalesce(max(raw), 0), 1) AS m
+                  FROM ar{t}),
+        a{t} AS (SELECT n.id,
+                        CAST((coalesce(ar.raw, 0) * {scale}) // am.m
+                             AS BIGINT) AS a
+                 FROM nodes n LEFT JOIN ar{t} ar ON ar.id = n.id
+                      CROSS JOIN am{t} am),
+        hr{t} AS (SELECT e.src AS id, CAST(sum(aa.a) AS BIGINT) AS raw
+                  FROM e JOIN a{t} aa ON e.dst = aa.id GROUP BY 1),
+        hm{t} AS (SELECT greatest(coalesce(max(raw), 0), 1) AS m
+                  FROM hr{t}),
+        h{t + 1} AS (SELECT n.id,
+                            CAST((coalesce(hr.raw, 0) * {scale}) // hm.m
+                                 AS BIGINT) AS h
+                     FROM nodes n LEFT JOIN hr{t} hr ON hr.id = n.id
+                          CROSS JOIN hm{t} hm)""")
+    last = iters - 1
+    return f"""
+        WITH {','.join(parts)}
+        SELECT n.id AS doc_id, h.h AS hub, a.a AS auth
+        FROM nodes n JOIN h{iters} h ON h.id = n.id
+             JOIN a{last} a ON a.id = n.id
     """
 
 
@@ -6171,6 +6243,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
         FROM walk GROUP BY id
     """
+    out["hits"] = _hits_sql(iters=4, scale=10**6)
     out["communities"] = (
         _lpa_sql(iters=4)
         .replace("SELECT id, label", "SELECT id AS doc_id, label")

@@ -61,7 +61,7 @@ def s2_cell_id(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndarray:
     face = np.where(major >= 0, comp, comp + 3)
 
     # (u, v) per face — public S2 face projection table
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
             [y / x, -x / y, -x / z, z / x, z / y, -y / z],

@@ -319,3 +319,74 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public) in exact integer
+    fixed point — the second classic link-analysis ranking next to
+    PageRank: authorities are pages many good hubs point AT, hubs are
+    pages pointing at many good authorities (directory pages vs content
+    pages — a distinction PageRank's single score cannot make).
+
+    Per round: a(v) = Σ_{u→v} h(u), then L∞-normalize to ``scale``
+    (a ← a·scale div max(a) — ONE scalar max broadcast back, the
+    deterministic integer stand-in for the usual L2 norm; without it
+    scores grow ~deg^2·iters and overflow at hub degrees that exist at
+    web scale); then h(v) = Σ_{v→u} a(u), normalized the same way.
+    All-integer sums are order-free → bit-identical across partitionings
+    and engines; the oracle unrolls the same recurrence. Multi-edges
+    count multiply, matching the SQL mirror. Nodes with no in-edges
+    have authority 0; no out-edges, hub 0.
+
+    Scale posture (10^12 edges): each half-round is ONE hash join of the
+    edge table (persisted once) against the current score vector + ONE
+    decomposable keyed SUM (map-side partials absorb hub skew) + a
+    1-row max broadcast via crossJoin (the freq.py one-row-total idiom,
+    no driver round-trip). The 2-shuffle Pregel superstep, twice per
+    iteration.
+    """
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.withColumn("h", F.lit(1).cast("long"))
+    a = None
+    for _ in range(iters):
+        a_sums = (
+            e.join(h, e["src"] == h["id"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        a = nodes.join(
+            a_sums, nodes["id"] == a_sums["nid"], "left"
+        ).select(
+            "id", F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("a")
+        )
+        amax = a.agg(F.greatest(F.max("a"), F.lit(1)).alias("m"))
+        a = a.crossJoin(F.broadcast(amax)).select(
+            "id", F.expr(f"(a * {scale}) div m").alias("a")
+        ).localCheckpoint(eager=True)
+        h_sums = (
+            e.join(a, e["dst"] == a["id"])
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        h = nodes.join(
+            h_sums, nodes["id"] == h_sums["nid"], "left"
+        ).select(
+            "id", F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("h")
+        )
+        hmax = h.agg(F.greatest(F.max("h"), F.lit(1)).alias("m"))
+        h = h.crossJoin(F.broadcast(hmax)).select(
+            "id", F.expr(f"(h * {scale}) div m").alias("h")
+        ).localCheckpoint(eager=True)
+    return nodes.join(h, "id").join(a, "id").select(
+        "id", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )

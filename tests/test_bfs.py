@@ -183,3 +183,42 @@ def test_label_propagation_brute_force(spark):
     b_labels = {final[n] for n in range(10, 15)}
     assert len(a_labels) == 1 and len(b_labels) == 1
     assert a_labels != b_labels                # two communities survive
+
+
+def test_hits_fixed_point_brute_force(spark):
+    """Integer HITS vs a pure-Python replica: hub/authority separation
+    on a directory-vs-content graph, L-inf div-normalization, dangling
+    and source-only nodes, multi-edge weighting."""
+    from insights_spark.text.links import hits_fixed_point
+
+    # hubs 0,1 point at authorities 10,11,12; 20 is isolated-ish
+    e = [(0, 10), (0, 11), (0, 12), (1, 10), (1, 11),
+         (2, 10), (10, 20), (0, 10)]          # (0,10) doubled: multi-edge
+    scale, iters = 10**6, 4
+
+    def brute():
+        nodes = sorted({n for p in e for n in p})
+        h = {n: 1 for n in nodes}
+        a = {}
+        for _ in range(iters):
+            a = {n: 0 for n in nodes}
+            for s, d in e:
+                a[d] += h[s]
+            m = max(max(a.values()), 1)
+            a = {n: (v * scale) // m for n, v in a.items()}
+            h = {n: 0 for n in nodes}
+            for s, d in e:
+                h[s] += a[d]
+            m = max(max(h.values()), 1)
+            h = {n: (v * scale) // m for n, v in h.items()}
+        return {n: (h[n], a[n]) for n in nodes}
+
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["auth"])
+           for r in hits_fixed_point(df, iters=iters, scale=scale).collect()}
+    want = brute()
+    assert got == want
+    assert got[0][0] == scale                  # 0 is the top hub
+    assert got[10][1] == scale                 # 10 is the top authority
+    assert got[20] == (0, got[20][1])          # sink: zero hub
+    assert got[2][1] == 0                      # source-only: zero auth
