@@ -403,3 +403,68 @@ def stream_funnel(
             funnel_fn, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def stream_od_flows(
+    points_stream: DataFrame,
+    res: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming origin–destination moves — the stateful twin of
+    ``geo.track.od_flows``: per-user LAST-POSITION state carried across
+    micro-batches by ``applyInPandasWithState``. No built-in stateful
+    operator chains a lag across triggers — session windows aggregate,
+    dropDuplicates dedups, neither remembers "where was this user last";
+    the state here is exactly one (epoch, id, cell) triple per user —
+    bounded by the user universe, not stream history.
+
+    Within a micro-batch a user's rows are ordered by (ts, id) — the
+    batch twin's tie rule; across batches moves follow arrival order
+    (the honest streaming semantics). Fed in timestamp order the emitted
+    move multiset converges to EXACTLY the batch matrix (pinned by the
+    twin test). Output: one (user, cell_from, cell_to) row per detected
+    move, append mode; dwell (same cell) emits nothing.
+    """
+    import pandas as pd
+
+    from insights_spark.geo.cells import hex_udf
+
+    pts = points_stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat"))
+        .alias("cell"),
+    )
+    out_schema = "user_id long, cell_from long, cell_to long"
+    state_schema = "ep long, last_id long, cell long"
+
+    def od_fn(key, pdfs, state):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["_ts", "_id"]
+        )
+        prev_cell = state.get[2] if state.exists else None
+        froms, tos = [], []
+        for cell in rows["cell"].tolist():
+            if prev_cell is not None and cell != prev_cell:
+                froms.append(prev_cell)
+                tos.append(cell)
+            prev_cell = cell
+        last = rows.iloc[-1]
+        state.update((int(last["_ts"].value // 1000),
+                      int(last["_id"]), int(last["cell"])))
+        if froms:
+            yield pd.DataFrame({
+                "user_id": key[0],
+                "cell_from": froms,
+                "cell_to": tos,
+            })
+
+    return pts.groupBy("user_id").applyInPandasWithState(
+        od_fn, out_schema, state_schema, "append", "NoTimeout"
+    )

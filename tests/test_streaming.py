@@ -413,3 +413,64 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     for r in emitted:
         by_user[r["user_id"]] = max(by_user.get(r["user_id"], 0), r["step"])
     assert by_user == {1: 3, 2: 1, 3: 3}
+
+
+def test_stream_od_flows_matches_batch(spark, tmp_path):
+    """The streaming per-user last-position OD twin, fed in timestamp
+    order across two micro-batches, emits EXACTLY the batch od_flows
+    move multiset — state (one triple per user) survives the trigger
+    boundary."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from insights_spark.geo.track import od_flows
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    pts = m._points(ev, "event_id")
+    batch = {
+        (r["cell_from"], r["cell_to"]): (r["n_moves"], r["n_users"])
+        for r in od_flows(pts, res=0, id_col="event_id").collect()
+    }
+    assert batch, "fixture must contain moves"
+
+    cols = pts.select("user_id", "ts", "event_id", "lon", "lat")
+    cut = "2024-01-15"
+    src = str(tmp_path / "pts")
+    cols.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    cols.filter(F.col("ts") >= cut).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, "
+            "lon double, lat double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ingest.stream_od_flows(stream, res=0)
+        .writeStream.format("memory")
+        .queryName("odmoves")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["cell_from"], r["cell_to"]): (r["n_moves"], r["n_users"])
+        for r in spark.table("odmoves")
+        .groupBy("cell_from", "cell_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moves"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+        .collect()
+    }
+    assert got == batch
