@@ -442,6 +442,28 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (text/fuzzy.py:
+    sorted_neighborhood_pairs) over the fuzzy_join messy-title fixture:
+    global sort rank on the two-phase scan, window-4 band pairing
+    (n·window candidates, never quadratic), exact Levenshtein measure
+    JVM-side on candidates only."""
+    from insights_spark.text.fuzzy import sorted_neighborhood_pairs
+    from insights_spark.text.quality import tokens
+
+    base = F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ")
+    title = F.when(
+        (F.pmod(F.col("doc_id"), F.lit(5)) == 0) & (F.length(base) >= 2),
+        F.concat(
+            F.substring(base, 1, 1), F.lit("x"), F.substring(base, 3, 1 << 20)
+        ),
+    ).otherwise(base)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", title.alias("title")
+    )
+    return sorted_neighborhood_pairs(d, "title", window=4)
+
+
 def _q_hits(spark, sf_dir):
     """HITS hubs & authorities (text/links.py:hits_fixed_point): 4
     rounds of integer sum + L∞ div-normalization over the directed
@@ -3109,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "hits": _q_hits,
         "od_flows": _q_od_flows,
         "communities": _q_communities,
@@ -5398,6 +5421,26 @@ def oracle_sql() -> dict[str, str]:
         FROM titles a JOIN titles b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.title, b.title) <= 1
     """
+    out["sorted_neighborhood"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),
+        t0 AS (SELECT doc_id, array_to_string(tok[1:4], ' ') AS base
+               FROM toks),
+        titles AS (SELECT doc_id,
+                          CASE WHEN doc_id % 5 = 0 AND len(base) >= 2
+                               THEN base[1:1] || 'x' || base[3:]
+                               ELSE base END AS title
+                   FROM t0),
+        r AS (SELECT doc_id, title,
+                     CAST(row_number() OVER (ORDER BY title, doc_id)
+                          AS BIGINT) AS rank
+              FROM titles)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(b.rank - a.rank AS BIGINT) AS dist,
+               CAST(levenshtein(a.title, b.title) AS BIGINT) AS lev
+        FROM r a JOIN r b
+          ON b.rank > a.rank AND b.rank <= a.rank + 4
+    """
+
     _OFF6 = "[268435456::BIGINT, -268435456, 1, -1, 268435455, -268435455]"
     out["frontier_cells"] = f"""
         WITH {_hex_cnts_sql(1)},

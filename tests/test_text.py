@@ -1719,3 +1719,50 @@ def test_kmeans_lloyd_int_brute_force(spark):
     }
     assert got == want
     assert len(got) == k and sum(n for n, _, _ in got.values()) == 40
+
+
+def test_sorted_neighborhood_brute_force(spark):
+    """SNM candidates == brute-force rank-window pairs; near-dup keys
+    sort adjacent and surface with lev<=1; window bound respected;
+    repartition invariance (two-phase rank)."""
+    from insights_spark.text.fuzzy import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "alpha centauri"), (2, "alpha centaurx"),   # near-dup pair
+        (3, "beta orionis"), (4, "zeta reticuli"),
+        (5, "alpha centauri"),                          # exact dup of 1
+        (6, "gamma draconis"), (7, "beta orioniz"),     # near-dup of 3
+        (8, "delta pavonis"),
+    ]
+    window = 3
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i, (ida, ka) in enumerate(order):
+        for j in range(i + 1, min(i + 1 + window, len(order))):
+            idb, kb = order[j]
+            # reference Levenshtein
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def lev(x, y):
+                if not x:
+                    return len(y)
+                if not y:
+                    return len(x)
+                return min(
+                    lev(x[1:], y) + 1, lev(x, y[1:]) + 1,
+                    lev(x[1:], y[1:]) + (x[0] != y[0]),
+                )
+            want[(ida, idb)] = (j - i, lev(ka, kb))
+
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    for d in (df, df.repartition(5)):
+        got = {
+            (r["a"], r["b"]): (r["dist"], r["lev"])
+            for r in sorted_neighborhood_pairs(
+                d, "title", window=window).collect()
+        }
+        assert got == want
+    assert got[(1, 5)] == (1, 0)        # exact dups adjacent
+    assert any(v[1] == 1 for v in got.values())   # near-dups surfaced
+    assert all(1 <= v[0] <= window for v in got.values())
