@@ -442,6 +442,39 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotonic trend test (ops/timeseries.py:
+    mann_kendall) per res-0 hex cell over daily counts — sign-only S
+    statistic, tie-corrected 18·Var, continuity-corrected integer
+    significance gate; the distribution-free 'is there a trend at all'
+    sibling of cusum's 'when did it shift'."""
+    from insights_spark.geo import cells
+    from insights_spark.ops.timeseries import mann_kendall
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    wk = pts.groupBy(
+        cells.hex_udf(0, use_h3=False)(F.col("lon"), F.col("lat"))
+        .alias("cell"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min("event_id").alias("_mid"),
+    )
+    # plant a REAL upward trend in cells ≡ 0 (mod 7): event_ids are
+    # chronological, so min(event_id)/1000 grows ~10 over the month —
+    # both is_sig branches are exercised (pii_scrub planted precedent)
+    wk = wk.select(
+        "cell", "day",
+        (F.col("_cnt") + F.when(
+            F.pmod(F.col("cell"), F.lit(7)) == 0,
+            F.expr("_mid div 1000"),
+        ).otherwise(F.lit(0))).cast("long").alias("n"),
+    )
+    return mann_kendall(wk, ["cell"], "day", "n", min_points=6)
+
+
 def _q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (text/fuzzy.py:
     sorted_neighborhood_pairs) over the fuzzy_join messy-title fixture:
@@ -3131,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "mann_kendall": _q_mann_kendall,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "hits": _q_hits,
         "od_flows": _q_od_flows,
@@ -4907,6 +4941,53 @@ def oracle_sql() -> dict[str, str]:
         FROM lagged
         WHERE prev IS NOT NULL AND prev <> cell
         GROUP BY 1, 2
+    """
+    out["mann_kendall"] = f"""
+        WITH {_hex_cells_chain_sql(
+            0,
+            src="SELECT event_id, ts, "
+                + _POINTS_SQL.format(k='event_id') + " FROM events",
+            carry="event_id, ts",
+        )},
+        wk0 AS (SELECT cell, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS day,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(min(event_id) AS BIGINT) AS mid
+                FROM hexed GROUP BY 1, 2),
+        wk AS (SELECT cell, day,
+                      cnt + CASE WHEN cell % 7 = 0 THEN mid // 1000
+                                 ELSE 0 END AS n
+               FROM wk0),
+        s AS (SELECT a.cell,
+                     CAST(sum(CASE WHEN b.n > a.n THEN 1
+                                   WHEN b.n < a.n THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM wk a JOIN wk b
+                ON a.cell = b.cell AND a.day < b.day
+              GROUP BY 1),
+        np AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_points
+               FROM wk GROUP BY 1),
+        ties AS (SELECT cell,
+                        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tie_corr
+                 FROM (SELECT cell, n, CAST(count(*) AS BIGINT) AS t
+                       FROM wk GROUP BY 1, 2)
+                 GROUP BY 1),
+        j AS (SELECT np.cell, n_points, coalesce(s.s_stat, 0) AS s_stat,
+                     n_points * (n_points - 1) * (2 * n_points + 5)
+                       - tie_corr AS var18
+              FROM np JOIN ties USING (cell)
+                   LEFT JOIN s USING (cell)
+              WHERE n_points >= 6)
+        SELECT cell, n_points, s_stat, CAST(var18 AS BIGINT) AS var18,
+               CAST(CASE WHEN s_stat > 0 THEN 1
+                         WHEN s_stat < 0 THEN -1 ELSE 0 END AS INT)
+                 AS trend,
+               CAST(CASE WHEN abs(s_stat) >= 1
+                          AND 18 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                              * 625 > 2401 * var18
+                         THEN 1 ELSE 0 END AS INT) AS is_sig
+        FROM j
     """
     out["cusum"] = f"""
         WITH {_hex_cells_chain_sql(

@@ -152,6 +152,7 @@ HEADLINE = [
     "event_gaps",
     "unpivot_counts",
     # round-5 session-5 additions
+    "mann_kendall",
     "sorted_neighborhood",
     "hits",
     "od_flows",

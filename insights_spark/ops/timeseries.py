@@ -285,3 +285,89 @@ def cusum_changepoint(
         F.col("_m.total").alias("total"),
         F.col("_m.n_points").alias("n_points"),
     )
+
+
+def mann_kendall(
+    counts: DataFrame,
+    key_cols: list,
+    order_col: str = "day",
+    val_col: str = "n",
+    min_points: int = 8,
+    z_num: int = 49,
+    z_den: int = 25,
+) -> DataFrame:
+    """Per-key Mann–Kendall monotonic trend test in EXACT integer
+    arithmetic (Mann 1945 / Kendall 1975, public; the standard trend
+    detector for environmental and spatio-temporal series). CUSUM asks
+    "when did the level shift?"; Mann–Kendall asks "is there a
+    monotonic trend at all, and which way?" — robust to outliers and
+    distribution-free, because it only uses SIGNS of pairwise
+    differences:
+
+        S = Σ_{i<j} sign(x_j − x_i)
+
+    with the tie-corrected variance (×18 to stay integral):
+
+        18·Var(S) = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+
+    and the continuity-corrected z-test |S| ≥ 1, z = (|S|−1)/√Var >
+    z_num/z_den squared into the integer gate
+
+        18·(|S|−1)²·z_den² > z_num²·var18.
+
+    Output per key with ≥ ``min_points`` observations: (key…, n_points,
+    s_stat, var18, trend ∈ {−1,0,1}, is_sig ∈ {0,1}). No sqrt, no
+    float, bit-identical across engines.
+
+    Scale posture (100 TB): input is the bounded per-(key, bucket)
+    rollup; the pair stage is ONE key-keyed self-equi-join whose output
+    is Σ_k T_k² — bounded by SERIES LENGTH squared (buckets of history,
+    ~10²–10³), never by the fact table; tie groups are one (key, value)
+    rollup. Three keyed shuffles total, all decomposable.
+    """
+    keys = [F.col(k) for k in key_cols]
+    base = counts.select(
+        *key_cols,
+        F.col(order_col).alias("_o"),
+        F.col(val_col).cast("long").alias("_x"),
+    )
+    a = base.select(*key_cols, F.col("_o").alias("_oa"),
+                    F.col("_x").alias("_xa"))
+    b = base.select(*key_cols, F.col("_o").alias("_ob"),
+                    F.col("_x").alias("_xb"))
+    pairs = a.join(b, key_cols).where(F.col("_oa") < F.col("_ob"))
+    s_df = pairs.groupBy(*key_cols).agg(
+        F.sum(F.signum(F.col("_xb") - F.col("_xa")).cast("long"))
+        .alias("s_stat"),
+    )
+    n_df = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    ties = (
+        base.groupBy(*key_cols, "_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy(*key_cols)
+        .agg(F.sum(
+            F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+        ).alias("_tie_corr"))
+    )
+    j = (
+        n_df.join(s_df, key_cols)
+        .join(ties, key_cols)
+        .where(F.col("n_points") >= F.lit(min_points))
+    )
+    n = F.col("n_points")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("_tie_corr")
+    absm1 = F.abs(F.col("s_stat")) - 1
+    sig = (
+        (F.abs(F.col("s_stat")) >= 1)
+        & (F.lit(18) * absm1 * absm1 * F.lit(z_den * z_den)
+           > F.lit(z_num * z_num) * var18)
+    )
+    return j.select(
+        *key_cols,
+        "n_points",
+        "s_stat",
+        var18.cast("long").alias("var18"),
+        F.signum(F.col("s_stat")).cast("int").alias("trend"),
+        sig.cast("int").alias("is_sig"),
+    )

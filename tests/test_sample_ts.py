@@ -371,3 +371,55 @@ def test_cusum_changepoint_brute_force(spark):
     assert got[1][0] == 10 and got[1][2] > 0      # step down at t=10
     assert got[2][0] == 6 and got[2][2] < 0       # step up after t=6
     assert got[3] == (1, 1, 0, 7 * 12, 12)        # flat: tie -> t=1, S=0
+
+
+def test_mann_kendall_brute_force(spark):
+    """Mann-Kendall S, tie-corrected 18*Var, continuity-corrected
+    significance gate vs a pure-Python replica + scipy-free textbook
+    cases: monotone up (sig), monotone down (sig), flat (S=0, not sig),
+    noisy no-trend (not sig), heavy ties, min_points gate."""
+    import random
+
+    from insights_spark.ops.timeseries import mann_kendall
+
+    rng = random.Random(107)
+    series = {
+        1: list(range(1, 13)),                      # strict up
+        2: list(range(30, 10, -2)),                 # strict down
+        3: [5] * 10,                                # flat: all ties
+        4: [rng.randint(0, 100) for _ in range(12)],  # noise
+        5: [1, 1, 2, 2, 2, 3, 3, 3, 3, 4],          # heavy ties, up
+        6: [9, 1, 5],                               # gated (n < 8)
+    }
+    rows = [(k, i + 1, v) for k, xs in series.items()
+            for i, v in enumerate(xs)]
+
+    def brute(xs):
+        n = len(xs)
+        S = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(xs).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        sig = abs(S) >= 1 and 18 * (abs(S) - 1) ** 2 * 625 > 2401 * var18
+        tr = (S > 0) - (S < 0)
+        return (n, S, var18, tr, int(sig))
+
+    df = spark.createDataFrame(rows, "cell long, day long, n long")
+    got = {
+        r["cell"]: (r["n_points"], r["s_stat"], r["var18"], r["trend"],
+                    r["is_sig"])
+        for r in mann_kendall(df, ["cell"], "day", "n").collect()
+    }
+    want = {k: brute(xs) for k, xs in series.items() if len(xs) >= 8}
+    assert got == want
+    assert got[1][4] == 1 and got[1][3] == 1       # up, significant
+    assert got[2][4] == 1 and got[2][3] == -1      # down, significant
+    assert got[3] == (10, 0, got[3][2], 0, 0)      # flat: S=0
+    assert got[4][4] == 0                          # noise: not significant
+    assert got[5][3] == 1                          # ties still detect up
+    assert 6 not in got
