@@ -442,6 +442,36 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust slope (ops/timeseries.py:theil_sen_slope) per
+    res-0 hex cell over the SAME planted-trend daily series as
+    mann_kendall — MK detects the trend, Sen estimates its magnitude;
+    lower-median pairwise fraction under the engine-exact
+    (double, num, den) order."""
+    from insights_spark.geo import cells
+    from insights_spark.ops.timeseries import theil_sen_slope
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    wk = pts.groupBy(
+        cells.hex_udf(0, use_h3=False)(F.col("lon"), F.col("lat"))
+        .alias("cell"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min("event_id").alias("_mid"),
+    )
+    wk = wk.select(
+        "cell", "day",
+        (F.col("_cnt") + F.when(
+            F.pmod(F.col("cell"), F.lit(7)) == 0,
+            F.expr("_mid div 1000"),
+        ).otherwise(F.lit(0))).cast("long").alias("n"),
+    )
+    return theil_sen_slope(wk, ["cell"], "day", "n", min_points=6)
+
+
 def _q_mann_kendall(spark, sf_dir):
     """Mann–Kendall monotonic trend test (ops/timeseries.py:
     mann_kendall) per res-0 hex cell over daily counts — sign-only S
@@ -3164,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "theil_sen": _q_theil_sen,
         "mann_kendall": _q_mann_kendall,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "hits": _q_hits,
@@ -4941,6 +4972,43 @@ def oracle_sql() -> dict[str, str]:
         FROM lagged
         WHERE prev IS NOT NULL AND prev <> cell
         GROUP BY 1, 2
+    """
+    out["theil_sen"] = f"""
+        WITH {_hex_cells_chain_sql(
+            0,
+            src="SELECT event_id, ts, "
+                + _POINTS_SQL.format(k='event_id') + " FROM events",
+            carry="event_id, ts",
+        )},
+        wk0 AS (SELECT cell, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS day,
+                       CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(min(event_id) AS BIGINT) AS mid
+                FROM hexed GROUP BY 1, 2),
+        wk AS (SELECT cell,
+                      date_diff('day', TIMESTAMP '1970-01-01', day) AS t,
+                      cnt + CASE WHEN cell % 7 = 0 THEN mid // 1000
+                                 ELSE 0 END AS x
+               FROM wk0),
+        np AS (SELECT cell, CAST(count(*) AS BIGINT) AS npts
+               FROM wk GROUP BY 1),
+        pairs AS (SELECT a.cell,
+                         CAST(b.x - a.x AS BIGINT) AS num,
+                         CAST(b.t - a.t AS BIGINT) AS den
+                  FROM wk a JOIN wk b
+                    ON a.cell = b.cell AND a.t < b.t),
+        ranked AS (SELECT cell, num, den,
+                          CAST(row_number() OVER (PARTITION BY cell
+                               ORDER BY CAST(num AS DOUBLE) / den ASC,
+                                        num ASC, den ASC)
+                               AS BIGINT) AS rn,
+                          CAST(count(*) OVER (PARTITION BY cell)
+                               AS BIGINT) AS n_pairs
+                   FROM pairs)
+        SELECT r.cell, r.n_pairs, r.num AS med_num, r.den AS med_den,
+               CAST(r.num AS DOUBLE) / r.den AS slope_per_day
+        FROM ranked r JOIN np ON np.cell = r.cell
+        WHERE r.rn = (r.n_pairs + 1) // 2 AND np.npts >= 6
     """
     out["mann_kendall"] = f"""
         WITH {_hex_cells_chain_sql(

@@ -371,3 +371,80 @@ def mann_kendall(
         F.signum(F.col("s_stat")).cast("int").alias("trend"),
         sig.cast("int").alias("is_sig"),
     )
+
+
+def theil_sen_slope(
+    counts: DataFrame,
+    key_cols: list,
+    order_col: str = "day",
+    val_col: str = "n",
+    min_points: int = 6,
+) -> DataFrame:
+    """Per-key Theil–Sen slope — the robust trend MAGNITUDE companion to
+    ``mann_kendall`` (Theil 1950 / Sen 1968, public; MK answers "is
+    there a trend", Sen answers "how steep"): the median of all pairwise
+    slopes (x_j − x_i)/(t_j − t_i), insensitive to up to ~29% outliers
+    where least squares is wrecked by one.
+
+    Exactness contract: t is epoch DAYS of ``order_col`` (integer), so
+    every pairwise slope is the exact rational num/den (den > 0). The
+    median is the LOWER median of the N = T(T−1)/2 fractions under the
+    order (num/den AS DOUBLE, num, den) — the double quotient is
+    computed identically by both engines, and the (num, den) tiebreak
+    makes the order total, so the picked FRACTION is engine-exact
+    (no averaging of the two middle elements on even N — averaging
+    would leave the rational domain). Output: (key…, n_pairs, med_num,
+    med_den, slope_per_day — ONE IEEE division of the exact pair).
+
+    Scale posture (100 TB): same bounded shape as mann_kendall — ONE
+    key-keyed self-equi-join (Σ T² pairs, bounded by series length²),
+    ONE key-partitioned window sort of those pairs (per-key rows ≤
+    ~10³), ONE filter on the middle rank. Never fact-sized.
+    """
+    from pyspark.sql.window import Window
+
+    base = counts.select(
+        *key_cols,
+        F.datediff(F.col(order_col), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("_t"),
+        F.col(val_col).cast("long").alias("_x"),
+    )
+    a = base.select(*key_cols, F.col("_t").alias("_ta"),
+                    F.col("_x").alias("_xa"))
+    b = base.select(*key_cols, F.col("_t").alias("_tb"),
+                    F.col("_x").alias("_xb"))
+    pairs = (
+        a.join(b, key_cols)
+        .where(F.col("_ta") < F.col("_tb"))
+        .select(
+            *key_cols,
+            (F.col("_xb") - F.col("_xa")).alias("num"),
+            (F.col("_tb") - F.col("_ta")).alias("den"),
+        )
+    )
+    n_df = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_npts"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        (F.col("num") / F.col("den")).asc(), F.col("num").asc(),
+        F.col("den").asc(),
+    )
+    ranked = (
+        pairs.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "_np",
+            F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+            .cast("long"),
+        )
+    )
+    med = ranked.where(F.col("_rn") == F.expr("(_np + 1) div 2"))
+    return (
+        med.join(n_df, key_cols)
+        .where(F.col("_npts") >= F.lit(min_points))
+        .select(
+            *key_cols,
+            F.col("_np").alias("n_pairs"),
+            F.col("num").alias("med_num"),
+            F.col("den").alias("med_den"),
+            (F.col("num") / F.col("den")).alias("slope_per_day"),
+        )
+    )

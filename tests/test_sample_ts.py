@@ -423,3 +423,51 @@ def test_mann_kendall_brute_force(spark):
     assert got[4][4] == 0                          # noise: not significant
     assert got[5][3] == 1                          # ties still detect up
     assert 6 not in got
+
+
+def test_theil_sen_brute_force(spark):
+    """Theil-Sen lower-median pairwise slope vs a Fraction-exact
+    replica using the identical (double, num, den) order: clean linear
+    slope recovered exactly, outlier robustness, even-N lower median,
+    min_points gate."""
+    import random
+    from datetime import date, timedelta
+    from fractions import Fraction
+
+    from insights_spark.ops.timeseries import theil_sen_slope
+
+    rng = random.Random(113)
+    base = date(2024, 1, 1)
+    series = {
+        1: [(i, 3 * i + 7) for i in range(10)],          # slope exactly 3
+        2: [(i, 2 * i + (500 if i == 4 else 0))          # one huge outlier
+            for i in range(9)],
+        3: [(i, rng.randint(0, 50)) for i in range(8)],  # noise
+        4: [(i, 5) for i in range(4)],                   # gated (n<6)
+    }
+    rows = [(k, base + timedelta(days=t), v)
+            for k, xs in series.items() for t, v in xs]
+
+    def brute(xs):
+        pairs = []
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                num = xs[j][1] - xs[i][1]
+                den = xs[j][0] - xs[i][0]
+                pairs.append((num / den, num, den))
+        pairs.sort()
+        np_ = len(pairs)
+        _, num, den = pairs[(np_ + 1) // 2 - 1]
+        return (np_, num, den, num / den)
+
+    df = spark.createDataFrame(rows, "cell long, day date, n long")
+    got = {
+        r["cell"]: (r["n_pairs"], r["med_num"], r["med_den"],
+                    r["slope_per_day"])
+        for r in theil_sen_slope(df, ["cell"], "day", "n").collect()
+    }
+    want = {k: brute(xs) for k, xs in series.items() if len(xs) >= 6}
+    assert got == want
+    assert Fraction(got[1][1], got[1][2]) == 3       # exact slope 3
+    assert abs(got[2][3] - 2.0) < 1.0                # outlier shrugged off
+    assert 4 not in got
