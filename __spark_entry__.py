@@ -442,6 +442,27 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_normalize_text(spark, sf_dir):
+    """NFC + control + whitespace normalization (text/clean.py:
+    normalize_text_nfc) with PLANTED decomposed-unicode / control-char
+    suffixes on doc_id ≡ 0,1 (mod 5) so every branch is non-vacuous;
+    both engines implement the same public Unicode NFC algorithm and
+    the EXPLICIT ASCII whitespace class (Python \\s vs RE2 \\s diverge
+    on NBSP — pinned deliberately)."""
+    from insights_spark.text.clean import normalize_text_nfc
+
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.lit(" cafe\u0301 du   monde "))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+              F.concat(F.lit("\ttab"), F.expr("chr(1)")))
+        .otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+    return normalize_text_nfc(d)
+
+
 def _q_theil_sen(spark, sf_dir):
     """Theil–Sen robust slope (ops/timeseries.py:theil_sen_slope) per
     res-0 hex cell over the SAME planted-trend daily series as
@@ -3194,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "normalize_text": _q_normalize_text,
         "theil_sen": _q_theil_sen,
         "mann_kendall": _q_mann_kendall,
         "sorted_neighborhood": _q_sorted_neighborhood,
@@ -4972,6 +4994,29 @@ def oracle_sql() -> dict[str, str]:
         FROM lagged
         WHERE prev IS NOT NULL AND prev <> cell
         GROUP BY 1, 2
+    """
+    out["normalize_text"] = """
+        WITH aug AS (SELECT doc_id,
+                            coalesce(text, '') ||
+                            CASE CAST(doc_id % 5 AS INT)
+                              WHEN 0 THEN ' cafe' || chr(769)
+                                          || ' du   monde '
+                              WHEN 1 THEN chr(9) || 'tab' || chr(1)
+                              ELSE '' END AS text
+                     FROM documents),
+        n AS (SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(
+                            nfc_normalize(text),
+                            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                            '', 'g'),
+                          '[ \\t\\n\\r\\f\\v]+', ' ', 'g'),
+                          ' ' || chr(9) || chr(10) || chr(13)
+                              || chr(12) || chr(11)) AS norm_text
+              FROM aug)
+        SELECT doc_id, norm_text,
+               CAST(norm_text <> text AS INT) AS changed,
+               CAST(length(norm_text) AS BIGINT) AS n_chars
+        FROM n
     """
     out["theil_sen"] = f"""
         WITH {_hex_cells_chain_sql(

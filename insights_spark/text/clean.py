@@ -18,6 +18,7 @@ one action cleans the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -359,4 +360,62 @@ def mix_sources(
         .withColumn("mix_rank", F.row_number().over(w))
         .filter(F.col("mix_rank") <= F.col("quota"))
         .select(id_col, source_col, "mix_rank", "quota")
+    )
+
+
+def normalize_text_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the first map of every
+    crawl-text pipeline (CCNet/C4 both normalize before anything else,
+    public): NFC-compose combining sequences (é as one codepoint, not
+    e + U+0301 — exact dedup and shingling break without it), strip
+    C0/DEL control characters, collapse runs of ASCII whitespace to one
+    space, trim. Emits (id, norm_text, changed, n_chars).
+
+    Cross-engine exactness is all in the DETAILS, each pinned
+    deliberately: the whitespace class is the EXPLICIT
+    ``[ \\t\\n\\r\\f\\v]`` (Python's ``\\s`` is Unicode-aware, RE2's is
+    ASCII — the implicit classes disagree on NBSP); trim strips that
+    same explicit set (Python ``.strip()`` would strip Unicode spaces,
+    DuckDB ``trim`` only ASCII space); NFC itself agrees because both
+    sides implement the same public Unicode normalization algorithm.
+    Step order (NFC → strip control → collapse → trim) is identical in
+    the SQL mirror.
+
+    Scale posture: map-only Arrow-batched pandas UDF (unicodedata has
+    no JVM builtin), zero shuffle, pipeline-fusable with the scan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+
+        def f(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            t = ctrl.sub("", t)
+            t = ws.sub(" ", t)
+            return t.strip(" \t\n\r\f\v")
+
+        return s.map(f)
+
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        _norm(F.col(text_col)).alias("norm_text"),
+    ).select(
+        id_col,
+        "norm_text",
+        (F.col("norm_text") != F.col("_orig")).cast("int")
+        .alias("changed"),
+        F.length("norm_text").cast("long").alias("n_chars"),
     )

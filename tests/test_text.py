@@ -1766,3 +1766,29 @@ def test_sorted_neighborhood_brute_force(spark):
     assert got[(1, 5)] == (1, 0)        # exact dups adjacent
     assert any(v[1] == 1 for v in got.values())   # near-dups surfaced
     assert all(1 <= v[0] <= window for v in got.values())
+
+
+def test_normalize_text_nfc(spark):
+    """NFC composition, control stripping, explicit-ASCII whitespace
+    collapse/trim, NULL passthrough, changed flag, codepoint length."""
+    import unicodedata
+
+    from insights_spark.text.clean import normalize_text_nfc
+
+    rows = [
+        (1, "cafe\u0301 du   monde"),     # combining acute -> e-acute
+        (2, "already clean"),
+        (3, "\tx\x00y\x1f z "),           # controls + tabs
+        (4, None),
+        (5, "nb\u00a0sp"),                 # NBSP must SURVIVE (ASCII-only class)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["norm_text"], r["changed"], r["n_chars"])
+           for r in normalize_text_nfc(df).collect()}
+    assert got[1][0] == "caf\u00e9 du monde" and got[1][1] == 1
+    assert len(got[1][0]) == 13 and got[1][2] == 13
+    assert got[2] == ("already clean", 0, 13)
+    assert got[3][0] == "xy z" and got[3][1] == 1
+    assert got[4] == (None, None, None)
+    assert got[5][0] == "nb\u00a0sp" and got[5][1] == 0
+    assert unicodedata.is_normalized("NFC", got[1][0])
