@@ -442,6 +442,43 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shape star query (local-supplier volume): region →
+    nation → customer ⋈ supplier (same nation) → orders (1-year window)
+    → lineitem, revenue per nation. The Catalyst join-planning
+    showcase: three broadcast-able dims, the fact join last, ONE
+    nation-keyed rollup. Revenue is the EXACT integer
+    Σ price_cents·(100 − disc_pct) in 10⁻⁴-dollar units — both engines
+    round the identical doubles to the identical integers, so the sum
+    is order-free and bit-equal (float Σ p·(1−d) would reorder under
+    shuffle)."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("long").alias("revenue_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
 def _q_normalize_text(spark, sf_dir):
     """NFC + control + whitespace normalization (text/clean.py:
     normalize_text_nfc) with PLANTED decomposed-unicode / control-char
@@ -3215,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "regional_revenue": _q_regional_revenue,
         "normalize_text": _q_normalize_text,
         "theil_sen": _q_theil_sen,
         "mann_kendall": _q_mann_kendall,
@@ -4994,6 +5032,24 @@ def oracle_sql() -> dict[str, str]:
         FROM lagged
         WHERE prev IS NOT NULL AND prev <> cell
         GROUP BY 1, 2
+    """
+    out["regional_revenue"] = """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+             JOIN orders   ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+             JOIN nation   ON s_nationkey = n_nationkey
+             JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
     """
     out["normalize_text"] = """
         WITH aug AS (SELECT doc_id,

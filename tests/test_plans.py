@@ -274,3 +274,13 @@ def test_no_registered_query_plans_cartesian_or_single_partition(spark):
         if bad:
             flagged[name] = bad
     assert not flagged, flagged
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    """The Q5-shape star query must broadcast its dimension tables —
+    nation/region (and, at test scale, customer/supplier under the
+    autoBroadcastJoinThreshold): the fact table is never shuffled for a
+    dim join. At least two BroadcastHashJoins and zero CartesianProducts."""
+    plan = _plan(entry.queries()["regional_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
