@@ -442,6 +442,34 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid search via reciprocal-rank fusion (text/rank.py:rrf_fuse,
+    Cormack et al. SIGIR'09): BM25 lexical ranking ⊕ embedding-cosine
+    semantic ranking (query = vec_id 0, sequential-fold dot), fused on
+    RANKS with integer floor(scale/(k+rank)) — score-scale-free; both
+    global ranks ride the two-phase prefix scan."""
+    from insights_spark.text.rank import (
+        bm25_scores,
+        query_terms_by_df,
+        rrf_fuse,
+    )
+    from insights_spark.text.simsearch import dot, norm
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_scores(docs, query_terms_by_df(docs, n_terms=8, max_df=50))
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        (dot(F.col("embedding"), F.col("qv"))
+         / (norm(F.col("embedding")) * norm(F.col("qv"))))
+        .alias("score"),
+    )
+    return rrf_fuse(bm.select("doc_id", "score"), cos)
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-shape star query (local-supplier volume): region →
     nation → customer ⋈ supplier (same nation) → orders (1-year window)
@@ -3252,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "hybrid_search": _q_hybrid_search,
         "regional_revenue": _q_regional_revenue,
         "normalize_text": _q_normalize_text,
         "theil_sen": _q_theil_sen,
@@ -5426,6 +5455,31 @@ def oracle_sql() -> dict[str, str]:
                list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w))),
                            (a, c) -> a + c) AS score
         FROM w GROUP BY doc_id
+    """
+    out["hybrid_search"] = f"""
+        WITH bm AS ({out["bm25"]}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cos AS (SELECT vec_id AS doc_id,
+                       list_dot_product(embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[],
+                                                  q.qv::DOUBLE[])))
+                         AS score
+                FROM embeddings, q),
+        ra AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS BIGINT) AS rank_a
+               FROM bm),
+        rb AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS BIGINT) AS rank_b
+               FROM cos)
+        SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+               CAST(coalesce(1000000000 // (60 + rank_a), 0)
+                    + coalesce(1000000000 // (60 + rank_b), 0) AS BIGINT)
+                 AS rrf
+        FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
     """
     out["containment"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tok FROM documents),

@@ -138,3 +138,60 @@ def bm25_scores(
             ).alias("score"),
         )
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 60,
+    scale: int = 10**9,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (Cormack, Clarke &
+    Büttcher SIGIR'09, public) — the standard hybrid-search combiner
+    (BM25 lexical + embedding semantic): score-scale-free, it fuses on
+    RANKS alone, so a ranker with inflated score magnitudes cannot
+    dominate:
+
+        rrf(d) = Σ_r floor(scale / (k + rank_r(d)))
+
+    The floor makes every contribution an exact integer (the canonical
+    1/(k+rank) times a fixed scale), so the fused score is order-free
+    and engine-exact. Ranks are (score DESC, id ASC) — a total order.
+    A document absent from one ranker contributes 0 from it (standard
+    RRF over finite lists); its rank column is NULL in the output.
+
+    Scale posture (100 TB): each ranker's global rank rides the shared
+    two-phase distributed prefix scan (NO single-partition window —
+    rankings can be corpus-sized); the fuse is ONE full-outer id join.
+    """
+    from .pack import global_cumsum
+
+    def ranked(df: DataFrame, out: str) -> DataFrame:
+        r = df.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("_s"),
+            F.lit(1).cast("long").alias("_one"),
+        )
+        return global_cumsum(
+            r, "_one", [F.desc("_s"), F.asc("id")], out
+        ).select("id", out)
+
+    ra = ranked(a, "rank_a")
+    rb = ranked(b, "rank_b")
+    j = ra.join(rb, "id", "full_outer")
+    ca = F.when(
+        F.col("rank_a").isNotNull(),
+        F.expr(f"{scale} div ({k} + rank_a)"),
+    ).otherwise(F.lit(0))
+    cb = F.when(
+        F.col("rank_b").isNotNull(),
+        F.expr(f"{scale} div ({k} + rank_b)"),
+    ).otherwise(F.lit(0))
+    return j.select(
+        F.col("id").alias(id_col),
+        "rank_a",
+        "rank_b",
+        (ca + cb).cast("long").alias("rrf"),
+    )

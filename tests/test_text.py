@@ -1792,3 +1792,37 @@ def test_normalize_text_nfc(spark):
     assert got[4] == (None, None, None)
     assert got[5][0] == "nb\u00a0sp" and got[5][1] == 0
     assert unicodedata.is_normalized("NFC", got[1][0])
+
+
+def test_rrf_fuse_brute_force(spark):
+    """RRF vs hand-computed floor(scale/(k+rank)) sums: rank ties by
+    id, asymmetric membership contributes one-sided, scale-free (score
+    magnitudes irrelevant), repartition invariance."""
+    from insights_spark.text.rank import rrf_fuse
+
+    a = [(1, 9.0), (2, 9.0), (3, 5.0), (4, 1.0)]          # tie 1-2 by id
+    b = [(3, 1e6), (5, 5e5), (1, 1.0)]                    # huge scores, 5 only here
+    k, scale = 60, 10**9
+
+    def ranks(rows):
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        return {i: n + 1 for n, (i, _) in enumerate(order)}
+
+    raa, rbb = ranks(a), ranks(b)
+    want = {}
+    for i in set(raa) | set(rbb):
+        contrib = 0
+        if i in raa:
+            contrib += scale // (k + raa[i])
+        if i in rbb:
+            contrib += scale // (k + rbb[i])
+        want[i] = (raa.get(i), rbb.get(i), contrib)
+
+    da = spark.createDataFrame(a, "doc_id long, score double")
+    db = spark.createDataFrame(b, "doc_id long, score double")
+    for pa, pb in ((da, db), (da.repartition(5), db.repartition(3))):
+        got = {r["doc_id"]: (r["rank_a"], r["rank_b"], r["rrf"])
+               for r in rrf_fuse(pa, pb, k=k, scale=scale).collect()}
+        assert got == want
+    assert want[1][0] == 1 and want[2][0] == 2            # tie broken by id
+    assert want[5][0] is None                             # one-sided member
