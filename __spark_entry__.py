@@ -442,6 +442,32 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_kcore(spark, sf_dir):
+    """k-core peel (text/links.py:kcore_peel): 6 synchronous rounds of
+    degree-<3 removal over the symmetrized 3-out doc graph — the
+    cohesion measure degree and triangles both miss; R-round recurrence
+    bit-equal to the unrolled SQL."""
+    from insights_spark.text.links import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[
+                F.pmod(F.col("doc_id") * 7919 + 104729 * k, F.col("n"))
+                for k in (1, 2, 3)
+            ])).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return kcore_peel(edges, k=5, rounds=6).select(
+        F.col("id").alias("doc_id"), "core_deg"
+    )
+
+
 def _q_hybrid_search(spark, sf_dir):
     """Hybrid search via reciprocal-rank fusion (text/rank.py:rrf_fuse,
     Cormack et al. SIGIR'09): BM25 lexical ranking ⊕ embedding-cosine
@@ -3280,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": _q_trending_cells,
         "frontier_cells": _q_frontier_cells,
         # (b) new in round 5 (newest first — session-5 additions lead)
+        "kcore": _q_kcore,
         "hybrid_search": _q_hybrid_search,
         "regional_revenue": _q_regional_revenue,
         "normalize_text": _q_normalize_text,
@@ -3563,6 +3590,35 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024,
                      CAST(sum(dist) AS BIGINT) AS inertia
               FROM a{last} GROUP BY 1) r
         JOIN c{last} c ON c.cid = r.cluster
+    """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled R-round k-core peel over the shared symmetrized 3-out doc
+    graph: d_t = degrees induced by alive_t, alive_{t+1} = {d_t >= k},
+    output = final d where >= k — same recurrence as
+    text/links.py:kcore_peel."""
+    parts = ["""
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        e0 AS (SELECT src, dst FROM (
+                 SELECT doc_id AS src,
+                        mod(doc_id * 7919 + 104729 * k.k, nn.n) AS dst
+                 FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k)
+               WHERE dst <> src),
+        e AS (SELECT src, dst FROM e0
+              UNION SELECT dst, src FROM e0),
+        a0 AS (SELECT DISTINCT src AS id FROM e)"""]
+    for t in range(rounds):
+        parts.append(f"""
+        d{t} AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_deg
+                 FROM e JOIN a{t} x ON e.src = x.id
+                        JOIN a{t} y ON e.dst = y.id
+                 GROUP BY 1),
+        a{t + 1} AS (SELECT id FROM d{t} WHERE core_deg >= {k})""")
+    return f"""
+        WITH {','.join(parts)}
+        SELECT id AS doc_id, core_deg FROM d{rounds - 1}
+        WHERE core_deg >= {k}
     """
 
 
@@ -6590,6 +6646,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
         FROM walk GROUP BY id
     """
+    out["kcore"] = _kcore_sql(k=5, rounds=6)
     out["hits"] = _hits_sql(iters=4, scale=10**6)
     out["communities"] = (
         _lpa_sql(iters=4)

@@ -152,6 +152,7 @@ HEADLINE = [
     "event_gaps",
     "unpivot_counts",
     # round-5 session-5 additions
+    "kcore",
     "hybrid_search",
     "regional_revenue",
     "normalize_text",

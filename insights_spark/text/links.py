@@ -390,3 +390,57 @@ def hits_fixed_point(
     return nodes.join(h, "id").join(a, "id").select(
         "id", F.col("h").alias("hub"), F.col("a").alias("auth")
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """k-core by iterative peeling (Seidman 1983, public) — the maximal
+    subgraph where every node keeps ≥ k neighbors INSIDE the subgraph:
+    the density measure behind spam-farm cores and community nuclei
+    (degree alone is gameable — a hub wired to 10⁶ leaves has huge
+    degree and an empty 2-core; triangles catch 3-cliques but not
+    sparser cohesion).
+
+    Synchronous peel, ``rounds`` FIXED in both engines (the LPA rule —
+    engine-exact beats adaptive): each round drops every node whose
+    degree in the CURRENT induced subgraph is < k, then recomputes.
+    Peeling is monotone, so after R rounds the survivor set is a
+    superset of the true k-core that equals it once a round removes
+    nothing (the fixture test pins convergence; at web scale ~10–20
+    rounds settle real graphs because peel cascades are shallow).
+    Output: (id, core_deg) for surviving nodes, core_deg ≥ k their
+    final induced degree. Undirected view, self-loops dropped.
+
+    Scale posture (10^12 edges): per round TWO alive-set semi-joins on
+    the persisted symmetrized edge list + ONE decomposable src-keyed
+    count — no all-pairs, no collect; the alive set only shrinks, and
+    it is localCheckpointed per round (plan-accretion lesson).
+    """
+    ue = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    alive = ue.select(F.col("src").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    deg = None
+    for _ in range(rounds):
+        live = (
+            ue.join(alive.select(F.col("id").alias("src")), "src",
+                    "left_semi")
+            .join(alive.select(F.col("id").alias("dst")), "dst",
+                  "left_semi")
+        )
+        deg = live.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("core_deg"))
+        alive = (
+            deg.where(F.col("core_deg") >= F.lit(k))
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        deg.where(F.col("core_deg") >= F.lit(k))
+        .select(F.col("src").alias("id"), "core_deg")
+    )

@@ -222,3 +222,41 @@ def test_hits_fixed_point_brute_force(spark):
     assert got[10][1] == scale                 # 10 is the top authority
     assert got[20] == (0, got[20][1])          # sink: zero hub
     assert got[2][1] == 0                      # source-only: zero auth
+
+
+def test_kcore_peel_brute_force(spark):
+    """R-round k-core peel vs a pure-Python replica: K5 clique survives
+    as its own 3-core, chain+star peel away entirely, cascade removal
+    (corona) peels over multiple rounds, fixture converges."""
+    from insights_spark.text.links import kcore_peel
+
+    cl = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    # K5 clique; a chain hanging off it; a star; a triangle with a tail
+    e = (cl(range(5))
+         + [(4, 20), (20, 21), (21, 22)]            # chain: cascades off
+         + [(30, i) for i in range(31, 37)]         # star: center deg 6
+         + [(40, 41), (41, 42), (40, 42), (42, 43)])  # triangle + tail
+
+    def brute(k, rounds):
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        deg = {}
+        for _ in range(rounds):
+            deg = {n: sum(1 for m in adj[n] if m in alive)
+                   for n in alive}
+            alive = {n for n, d in deg.items() if d >= k}
+        return {n: d for n, d in deg.items() if d >= k}
+
+    df = spark.createDataFrame(e, "src long, dst long")
+    for k, rounds in ((3, 6), (2, 4), (3, 1)):
+        got = {r["id"]: r["core_deg"]
+               for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+        assert got == brute(k, rounds), (k, rounds)
+    final = {r["id"]: r["core_deg"]
+             for r in kcore_peel(df, k=3, rounds=6).collect()}
+    assert set(final) == set(range(5))         # only the K5 clique
+    assert all(d == 4 for d in final.values())
+    assert brute(3, 6) == brute(3, 7)          # converged within 6 rounds
