@@ -1706,6 +1706,23 @@ def _q_within_distance(spark, sf_dir):
     return within_distance(pts.withColumnRenamed("event_id", "id"), 3.0, rings=2)
 
 
+def _q_ripley_k(spark, sf_dir):
+    """Ripley's K pair-count curve over the events point lattice at radii
+    1°/2°/3°: one certified cell+ring join at the LARGEST radius feeds all
+    bands via conditional aggregation (oracle: brute-force n² in SQL).
+    Shares within_distance's non-vacuous fixture; the synthetic lattice's
+    minimum pair spacing is ~1.7°, so the curve shows the classic
+    dispersed→clustered shape: (1°: 0, 2°: 1,577, 3°: 20,500 pairs at
+    sf0.01) — the zero band is the real K-statistic answer at that radius,
+    and both non-zero bands exercise the completeness certificate."""
+    from insights_spark.geo.knn import ripley_k
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return ripley_k(
+        pts.withColumnRenamed("event_id", "id"), [1.0, 2.0, 3.0], rings=2
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN with a built-in recall gate: the bucketed approximate top-k
     runs over all vectors; a deterministic FIXED-COUNT (~256) hash-threshold
@@ -3344,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_pairs": _q_phash_pairs,
         "scd2_intervals": _q_scd2,
         "funnel_steps": _q_funnel,
+        "ripley_k": _q_ripley_k,
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
@@ -3960,6 +3978,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.event_id < b.event_id
             WHERE (a.lon - b.lon) * (a.lon - b.lon)
                   + (a.lat - b.lat) * (a.lat - b.lat) <= 9.0
+        """,
+        "ripley_k": f"""
+            WITH pts AS ({_EV_PTS}),
+            d AS (
+                SELECT (a.lon - b.lon) * (a.lon - b.lon)
+                       + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+                FROM pts a JOIN pts b ON a.event_id < b.event_id
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+            agg AS (
+                SELECT CAST(coalesce(sum((dist2 <= 1.0)::int), 0) AS BIGINT) AS p1,
+                       CAST(coalesce(sum((dist2 <= 4.0)::int), 0) AS BIGINT) AS p2,
+                       CAST(coalesce(sum((dist2 <= 9.0)::int), 0) AS BIGINT) AS p3
+                FROM d
+            )
+            SELECT CAST(1000 AS BIGINT) AS r_milli, n.n_points, agg.p1 AS pairs FROM agg, n
+            UNION ALL
+            SELECT CAST(2000 AS BIGINT), n.n_points, agg.p2 FROM agg, n
+            UNION ALL
+            SELECT CAST(3000 AS BIGINT), n.n_points, agg.p3 FROM agg, n
         """,
         "s2_cells": _s2_cells_sql(_EV_PTS),
         "flagship_tile_density": f"""

@@ -173,6 +173,7 @@ HEADLINE = [
     "lm_perplexity",
     "host_stats",
     "shard_assign",
+    "ripley_k",
 ]
 
 

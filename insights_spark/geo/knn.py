@@ -162,6 +162,86 @@ def cert_radius_deg(res: int, rings: int) -> float:
     return s * (1.5 * rings - 0.5)
 
 
+def ripley_k(
+    points: DataFrame,
+    radii_deg: list[float],
+    id_col: str = "id",
+    rings: int = 2,
+    res: int | None = None,
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (Ripley 1976/1977, public) in
+    EXACT integer counts — the third leg of the spatial-stats trio next to
+    ``moran_i_exact`` (global clustering) and ``getis_ord_exact`` (local
+    hotspots): K answers "clustered at WHICH distance scales?".
+
+    The naive (no edge correction) estimator is
+        K̂(r) = A / n² · Σ_i Σ_{j≠i} 1(d_ij ≤ r)
+    so the engine-side deliverable is the integer pair-count curve: one row
+    per radius with ``(r_milli, n_points, pairs)`` where ``pairs`` counts
+    UNORDERED point pairs within ``r`` planar degrees (the ordered double
+    sum is exactly ``2·pairs``). The consumer multiplies by A/n² — the one
+    division stays out of the engine so the answer is bit-identical across
+    partitionings and engines, same discipline as ``moran_i_exact``.
+
+    Physical plan: ONE certified cell+ring bucketed self-join at the
+    LARGEST radius (``within_distance`` machinery — cert_radius(res,rings)
+    ≥ max(r) guarantees candidate completeness, never all-pairs), then a
+    single conditional aggregation produces every radius band from the
+    same pair set. Cost is independent of ``len(radii_deg)``. Radii are
+    keyed as integer millidegrees to keep the output schema float-free.
+    """
+    if not radii_deg:
+        raise ValueError("radii_deg must be non-empty")
+    rmax = max(radii_deg)
+    if cert_radius_deg(0, rings) < rmax:
+        raise ValueError(
+            f"max radius {rmax}° exceeds coverage of rings={rings} even at "
+            f"res=0 ({cert_radius_deg(0, rings)}°); raise rings"
+        )
+    if res is None:
+        res = 0
+        while res < 15 and cert_radius_deg(res + 1, rings) >= rmax:
+            res += 1
+    elif cert_radius_deg(res, rings) < rmax:
+        raise ValueError(
+            f"cert_radius_deg({res}, {rings}) = {cert_radius_deg(res, rings)} "
+            f"< max radius {rmax}: candidate set would be incomplete"
+        )
+    pts = points.select(F.col(id_col).alias("id"), "lon", "lat")
+    pairs = _cell_pairs(pts, pts, res, rings).filter(
+        (F.col("id") < F.col("neighbor_id"))
+        & (F.col("dist2") <= F.lit(rmax * rmax))
+    )
+    # cumulative band counts in one pass; coalesce(0) covers the
+    # no-pairs-at-all case (agg still yields one row, with NULL sums)
+    band_cols = [
+        F.coalesce(
+            F.sum((F.col("dist2") <= F.lit(r * r)).cast("long")), F.lit(0)
+        ).cast("long").alias(f"_p{i}")
+        for i, r in enumerate(radii_deg)
+    ]
+    counts = pairs.agg(*band_cols)
+    n = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(int(round(r * 1000))).cast("long").alias("r_milli"),
+                F.col(f"_p{i}").alias("pairs"),
+            )
+            for i, r in enumerate(radii_deg)
+        ])
+    ).alias("band")
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .select("n_points", bands)
+        .select(
+            F.col("band.r_milli").alias("r_milli"),
+            "n_points",
+            F.col("band.pairs").alias("pairs"),
+        )
+    )
+
+
 def auto_cell_res(
     points: DataFrame,
     k: int = 3,

@@ -371,6 +371,39 @@ def test_within_distance_matches_bruteforce(spark):
         knn_mod.within_distance(df, 1e6, rings=1)   # impossible radius
 
 
+def test_ripley_k_matches_bruteforce(spark):
+    """Pair-count curve == numpy brute force; one join at max radius feeds
+    every band; no-pairs case yields zero counts, not an empty frame."""
+    from insights_spark.geo import knn as knn_mod
+
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-170, 170, 250)
+    lats = rng.uniform(-80, 80, 250)
+    df = spark.createDataFrame(
+        [(i, float(lons[i]), float(lats[i])) for i in range(250)],
+        "id long, lon double, lat double",
+    )
+    radii = [0.5, 1.5, 3.0]
+    got = {r["r_milli"]: (r["n_points"], r["pairs"])
+           for r in knn_mod.ripley_k(df, radii).collect()}
+    d2 = (lons[:, None] - lons[None, :]) ** 2 + (lats[:, None] - lats[None, :]) ** 2
+    for r in radii:
+        want = sum(1 for a in range(250) for b in range(a + 1, 250)
+                   if d2[a, b] <= r * r)
+        assert got[int(round(r * 1000))] == (250, want), f"radius {r}"
+    assert got[1500][1] >= got[500][1]  # cumulative bands
+    # two points further apart than every radius → three rows of zeros
+    tiny = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 50.0, 50.0)], "id long, lon double, lat double")
+    zero = {r["r_milli"]: r["pairs"]
+            for r in knn_mod.ripley_k(tiny, [1.0, 2.0]).collect()}
+    assert zero == {1000: 0, 2000: 0}
+    with pytest.raises(ValueError):
+        knn_mod.ripley_k(df, [])
+    with pytest.raises(ValueError):
+        knn_mod.ripley_k(df, [3.0], res=8)  # cert radius too small
+
+
 def test_hex_cover_bbox(spark):
     """Polyfill == python enumeration of centers-in-box; every cover
     cell's center bins back to itself (exact inverse of hex_cell_id)."""
