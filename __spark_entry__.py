@@ -1421,6 +1421,24 @@ def _q_cell_clusters(spark, sf_dir):
     return cell_dbscan(counts, minpts=8)
 
 
+def _q_region_shape(spark, sf_dir):
+    """Per-region area/perimeter/mass over the hex res-2 rollup
+    (geo/cluster.py region_shape): ring-1 connected components of ALL
+    occupied cells, then integer shape metrics — area = member cells,
+    perimeter = Σ(6 − occupied-neighbor degree), total_n = Σ counts. The
+    oracle replays adjacency + components with the same recursive CTE as
+    cell_clusters plus a degree rollup; compactness P²/A stays with the
+    consumer so the engine output is float-free."""
+    from insights_spark.geo import cells
+    from insights_spark.geo.cluster import region_shape
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    counts = pts.groupBy(
+        cells.hex_udf(2, use_h3=False)(F.col("lon"), F.col("lat")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return region_shape(counts)
+
+
 def _q_st_join(spark, sf_dir):
     """Spatiotemporal proximity pairs (geo/stjoin.py): ≤ 3.0° AND
     ≤ 250000 s apart. Composite (hex cell, ⌊epoch/τ⌋ chunk) shuffle key —
@@ -3362,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2,
         "funnel_steps": _q_funnel,
         "ripley_k": _q_ripley_k,
+        "region_shape": _q_region_shape,
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
@@ -6080,6 +6099,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.cell, b.n, 'border' AS role, MIN(l.cluster_id) AS cluster_id
         FROM borderfan b JOIN lab l ON l.cell = b.nb
         GROUP BY b.cell, b.n
+    """
+    out["region_shape"] = f"""
+        WITH RECURSIVE {_hex_cnts_sql(2)},
+        fan AS (SELECT cell AS src, cell + off AS dst
+                FROM cnts, unnest({_OFF6}) AS u(off)),
+        edges AS (SELECT fan.src, fan.dst
+                  FROM fan JOIN cnts c2 ON c2.cell = fan.dst),
+        reach(src, dst) AS (
+            SELECT cell, cell FROM cnts
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (SELECT src AS cell, MIN(dst) AS region_id
+                FROM reach GROUP BY src),
+        deg AS (SELECT src AS cell, count(*) AS d FROM edges GROUP BY src)
+        SELECT lab.region_id,
+               CAST(count(*) AS BIGINT) AS area_cells,
+               CAST(sum(6 - coalesce(deg.d, 0)) AS BIGINT) AS perimeter_edges,
+               CAST(sum(cnts.n) AS BIGINT) AS total_n
+        FROM cnts JOIN lab USING (cell) LEFT JOIN deg USING (cell)
+        GROUP BY lab.region_id
     """
     out["corpus_shuffle"] = """
         SELECT doc_id,

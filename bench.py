@@ -174,6 +174,7 @@ HEADLINE = [
     "host_stats",
     "shard_assign",
     "ripley_k",
+    "region_shape",
 ]
 
 

@@ -109,3 +109,57 @@ def cell_dbscan(
         .select("cell", "n", F.lit("border").alias("role"), "cluster_id")
     )
     return core_lab.unionByName(border)
+
+
+def region_shape(
+    cell_counts: DataFrame,
+    cell_col: str = "cell",
+    cnt_col: str = "n",
+) -> DataFrame:
+    """Per-region shape metrics over the occupied-cell rollup — the
+    measurement stage of the raster→vector family (``tile_regions`` /
+    ``cell_dbscan`` find regions; this one characterizes them):
+
+        (region_id, area_cells, perimeter_edges, total_n)
+
+    Regions are ring-1 axial connected components of ALL occupied cells
+    (no density threshold — the contour of the data itself). Per region:
+    ``area_cells`` = member-cell count, ``perimeter_edges`` = Σ over
+    members of (6 − occupied-neighbor count) — the boundary edge count of
+    the hex polygon, since every occupied neighbor belongs to the same
+    component by definition — and ``total_n`` = Σ member counts. The
+    isoperimetric compactness P²/A the consumer divides; the engine stays
+    integer-exact (same discipline as moran_i_exact).
+
+    Scale posture: one 6× explode of the bounded occupied-cell table, ONE
+    cell-keyed equi-join for adjacency (never all-pairs), star-contraction
+    CC (O(log² n) rounds), one region-keyed rollup. Everything after the
+    point→cell rollup is bounded by OCCUPIED CELLS, not points.
+    """
+    cnts = cell_counts.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(cnt_col).cast("long").alias("n"),
+    ).persist()
+    nbrs = F.array(*[F.col("cell") + F.lit(o).cast("long") for o in NBR_OFFSETS])
+    fan = cnts.select(F.col("cell").alias("id"), F.explode(nbrs).alias("nbr_id"))
+    edges = fan.join(cnts.select(F.col("cell").alias("nbr_id")), "nbr_id").persist()
+    # occupied-neighbor degree per cell (0 for isolated cells, via left join)
+    deg = edges.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    labels, _ = star_cc_labels(edges)
+    return (
+        cnts.join(labels, cnts["cell"] == labels["id"], "left")
+        .select(
+            "cell",
+            "n",
+            F.coalesce(F.col("label"), cnts["cell"]).alias("region_id"),
+        )
+        .join(deg.withColumnRenamed("id", "cell"), "cell", "left")
+        .groupBy("region_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("area_cells"),
+            F.sum(F.lit(6) - F.coalesce(F.col("deg"), F.lit(0)))
+            .cast("long")
+            .alias("perimeter_edges"),
+            F.sum("n").cast("long").alias("total_n"),
+        )
+    )

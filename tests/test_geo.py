@@ -641,6 +641,68 @@ def test_hex_focal_smooth_brute_force(spark):
     assert all(r["is_hot"] for r in iso)
 
 
+def test_region_shape_brute_force(spark):
+    """Region shape metrics match a python union-find brute force, plus
+    hand-pinned shapes: isolated cell (A=1, P=6), domino (A=2, P=10), and
+    a 7-cell flower (A=7, P=18 — the center contributes zero boundary)."""
+    import random
+
+    from insights_spark.geo.cells import hex_encode, hex_ring_ids
+    from insights_spark.geo.cluster import region_shape
+
+    rng = random.Random(47)
+    counts = {hex_encode(6, 100, 100): 3}                      # isolated
+    for q, r in [(200, 200), (201, 200)]:                      # domino
+        counts[hex_encode(6, q, r)] = 2
+    for off_q, off_r in [(0, 0), (1, 0), (-1, 0), (0, 1),     # flower
+                         (0, -1), (1, -1), (-1, 1)]:
+        counts[hex_encode(6, 300 + off_q, 300 + off_r)] = 1
+    for _ in range(80):                                        # background
+        counts.setdefault(
+            hex_encode(6, rng.randint(-15, 15), rng.randint(-15, 15)),
+            rng.randint(1, 9),
+        )
+
+    parent = {c: c for c in counts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    deg = {}
+    for c in counts:
+        nbs = [nb for nb in hex_ring_ids(c, 1) if nb != c and nb in counts]
+        deg[c] = len(nbs)
+        for nb in nbs:
+            ra, rb = find(c), find(nb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for c, n in counts.items():
+        root = min(x for x in counts if find(x) == find(c))
+        a, p, t = want.get(root, (0, 0, 0))
+        want[root] = (a + 1, p + 6 - deg[c], t + n)
+
+    df = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()], "cell long, n long"
+    )
+    got = {
+        r["region_id"]: (r["area_cells"], r["perimeter_edges"], r["total_n"])
+        for r in region_shape(df).collect()
+    }
+    assert got == want
+    assert got[hex_encode(6, 100, 100)] == (1, 6, 3)
+    assert got[hex_encode(6, 200, 200)] == (2, 10, 4)
+    assert got[min(hex_encode(6, 300 + dq, 300 + dr)
+                   for dq, dr in [(0, 0), (1, 0), (-1, 0), (0, 1),
+                                  (0, -1), (1, -1), (-1, 1)])] == (7, 18, 7)
+    # empty input → empty frame, not a crash
+    empty = spark.createDataFrame([], "cell long, n long")
+    assert region_shape(empty).count() == 0
+
+
 def test_cell_dbscan_brute_force(spark):
     """Grid DBSCAN matches a python union-find brute force on a fixture
     exercising every regime: a multi-cell core blob, two blobs joined by
