@@ -898,6 +898,17 @@ def _q_top_terms_per_source(spark, sf_dir):
     return top_terms_per_source(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_kn_continuation(spark, sf_dir):
+    """Kneser-Ney continuation counts per token (text/freq.py): freq +
+    distinct predecessors N1+(•w) + distinct successors N1+(w•), from
+    SEQUENTIAL bigrams with multiplicity (LM counts, not the dedup
+    family's distinct grams). Continuation counts are count(*) scans of
+    the distinct-pair rollup — no countDistinct shuffle anywhere."""
+    from insights_spark.text.freq import kn_continuation
+
+    return kn_continuation(_t(spark, sf_dir, "documents"))
+
+
 def _q_token_lorenz(spark, sf_dir):
     """Corpus concentration deciles (text/freq.py:token_share_curve):
     both global prefix sums (token cum + rank) ride ONE
@@ -3381,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel,
         "ripley_k": _q_ripley_k,
         "region_shape": _q_region_shape,
+        "kn_continuation": _q_kn_continuation,
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
@@ -6019,6 +6031,26 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY source ORDER BY n DESC, term ASC) AS rank
               FROM counts)
         WHERE rank <= 5
+    """
+    out["kn_continuation"] = f"""
+        WITH toks AS (
+          SELECT {_TOKENS} AS ts FROM documents WHERE text IS NOT NULL),
+        uni AS (
+          SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+        big AS (
+          SELECT ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        pairs AS (SELECT w1, w2 FROM big GROUP BY 1, 2),
+        lft AS (SELECT w2 AS token, CAST(count(*) AS BIGINT) AS n_left
+                FROM pairs GROUP BY 1),
+        rgt AS (SELECT w1 AS token, CAST(count(*) AS BIGINT) AS n_right
+                FROM pairs GROUP BY 1)
+        SELECT uni.token, uni.freq,
+               CAST(coalesce(lft.n_left, 0) AS BIGINT) AS n_left,
+               CAST(coalesce(rgt.n_right, 0) AS BIGINT) AS n_right
+        FROM uni LEFT JOIN lft USING (token) LEFT JOIN rgt USING (token)
     """
     out["token_lorenz"] = f"""
         WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS ntok

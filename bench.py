@@ -175,6 +175,7 @@ HEADLINE = [
     "shard_assign",
     "ripley_k",
     "region_shape",
+    "kn_continuation",
 ]
 
 

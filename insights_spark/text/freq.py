@@ -324,3 +324,67 @@ def cooccurrence_counts(
         F.least("ta", "tb").alias("term_a"),
         F.greatest("ta", "tb").alias("term_b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def kn_continuation(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser-Ney continuation statistics per token (Kneser & Ney 1995,
+    public) — the table an LM-smoothing pipeline derives from a corpus:
+
+        (token, freq, n_left, n_right)
+
+    ``freq`` = raw unigram occurrences; ``n_left`` = N1+(•w), the number
+    of DISTINCT predecessors (the KN continuation count — "how many
+    contexts does w complete?", the quantity that replaces raw frequency
+    in the lower-order KN distribution); ``n_right`` = N1+(w•), distinct
+    successors (the branching factor that drives Witten-Bell smoothing).
+    Bigrams are SEQUENTIAL with multiplicity (LM counts, not the dedup
+    family's distinct grams) and never cross document boundaries; no
+    BOS/EOS sentinels — first/last tokens simply lack a predecessor/
+    successor, so Σ n_left = Σ n_right = distinct bigram types.
+
+    Plan: one bigram-pair rollup (token-keyed shuffle with map-side
+    combine — decomposable count, the measured r4 skew rule) after which
+    BOTH continuation counts are plain count(*) scans of the DISTINCT
+    pair table — no countDistinct shuffle anywhere; plus the unigram
+    rollup. Three shuffles total, all on token keys, vocabulary-bounded.
+    """
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        tokens(F.col(text_col)).alias("ts")
+    )
+    uni = tok.select(F.explode("ts").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    idx = F.sequence(F.lit(1), F.size("ts") - 1)
+    big = tok.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    )
+    pairs = big.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    lft = pairs.groupBy(F.col("w2").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    rgt = pairs.groupBy(F.col("w1").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    return (
+        uni.join(lft, "token", "left")
+        .join(rgt, "token", "left")
+        .select(
+            "token",
+            "freq",
+            F.coalesce("n_left", F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
+        )
+    )

@@ -1225,6 +1225,32 @@ def test_top_terms_per_source_isolated_groups(spark):
     }
 
 
+def test_kn_continuation_hand_computed(spark):
+    """KN continuation counts pinned by hand: multiplicity preserved in
+    freq, continuation counts are DISTINCT-type counts, bigrams never
+    cross documents, single-token and null docs contribute freq only."""
+    from insights_spark.text.freq import kn_continuation
+
+    rows = [
+        (1, "a b a b c"),     # bigrams: ab, ba, ab, bc
+        (2, "c a"),           # bigram ca — 'a' gains predecessor c
+        (3, "b"),             # no bigram; freq only
+        (4, None),            # skipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["token"]: (r["freq"], r["n_left"], r["n_right"])
+           for r in kn_continuation(df).collect()}
+    # predecessors: a←{b,c}, b←{a}, c←{b}; successors: a→{b}, b→{a,c}, c→{a}
+    assert got == {
+        "a": (3, 2, 1),
+        "b": (3, 1, 2),
+        "c": (2, 1, 1),
+    }
+    # Σ n_left == Σ n_right == distinct bigram types (ab, ba, bc, ca)
+    assert sum(v[1] for v in got.values()) == 4
+    assert sum(v[2] for v in got.values()) == 4
+
+
 def test_token_share_curve_hand_computed(spark):
     """Lorenz deciles pinned by hand on a skewed corpus: one 80-token doc
     + four 5-token docs at buckets=5 -> top bucket holds 80% of tokens."""
