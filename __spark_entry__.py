@@ -1466,6 +1466,20 @@ def _q_st_join(spark, sf_dir):
     )
 
 
+def _q_simplify_tracks(spark, sf_dir):
+    """Depth-capped Douglas-Peucker per user track (geo/track.py
+    simplify_tracks): eps 20°, 4 argmax levels, integer millidegree
+    geometry — the oracle unrolls the same 4 levels as SQL stages over
+    HUGEINT cross-products (kmeans-unroll discipline)."""
+    from insights_spark.geo.track import simplify_tracks
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "ts"),
+        "event_id",
+    )
+    return simplify_tracks(pts, eps_milli=20000, max_depth=4, id_col="event_id")
+
+
 def _q_user_tracks(spark, sf_dir):
     """Per-user trajectory summaries (geo/track.py): path length, net
     displacement, longest hop, duration — every double a fixed IEEE
@@ -3460,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "novelty": _q_novelty,
         "st_join": _q_st_join,
+        "simplify_tracks": _q_simplify_tracks,
         "user_tracks": _q_user_tracks,
         "home_cells": _q_home_cells,
         "mix_sources": _q_mix_sources,
@@ -3640,6 +3655,75 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024,
               FROM a{last} GROUP BY 1) r
         JOIN c{last} c ON c.cid = r.cluster
     """
+
+
+def _dp_sql(eps_milli: int = 20000, depth: int = 4) -> str:
+    """Unrolled depth-capped Douglas-Peucker: the same argmax-and-split
+    recurrence as geo.track.simplify_tracks, one SQL stage per level
+    (kmeans-unroll discipline). Integer millidegree coordinates come
+    straight from the key hash (no float round-trip); cross-products are
+    HUGEINT so the squared deviation (~1e23) never overflows; the
+    argmax tie-break (score DESC, idx ASC) and the strict > gate match
+    the kernel exactly. Ordering is (epoch-SECONDS, event_id) — the same
+    second-truncated key the Spark side sorts on."""
+    e2 = int(eps_milli) * int(eps_milli)
+    parts = [f"""
+        pts AS (SELECT user_id AS u, ts, event_id,
+                       mod(event_id * 7919, 360000) - 180000 AS x,
+                       mod(event_id * 104729, 170000) - 85000 AS y,
+                       {_POINTS_SQL.format(k='event_id')}
+                FROM events),
+        ord0 AS (SELECT u,
+                        row_number() OVER (
+                            PARTITION BY u
+                            ORDER BY epoch_us(ts) // 1000000, event_id
+                        ) - 1 AS idx,
+                        x, y, lon, lat
+                 FROM pts),
+        ends AS (SELECT u, max(idx) AS last FROM ord0 GROUP BY u),
+        seg0 AS (SELECT u, 0 AS i, last AS j FROM ends WHERE last >= 2)"""]
+    for lv in range(1, depth + 1):
+        parts.append(f"""
+        cand{lv} AS (
+            SELECT s.u, s.i, s.j, p.idx,
+                   CASE WHEN b.x = a.x AND b.y = a.y
+                        THEN CAST(p.x - a.x AS HUGEINT) * (p.x - a.x)
+                             + CAST(p.y - a.y AS HUGEINT) * (p.y - a.y)
+                        ELSE (CAST(b.x - a.x AS HUGEINT) * (p.y - a.y)
+                              - CAST(b.y - a.y AS HUGEINT) * (p.x - a.x))
+                             * (CAST(b.x - a.x AS HUGEINT) * (p.y - a.y)
+                                - CAST(b.y - a.y AS HUGEINT) * (p.x - a.x))
+                   END AS score,
+                   CASE WHEN b.x = a.x AND b.y = a.y
+                        THEN CAST({e2} AS HUGEINT)
+                        ELSE CAST({e2} AS HUGEINT)
+                             * (CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)
+                                + CAST(b.y - a.y AS HUGEINT) * (b.y - a.y))
+                   END AS thr
+            FROM seg{lv - 1} s
+            JOIN ord0 p ON p.u = s.u AND p.idx > s.i AND p.idx < s.j
+            JOIN ord0 a ON a.u = s.u AND a.idx = s.i
+            JOIN ord0 b ON b.u = s.u AND b.idx = s.j),
+        split{lv} AS (
+            SELECT u, i, j, idx FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY u, i, j ORDER BY score DESC, idx ASC) AS rn
+                FROM cand{lv})
+            WHERE rn = 1 AND score > thr),
+        seg{lv} AS (SELECT u, i, idx AS j FROM split{lv}
+                    UNION ALL
+                    SELECT u, idx, j FROM split{lv})""")
+    kept = ["SELECT u, 0 AS idx FROM ends",
+            "SELECT u, last AS idx FROM ends"] + [
+        f"SELECT u, idx FROM split{lv}" for lv in range(1, depth + 1)]
+    return (
+        "WITH " + ",".join(parts)
+        + ", kept AS (" + " UNION ".join(kept) + ")"
+        + """
+        SELECT o.u AS user_id, CAST(o.idx AS INT) AS idx, o.lon, o.lat
+        FROM ord0 o JOIN kept k ON k.u = o.u AND k.idx = o.idx"""
+    )
+
 
 
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
@@ -5743,6 +5827,7 @@ def oracle_sql() -> dict[str, str]:
           AND abs(epoch_us(a.ts) // 1000000
                   - epoch_us(b.ts) // 1000000) <= 250000
     """
+    out["simplify_tracks"] = _dp_sql(20000, 4)
     out["user_tracks"] = f"""
         WITH pts AS (SELECT event_id, user_id, ts,
                             {_POINTS_SQL.format(k='event_id')}

@@ -176,6 +176,7 @@ HEADLINE = [
     "ripley_k",
     "region_shape",
     "kn_continuation",
+    "simplify_tracks",
 ]
 
 

@@ -180,3 +180,91 @@ def od_flows(
         F.count(F.lit(1)).cast("long").alias("n_moves"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+def simplify_tracks(
+    points: DataFrame,
+    eps_milli: int,
+    max_depth: int = 4,
+    scale: int = 1000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "id",
+) -> DataFrame:
+    """Depth-capped Douglas–Peucker polyline simplification per track
+    (Douglas & Peucker 1973, public) — keep a point when its perpendicular
+    deviation from the current chord exceeds ``eps_milli`` millidegrees,
+    recursing into both halves, at most ``max_depth`` levels deep.
+
+    The depth cap is not a shortcut but the DISTRIBUTED framing: classic
+    DP is unboundedly recursive, which neither a fixed SQL oracle nor a
+    bounded work estimate can follow; capping the split tree makes the
+    operator a fixed pipeline of `max_depth` argmax rounds (each level ≤
+    2^L segments/track), bounds kept interior points at 2^max_depth − 1,
+    and keeps the oracle expressible as `max_depth` unrolled SQL stages —
+    the same discipline as the unrolled-Lloyd kmeans oracle. At the
+    default 4 the cap binds only on tracks needing > 15 kept vertices.
+
+    Exactness: coordinates are quantized to integer 1/``scale`` degrees
+    (lossless on the synthetic milli-degree lattice) and every DP decision
+    is arbitrary-precision integer arithmetic in the Arrow kernel —
+    cross(A,B,P)² > eps²·|AB|² (point-to-POINT distance when the chord is
+    degenerate A == B) — so kept-point sets are bit-stable across
+    partitionings and engines. Ties (equal deviation) keep the smallest
+    index; strict `>` means on-the-chord points never split.
+
+    Scale posture: ONE shuffle on the track key (applyInPandas); per-group
+    work is O(n · 2^max_depth) comparisons on a track of n points with
+    NO global state — the embarrassingly-parallel per-key shape. Output:
+    (user_id, idx, lon, lat) — kept points with their 0-based position in
+    the (ts, id)-ordered track; endpoints always kept.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    if eps_milli < 0:
+        raise ValueError("eps_milli must be >= 0")
+    pts = points.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ep"),
+        F.col(id_col).cast("long").alias("_id"),
+        "lon",
+        "lat",
+    )
+    e2 = int(eps_milli) * int(eps_milli)
+
+    def dp(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_ep", "_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = [int(round(v * scale)) for v in pdf["lon"]]
+        ys = [int(round(v * scale)) for v in pdf["lat"]]
+        n = len(pdf)
+        keep = {0, n - 1}
+        stack = [(0, n - 1, 0)]
+        while stack:
+            i, j, d = stack.pop()
+            if j - i < 2 or d >= max_depth:
+                continue
+            ax, ay = xs[i], ys[i]
+            dx, dy = xs[j] - ax, ys[j] - ay
+            l2 = dx * dx + dy * dy
+            best, bestk = -1, -1
+            for k in range(i + 1, j):
+                px, py = xs[k] - ax, ys[k] - ay
+                s = (dx * py - dy * px) ** 2 if l2 else (px * px + py * py)
+                if s > best:
+                    best, bestk = s, k
+            if best > (e2 * l2 if l2 else e2):
+                keep.add(bestk)
+                stack.append((i, bestk, d + 1))
+                stack.append((bestk, j, d + 1))
+        out = pdf.iloc[sorted(keep)][["user_id", "lon", "lat"]].copy()
+        out.insert(1, "idx", sorted(keep))
+        out["idx"] = out["idx"].astype("int32")
+        return out
+
+    return pts.groupBy("user_id").applyInPandas(
+        dp, "user_id long, idx int, lon double, lat double"
+    )

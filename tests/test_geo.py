@@ -641,6 +641,61 @@ def test_hex_focal_smooth_brute_force(spark):
     assert all(r["is_hot"] for r in iso)
 
 
+def test_simplify_tracks_semantics(spark):
+    """Depth-capped DP pinned on hand cases: collinear tracks keep only
+    endpoints (strict >), the classic bump keeps its apex, a degenerate
+    closed loop falls back to point distance, the depth cap binds on a
+    zigzag, short tracks pass through, and input row order is irrelevant
+    (the (ts, id) sort is the track order)."""
+    from datetime import datetime
+
+    from insights_spark.geo.track import simplify_tracks
+
+    def mk(rows):  # rows: (user, second, id, lon_milli, lat_milli)
+        return spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, 0, 0, s), i, xm / 1000.0, ym / 1000.0)
+             for (u, s, i, xm, ym) in rows],
+            "user_id long, ts timestamp, id long, lon double, lat double",
+        )
+
+    def got(df, eps, depth=4):
+        return {
+            (r["user_id"], r["idx"]) for r in
+            simplify_tracks(df, eps_milli=eps, max_depth=depth).collect()
+        }
+
+    # collinear: interior deviation is exactly 0, strict > drops it all
+    coll = mk([(1, s, s, 1000 * s, 2000 * s) for s in range(5)])
+    assert got(coll, eps=0) == {(1, 0), (1, 4)}
+    # classic bump: apex (idx 2) survives, flat shoulders don't
+    bump = mk([(1, 0, 0, 0, 0), (1, 1, 1, 2000, 10), (1, 2, 2, 4000, 3000),
+               (1, 3, 3, 6000, -10), (1, 4, 4, 8000, 0)])
+    assert got(bump, eps=500, depth=1) == {(1, 0), (1, 2), (1, 4)}
+    # closed loop (A == B): chord degenerates to point distance from A
+    loop = mk([(1, 0, 0, 0, 0), (1, 1, 1, 5000, 0), (1, 2, 2, 0, 0)])
+    assert got(loop, eps=4999) == {(1, 0), (1, 1), (1, 2)}
+    assert got(loop, eps=5000) == {(1, 0), (1, 2)}       # strict >
+    # depth cap: zigzag needs two levels to keep both teeth
+    zig = mk([(1, 0, 0, 0, 0), (1, 1, 1, 1000, 8000), (1, 2, 2, 2000, 0),
+              (1, 3, 3, 3000, -8000), (1, 4, 4, 4000, 0)])
+    d1 = got(zig, eps=500, depth=1)
+    d2 = got(zig, eps=500, depth=2)
+    # level 1 keeps tooth idx1 (tie 8|8 -> smallest idx); level 2 adds
+    # tooth idx3; idx2 is collinear with the teeth and never survives
+    assert d1 == {(1, 0), (1, 1), (1, 4)}
+    assert d2 == {(1, 0), (1, 1), (1, 3), (1, 4)}
+    # 1- and 2-point tracks pass through; row order never matters
+    short = mk([(7, 0, 0, 0, 0), (8, 0, 0, 0, 0), (8, 1, 1, 9000, 9000)])
+    assert got(short, eps=1) == {(7, 0), (8, 0), (8, 1)}
+    shuffled = mk([(1, 3, 3, 6000, -10), (1, 0, 0, 0, 0), (1, 4, 4, 8000, 0),
+                   (1, 2, 2, 4000, 3000), (1, 1, 1, 2000, 10)])
+    assert got(shuffled, eps=500, depth=1) == {(1, 0), (1, 2), (1, 4)}
+    with pytest.raises(ValueError):
+        simplify_tracks(coll, eps_milli=1, max_depth=0)
+    with pytest.raises(ValueError):
+        simplify_tracks(coll, eps_milli=-1)
+
+
 def test_region_shape_brute_force(spark):
     """Region shape metrics match a python union-find brute force, plus
     hand-pinned shapes: isolated cell (A=1, P=6), domino (A=2, P=10), and
