@@ -1466,6 +1466,19 @@ def _q_st_join(spark, sf_dir):
     )
 
 
+def _q_directional_hull(spark, sf_dir):
+    """BFP 8-direction extreme points per user (geo/track.py
+    directional_hull): the decomposable convex-hull approximation — K
+    independent integer argmaxes with map-side combine, ties to smallest
+    event id via struct-max on (dot, −id)."""
+    from insights_spark.geo.track import directional_hull
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "user_id"), "event_id"
+    )
+    return directional_hull(pts, id_col="event_id")
+
+
 def _q_simplify_tracks(spark, sf_dir):
     """Depth-capped Douglas-Peucker per user track (geo/track.py
     simplify_tracks): eps 20°, 4 argmax levels, integer millidegree
@@ -3474,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "novelty": _q_novelty,
         "st_join": _q_st_join,
+        "directional_hull": _q_directional_hull,
         "simplify_tracks": _q_simplify_tracks,
         "user_tracks": _q_user_tracks,
         "home_cells": _q_home_cells,
@@ -5826,6 +5840,25 @@ def oracle_sql() -> dict[str, str]:
               + (a.lat - b.lat) * (a.lat - b.lat) <= 9.0
           AND abs(epoch_us(a.ts) // 1000000
                   - epoch_us(b.ts) // 1000000) <= 250000
+    """
+    out["directional_hull"] = f"""
+        WITH pts AS (SELECT user_id, event_id,
+                            mod(event_id * 7919, 360000) - 180000 AS x,
+                            mod(event_id * 104729, 170000) - 85000 AS y,
+                            {_POINTS_SQL.format(k='event_id')}
+                     FROM events),
+        dirs(dir_idx, dx, dy) AS (VALUES
+            (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+            (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)),
+        scored AS (SELECT user_id, dir_idx, event_id, lon, lat,
+                          dx * x + dy * y AS dot
+                   FROM pts, dirs)
+        SELECT user_id, CAST(dir_idx AS INT) AS dir_idx, event_id, lon, lat
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, dir_idx
+                  ORDER BY dot DESC, event_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
     """
     out["simplify_tracks"] = _dp_sql(20000, 4)
     out["user_tracks"] = f"""

@@ -177,6 +177,7 @@ HEADLINE = [
     "region_shape",
     "kn_continuation",
     "simplify_tracks",
+    "directional_hull",
 ]
 
 
@@ -256,6 +257,11 @@ def main() -> None:
         "recall-calibrated on structureless RANDOM vectors, where candidate "
         "volume is ∝0.13·n² by construction; production scales bits/band "
         "with log n — timed here as cos_near_dups_lsh_g10 (10-bit bands)",
+        "ripley_k": "aggregated output is 3 rows but the enumerated "
+        "candidate volume inside the certified join is ∝ density² at fixed "
+        "radii (the K statistic's own definition: ~100× pairs at 10× data); "
+        "production shrinks the radius set with density, which the "
+        "radii_deg parameter exposes",
         "st_join": "same quadratic-output shape as within_distance: pair "
         "count grows with point density² at fixed (radius, τ); the row "
         "would time the answer's size, not the plan",
@@ -264,6 +270,15 @@ def main() -> None:
         "(sf0.01→sf0.1 measured 2.5k→230k pairs, ~92× at 10× data): the "
         "OUTPUT is quadratic in this fixture by construction and an sf1 "
         "row would time the answer's size, not the banded-join plan",
+        "prefix_jaccard": "the 10×-copy sf1 derivation inflates EVERY "
+        "gram's df ~10× (hottest prefix gram 10→94 docs), so prefix "
+        "candidate volume grows ~quadratically by fixture construction "
+        "(measured 430k→52.9M candidate pairs at 10× data) while the "
+        "OUTPUT stays linear (256→328 pairs) — the rarest-first prefix "
+        "lemma assumes rare grams STAY rare as the corpus grows, which "
+        "real corpora satisfy and a key-offset copy fixture cannot; the "
+        "probabilistic scale route at fixture-breaking densities is "
+        "minhash_lsh_pairs",
         "semantic_prune": "the registered query pins num_centroids=16 for "
         "oracle parity, so per-bucket candidate volume is ∝(n/16)² — "
         "quadratic at 10× data; production (SemDeDup) scales k ∝ √n to "

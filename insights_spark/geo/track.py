@@ -268,3 +268,72 @@ def simplify_tracks(
     return pts.groupBy("user_id").applyInPandas(
         dp, "user_id long, idx int, lon double, lat double"
     )
+
+
+#: the 8 integer direction vectors of the BFP extreme-point scan —
+#: axis-aligned + diagonals; |dot| ≤ 2·(360000+170000) < 2^21, safe in long
+HULL_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def directional_hull(
+    points: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "id",
+    scale: int = 1000,
+) -> DataFrame:
+    """K-directional extreme points per group — the Bentley-Faust-Preparata
+    (CACM 1982, public) convex-hull approximation, the framing that makes
+    "hull per key" DECOMPOSABLE: the exact hull needs all points of a group
+    in one place (or a partial-hull merge pass), while the K-direction
+    extreme set is K independent argmax aggregations — map-side combined,
+    one shuffle on the group key, no applyInPandas, no per-group memory.
+    Every emitted point IS a true hull vertex (an extreme point in some
+    direction); the approximation only omits vertices extreme solely in
+    un-sampled directions (BFP bound: area error ≤ O(1/K²)).
+
+    Output: (key, dir_idx, id, lon, lat) — per group and direction, the
+    point maximizing ``dot(dir, (x, y))`` on 1/``scale``-degree integer
+    coordinates; ties break to the smallest ``id`` (struct-max on
+    (dot, −id): exact, deterministic, engine-independent).
+    """
+    pts = points.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).cast("long").alias("_id"),
+        "lon",
+        "lat",
+        F.round(F.col("lon") * scale).cast("long").alias("_x"),
+        F.round(F.col("lat") * scale).cast("long").alias("_y"),
+    )
+    dirs = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("dir_idx"),
+            F.lit(dx).cast("long").alias("dx"),
+            F.lit(dy).cast("long").alias("dy"),
+        )
+        for i, (dx, dy) in enumerate(HULL_DIRS)
+    ])
+    fan = pts.select(
+        "key", "_id", "lon", "lat", "_x", "_y", F.explode(dirs).alias("d")
+    )
+    dot = F.col("d.dx") * F.col("_x") + F.col("d.dy") * F.col("_y")
+    best = (
+        fan.groupBy("key", F.col("d.dir_idx").alias("dir_idx"))
+        .agg(
+            F.max(
+                F.struct(
+                    dot.alias("dot"),
+                    (-F.col("_id")).alias("neg_id"),
+                    F.col("lon").alias("lon"),
+                    F.col("lat").alias("lat"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "dir_idx",
+            (-F.col("b.neg_id")).alias(id_col),
+            F.col("b.lon").alias("lon"),
+            F.col("b.lat").alias("lat"),
+        )
+    )
+    return best

@@ -641,6 +641,38 @@ def test_hex_focal_smooth_brute_force(spark):
     assert all(r["is_hot"] for r in iso)
 
 
+def test_directional_hull_semantics(spark):
+    """Every emitted point is a true hull vertex of its group; every
+    brute-force hull vertex extreme along one of the 8 sampled directions
+    is emitted; ties break to the smallest id; singleton groups emit the
+    same point for all 8 directions."""
+    from insights_spark.geo.track import HULL_DIRS, directional_hull
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for u in (1, 2):
+        for i in range(40):
+            rows.append((u, u * 100 + i,
+                         float(rng.integers(-170000, 170000)) / 1000.0,
+                         float(rng.integers(-80000, 80000)) / 1000.0))
+    rows.append((3, 300, 5.0, 5.0))                   # singleton group
+    rows.append((4, 400, 1.0, 1.0))                   # exact tie on a dup
+    rows.append((4, 401, 1.0, 1.0))
+    df = spark.createDataFrame(rows, "user_id long, id long, lon double, lat double")
+    got = {(r["user_id"], r["dir_idx"]): r["id"]
+           for r in directional_hull(df).collect()}
+    pts = {}
+    for u, i, lo, la in rows:
+        pts.setdefault(u, []).append((i, round(lo * 1000), round(la * 1000)))
+    for u, members in pts.items():
+        for d, (dx, dy) in enumerate(HULL_DIRS):
+            best = max(members, key=lambda m: (dx * m[1] + dy * m[2], -m[0]))
+            assert got[(u, d)] == best[0], (u, d)
+    assert len(got) == 4 * 8
+    assert all(got[(3, d)] == 300 for d in range(8))
+    assert all(got[(4, d)] == 400 for d in range(8))  # tie -> min id
+
+
 def test_simplify_tracks_semantics(spark):
     """Depth-capped DP pinned on hand cases: collinear tracks keep only
     endpoints (strict >), the classic bump keeps its apex, a degenerate
