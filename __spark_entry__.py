@@ -409,6 +409,18 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(d).select("doc_id", "lang_pred")
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (text/dedup.py cdc_chunks): rolling-hash
+    anchors cut chunks where poly_hash of the trailing 8 chars ≡ 0 mod
+    64 — boundaries track CONTENT, so edits only perturb chunks up to
+    the next anchor (the robustness fixed-stride passage_dedup lacks).
+    Map-only, no shuffle; the oracle replays the same per-window
+    polynomial predicate + lag spans in SQL."""
+    from insights_spark.text.dedup import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 def _q_fingerprint(spark, sf_dir):
     """Document fingerprint: portable polynomial rolling hash."""
     from insights_spark.text.quality import doc_fingerprint
@@ -3521,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
+        "cdc_chunks": _q_cdc_chunks,
         "fingerprint": _q_fingerprint,
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4317,6 +4330,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN r_fr >= r_sw THEN 'fr'
                         ELSE 'sw' END AS lang_pred
             FROM scored
+        """,
+        "cdc_chunks": f"""
+            WITH d AS (SELECT doc_id, text AS s, length(text) AS L
+                       FROM documents
+                       WHERE text IS NOT NULL AND length(text) > 0),
+            bpos AS (SELECT doc_id,
+                            unnest(list_filter(range(8, L + 1),
+                                i -> list_reduce(list_prepend(7::BIGINT, list_transform(string_split(substr(s, i - 7, 8), ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) % 64 = 0)) AS b
+                     FROM d),
+            lastc AS (SELECT doc_id, max(b) AS lb FROM bpos GROUP BY doc_id),
+            cuts AS (SELECT doc_id, b FROM bpos
+                     UNION ALL
+                     SELECT d.doc_id, d.L AS b
+                     FROM d LEFT JOIN lastc USING (doc_id)
+                     WHERE coalesce(lastc.lb, 0) < d.L),
+            spans AS (SELECT doc_id, b,
+                             coalesce(lag(b) OVER (PARTITION BY doc_id
+                                                   ORDER BY b), 0) AS pb,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY b) - 1 AS cidx
+                      FROM cuts)
+            SELECT sp.doc_id, CAST(sp.cidx AS INT) AS chunk_idx,
+                   CAST(sp.pb + 1 AS BIGINT) AS start,
+                   CAST(sp.b - sp.pb AS BIGINT) AS length,
+                   CAST(list_reduce(list_prepend(7::BIGINT, list_transform(string_split(substr(d.s, pb + 1, b - pb), ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS chash
+            FROM spans sp JOIN d USING (doc_id)
         """,
         "fingerprint": f"""
             SELECT doc_id, {fp_expr} AS fp

@@ -178,6 +178,7 @@ HEADLINE = [
     "kn_continuation",
     "simplify_tracks",
     "directional_hull",
+    "cdc_chunks",
 ]
 
 

@@ -843,3 +843,92 @@ def prefix_jaccard_pairs(
         "a", "b", "inter", "uni",
         (F.col("inter") / F.col("uni")).alias("jaccard"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 8,
+    mod_sel: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking — the rsync/LBFS rolling-hash boundary
+    scheme (Muthitacharoen et al. SOSP'01, public) that underlies
+    binary-level corpus dedup: a chunk boundary falls AFTER character i
+    whenever the polynomial hash of the trailing ``window`` chars is
+    ≡ 0 (mod ``mod_sel``), so boundaries are anchored to CONTENT, not
+    offsets — an insertion early in a document shifts every fixed-size
+    chunk but leaves all CDC chunks after the next anchor identical,
+    which is what makes chunk-hash dedup robust to edits (the property
+    fixed-stride ``passage_dedup`` lacks; expected chunk length ≈
+    ``mod_sel`` chars). This is the STATELESS variant — every anchor
+    cuts, no min/max clamp — so the chunking is a pure per-position
+    predicate, reproducible in ANSI SQL.
+
+    Output: (doc_id, chunk_idx, start, length, chash) — 0-based chunk
+    index, 1-based char offset, and the portable ``poly_hash`` of the
+    chunk text (the dedup key: one chunk-hash rollup away from the
+    shared-bytes table). Hash arithmetic is the same (31, 1e9+7) fold as
+    ``poly_hash``/``poly_hash_np`` — bit-identical in DuckDB — with the
+    boundary hash maintained as a TRUE rolling update (subtract the
+    outgoing char's base^(w−1) term, one multiply-add per char).
+
+    Scale posture: MAP-ONLY — no shuffle anywhere; Arrow-batched kernel,
+    one pass per document, O(len) per doc. The dedup application
+    (groupBy chash) adds the single chunk-keyed shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if window < 1 or mod_sel < 1:
+        raise ValueError("window and mod_sel must be >= 1")
+    bw = pow(BASE, window - 1, MOD)  # base^(w-1) for the rolling eviction
+    # the seed contributes the CONSTANT 7·base^w to every window hash, so
+    # the rolling state tracks the seedless char polynomial and the
+    # boundary test adds sw back — a naive (h−evict)·B+c roll would
+    # multiply the seed term once per slide and diverge from poly_hash
+    sw = (SEED * pow(BASE, window, MOD)) % MOD
+
+    @pandas_udf("array<struct<chunk_idx:int,start:long,length:long,chash:long>>")
+    def _chunks(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append([])
+                continue
+            n = len(t)
+            codes = [ord(c) for c in t]
+            cuts = []
+            if n >= window:
+                p = 0
+                for j in range(window):
+                    p = (p * BASE + codes[j]) % MOD
+                if (sw + p) % MOD % mod_sel == 0:
+                    cuts.append(window)
+                for i in range(window, n):
+                    p = ((p - codes[i - window] * bw) * BASE + codes[i]) % MOD
+                    if (sw + p) % MOD % mod_sel == 0:
+                        cuts.append(i + 1)
+            if not cuts or cuts[-1] < n:
+                cuts.append(n)
+            chunks, prev = [], 0
+            for idx, c in enumerate(cuts):
+                ch = SEED
+                for j in range(prev, c):
+                    ch = (ch * BASE + codes[j]) % MOD
+                chunks.append((idx, prev + 1, c - prev, ch))
+                prev = c
+            out.append(chunks)
+        return pd.Series(out)
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .where(F.col("_t").isNotNull() & (F.length("_t") > 0))
+        .select("doc_id", F.explode(_chunks(F.col("_t"))).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start").alias("start"),
+            F.col("c.length").alias("length"),
+            F.col("c.chash").alias("chash"),
+        )
+    )

@@ -916,6 +916,48 @@ def test_url_dedup_latest_wins_and_ties(spark):
     assert (q["kept_id"], q["n_variants"], q["n_urls"]) == (4, 1, 1)
 
 
+def test_cdc_chunks_structure_and_edit_robustness(spark):
+    """CDC invariants: chunks tile the document exactly (contiguous
+    starts, lengths sum to len); sub-window and anchor-free docs yield
+    one whole-doc chunk; null/empty rows vanish; and the CDC property
+    itself — prepending an edit leaves every chunk after the first
+    shared anchor IDENTICAL (same (length, chash) tail), which
+    fixed-stride chunking cannot do."""
+    import random
+    import string
+
+    from insights_spark.text.dedup import cdc_chunks
+
+    rng = random.Random(99)
+    body = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(4000))
+    rows = [(1, body), (2, "edit! " + body), (3, "tiny"), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["chash"]))
+    for d in got:
+        got[d].sort()
+    assert set(got) == {1, 2, 3}          # empty + null dropped
+    for doc_id, text in [(1, body), (2, "edit! " + body), (3, "tiny")]:
+        chunks = got[doc_id]
+        assert chunks[0][1] == 1
+        assert sum(c[2] for c in chunks) == len(text)
+        for i in range(1, len(chunks)):   # contiguous tiling
+            assert chunks[i][1] == chunks[i - 1][1] + chunks[i - 1][2]
+    assert len(got[3]) == 1               # sub-window doc: one chunk
+    # edit robustness: tails align from the first common anchor on
+    t1 = [(c[2], c[3]) for c in got[1]]
+    t2 = [(c[2], c[3]) for c in got[2]]
+    assert len(t1) > 3                    # anchors actually fired
+    k = 0
+    while t1[-1 - k] == t2[-1 - k]:
+        k += 1
+    assert k >= len(t1) - 2               # at most the head chunks differ
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=0)
+
+
 def test_passage_dedup_keep_first_order(spark):
     """Keep-first semantics pinned by hand: a chunk repeated WITHIN a doc
     loses its second instance, a passage copied into a later doc is
