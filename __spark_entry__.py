@@ -921,6 +921,15 @@ def _q_kn_continuation(spark, sf_dir):
     return kn_continuation(_t(spark, sf_dir, "documents"))
 
 
+def _q_freq_of_freqs(spark, sf_dir):
+    """Good-Turing N_r table (text/freq.py): distinct token types per
+    occurrence count — the smoothing companion to kn_continuation; two
+    decomposable shuffles, output bounded by distinct frequency values."""
+    from insights_spark.text.freq import freq_of_freqs
+
+    return freq_of_freqs(_t(spark, sf_dir, "documents"))
+
+
 def _q_token_lorenz(spark, sf_dir):
     """Corpus concentration deciles (text/freq.py:token_share_curve):
     both global prefix sums (token cum + rank) ride ONE
@@ -1503,6 +1512,20 @@ def _q_simplify_tracks(spark, sf_dir):
         "event_id",
     )
     return simplify_tracks(pts, eps_milli=20000, max_depth=4, id_col="event_id")
+
+
+def _q_move_rose(spark, sf_dir):
+    """Octant rose of per-user moves (geo/track.py move_rose): sector =
+    ⌊θ/45°⌋ via pure integer sign / |dx| vs |dy| tests (boundaries are
+    exactly the 45° rays — no atan2, no libm), 9-row decomposable
+    rollup weighted by exact squared milli-degree lengths."""
+    from insights_spark.geo.track import move_rose
+
+    pts = _points(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "ts"),
+        "event_id",
+    )
+    return move_rose(pts, id_col="event_id")
 
 
 def _q_user_tracks(spark, sf_dir):
@@ -3432,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": _q_ripley_k,
         "region_shape": _q_region_shape,
         "kn_continuation": _q_kn_continuation,
+        "freq_of_freqs": _q_freq_of_freqs,
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
@@ -3500,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": _q_novelty,
         "st_join": _q_st_join,
         "directional_hull": _q_directional_hull,
+        "move_rose": _q_move_rose,
         "simplify_tracks": _q_simplify_tracks,
         "user_tracks": _q_user_tracks,
         "home_cells": _q_home_cells,
@@ -5900,6 +5925,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
     """
     out["simplify_tracks"] = _dp_sql(20000, 4)
+    out["move_rose"] = f"""
+        WITH pts AS (SELECT user_id, ts, event_id,
+                            mod(event_id * 7919, 360000) - 180000 AS x,
+                            mod(event_id * 104729, 170000) - 85000 AS y
+                     FROM events),
+        l AS (SELECT user_id, x, y,
+                     lag(x) OVER w AS px, lag(y) OVER w AS py
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        m AS (SELECT x - px AS dx, y - py AS dy
+              FROM l WHERE px IS NOT NULL),
+        s AS (SELECT dx, dy,
+                     CASE WHEN dx = 0 AND dy = 0 THEN -1
+                          WHEN dy >= 0 AND dx > 0 AND dx > dy THEN 0
+                          WHEN dy > 0 AND dx > 0 AND dx <= dy THEN 1
+                          WHEN dy > 0 AND dx <= 0 AND -dx < dy THEN 2
+                          WHEN dy > 0 AND dx < 0 AND -dx >= dy THEN 3
+                          WHEN dy = 0 AND dx < 0 THEN 4
+                          WHEN dy < 0 AND dx < 0 AND -dx > -dy THEN 4
+                          WHEN dy < 0 AND dx < 0 AND -dx <= -dy THEN 5
+                          WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6
+                          ELSE 7 END AS sector
+              FROM m)
+        SELECT CAST(sector AS INT) AS sector,
+               CAST(count(*) AS BIGINT) AS n_moves,
+               CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sum_d2
+        FROM s GROUP BY 1
+    """
     out["user_tracks"] = f"""
         WITH pts AS (SELECT event_id, user_id, ts,
                             {_POINTS_SQL.format(k='event_id')}
@@ -6208,6 +6261,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(lft.n_left, 0) AS BIGINT) AS n_left,
                CAST(coalesce(rgt.n_right, 0) AS BIGINT) AS n_right
         FROM uni LEFT JOIN lft USING (token) LEFT JOIN rgt USING (token)
+    """
+    out["freq_of_freqs"] = f"""
+        WITH uni AS (
+          SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_TOKENS}) AS w FROM documents
+                WHERE text IS NOT NULL) GROUP BY 1)
+        SELECT freq, CAST(count(*) AS BIGINT) AS n_types
+        FROM uni GROUP BY 1
     """
     out["token_lorenz"] = f"""
         WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS ntok

@@ -179,6 +179,8 @@ HEADLINE = [
     "simplify_tracks",
     "directional_hull",
     "cdc_chunks",
+    "freq_of_freqs",
+    "move_rose",
 ]
 
 

@@ -337,3 +337,70 @@ def directional_hull(
         )
     )
     return best
+
+
+def move_rose(
+    points: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Directional rose of movement — the octant histogram behind every
+    wind-rose / movement-bearing plot (classic directional statistics),
+    WITHOUT atan2: octant boundaries are exactly the rays E/NE/N/…
+    (multiples of 45°), so membership is pure integer sign and
+    |dx| vs |dy| comparisons on 1/``scale``-degree deltas — the same
+    CASE tree evaluates bit-identically in any SQL engine, no libm.
+
+    For each user's chronologically consecutive point pairs ((ts, id)
+    order — the sessionize tie rule): sector = ⌊θ/45°⌋ ∈ 0..7 measured
+    counterclockwise from east, half-open [k·45°, (k+1)·45°); zero-length
+    moves are sector −1 ("still"). Output: (sector, n_moves, sum_d2) with
+    ``sum_d2`` the exact integer sum of squared milli-degree lengths
+    (the rose's weight column; sqrt stays with the consumer).
+
+    Scale posture: one map pass, ONE user-partitioned window for the lag
+    pair, then a 9-row decomposable rollup — map-side combine absorbs
+    everything; skew bounded by the busiest single user.
+    """
+    pts = points.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col("lon") * scale).cast("long").alias("_x"),
+        F.round(F.col("lat") * scale).cast("long").alias("_y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("_ts"), F.asc("_id"))
+    m = (
+        pts.withColumn("_px", F.lag("_x").over(w))
+        .withColumn("_py", F.lag("_y").over(w))
+        .where(F.col("_px").isNotNull())
+        .select(
+            (F.col("_x") - F.col("_px")).alias("dx"),
+            (F.col("_y") - F.col("_py")).alias("dy"),
+        )
+    )
+    dx, dy = F.col("dx"), F.col("dy")
+    sector = (
+        F.when((dx == 0) & (dy == 0), F.lit(-1))
+        .when((dy >= 0) & (dx > 0) & (dx > dy), F.lit(0))
+        .when((dy > 0) & (dx > 0) & (dx <= dy), F.lit(1))
+        .when((dy > 0) & (dx <= 0) & (-dx < dy), F.lit(2))
+        .when((dy > 0) & (dx < 0) & (-dx >= dy), F.lit(3))
+        .when((dy == 0) & (dx < 0), F.lit(4))
+        .when((dy < 0) & (dx < 0) & (-dx > -dy), F.lit(4))
+        .when((dy < 0) & (dx < 0) & (-dx <= -dy), F.lit(5))
+        .when((dy < 0) & (dx >= 0) & (dx < -dy), F.lit(6))
+        .otherwise(F.lit(7))
+        .cast("int")
+    )
+    return (
+        m.select(sector.alias("sector"),
+                 (dx * dx + dy * dy).alias("d2"))
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_moves"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+    )

@@ -388,3 +388,31 @@ def kn_continuation(
             F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
         )
     )
+
+
+def freq_of_freqs(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953, public) —
+    the other half of the smoothing toolchain next to
+    ``kn_continuation``: N_r = how many distinct token TYPES occur
+    exactly r times. Good-Turing discounting reads r* = (r+1)·N_{r+1}/N_r
+    straight off this table, and N_1 (the singleton mass) estimates the
+    probability of unseen types; both divisions stay with the consumer —
+    the engine emits the exact integer pairs (freq, n_types).
+
+    Plan: token rollup (map-side combined) → freq rollup; output bounded
+    by DISTINCT FREQUENCY VALUES (≤ O(√total_tokens) distinct values can
+    exist), far below the vocabulary — two decomposable shuffles, the
+    second on a tiny key space.
+    """
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .select(F.col("freq").cast("long").alias("freq"), "n_types")
+    )

@@ -641,6 +641,39 @@ def test_hex_focal_smooth_brute_force(spark):
     assert all(r["is_hot"] for r in iso)
 
 
+def test_move_rose_sectors(spark):
+    """Every octant, every 45° boundary ray, and the still bucket pinned
+    by hand: boundary rays belong to the half-open sector ABOVE them
+    (⌊θ/45°⌋), zero-length moves land in sector −1."""
+    from datetime import datetime
+
+    from insights_spark.geo.track import move_rose
+
+    # one user walks a star: each move is (dx, dy) in millidegrees
+    moves = [
+        ((3, 1), 0), ((1, 1), 1), ((1, 3), 1), ((0, 1), 2), ((-1, 3), 2),
+        ((-1, 1), 3), ((-1, 0), 4), ((-3, -1), 4), ((-1, -1), 5),
+        ((0, -1), 6), ((1, -3), 6), ((1, -1), 7), ((1, 0), 0), ((0, 0), -1),
+    ]
+    rows, x, y = [], 0, 0
+    rows.append((1, datetime(2024, 1, 1, 0, 0, 0), 0, 0.0, 0.0))
+    for i, ((dx, dy), _) in enumerate(moves):
+        x += dx
+        y += dy
+        rows.append((1, datetime(2024, 1, 1, 0, 0, i + 1), i + 1,
+                     x / 1000.0, y / 1000.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, id long, lon double, lat double")
+    got = {r["sector"]: (r["n_moves"], r["sum_d2"])
+           for r in move_rose(df).collect()}
+    want = {}
+    for (dx, dy), sec in moves:
+        n, s2 = want.get(sec, (0, 0))
+        want[sec] = (n + 1, s2 + dx * dx + dy * dy)
+    assert got == want
+    assert set(got) == {-1, 0, 1, 2, 3, 4, 5, 6, 7}
+
+
 def test_directional_hull_semantics(spark):
     """Every emitted point is a true hull vertex of its group; every
     brute-force hull vertex extreme along one of the 8 sampled directions

@@ -1293,6 +1293,18 @@ def test_kn_continuation_hand_computed(spark):
     assert sum(v[2] for v in got.values()) == 4
 
 
+def test_freq_of_freqs_hand_computed(spark):
+    """Good-Turing N_r table pinned by hand: types counted once per
+    corpus-wide frequency, null docs skipped."""
+    from insights_spark.text.freq import freq_of_freqs
+
+    rows = [(1, "a a a b b c"), (2, "c d"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["freq"]: r["n_types"] for r in freq_of_freqs(df).collect()}
+    # a:3, b:2, c:2, d:1  ->  N_1=1 (d), N_2=2 (b,c), N_3=1 (a)
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
 def test_token_share_curve_hand_computed(spark):
     """Lorenz deciles pinned by hand on a skewed corpus: one 80-token doc
     + four 5-token docs at buckets=5 -> top bucket holds 80% of tokens."""
