@@ -1814,6 +1814,19 @@ def _q_ripley_k(spark, sf_dir):
     )
 
 
+def _q_nn_distance_hist(spark, sf_dir):
+    """Clark-Evans NN-distance histogram (geo/knn.py nn_distance_hist):
+    certified-exact k=1 search, distances recomputed in integer milli
+    arithmetic and banded by decimal digit count (floor(log10)+1 without
+    libm) — the local companion to ripley_k's global pair curve."""
+    from insights_spark.geo.knn import nn_distance_hist
+
+    pts = _points(_t(spark, sf_dir, "events").select("event_id"), "event_id")
+    return nn_distance_hist(
+        pts.withColumnRenamed("event_id", "id"), res=None
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN with a built-in recall gate: the bucketed approximate top-k
     runs over all vectors; a deterministic FIXED-COUNT (~256) hash-threshold
@@ -3453,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2,
         "funnel_steps": _q_funnel,
         "ripley_k": _q_ripley_k,
+        "nn_distance_hist": _q_nn_distance_hist,
         "region_shape": _q_region_shape,
         "kn_continuation": _q_kn_continuation,
         "freq_of_freqs": _q_freq_of_freqs,
@@ -4145,6 +4159,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.event_id < b.event_id
             WHERE (a.lon - b.lon) * (a.lon - b.lon)
                   + (a.lat - b.lat) * (a.lat - b.lat) <= 9.0
+        """,
+        "nn_distance_hist": """
+            WITH pts AS (SELECT event_id,
+                                mod(event_id * 7919, 360000) - 180000 AS x,
+                                mod(event_id * 104729, 170000) - 85000 AS y
+                         FROM events),
+            nnd AS (SELECT a.event_id AS id,
+                           min((a.x - b.x) * (a.x - b.x)
+                               + (a.y - b.y) * (a.y - b.y)) AS d2
+                    FROM pts a JOIN pts b ON a.event_id <> b.event_id
+                    GROUP BY 1)
+            SELECT CAST(length(CAST(d2 AS VARCHAR)) AS INT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(min(d2) AS BIGINT) AS min_d2,
+                   CAST(max(d2) AS BIGINT) AS max_d2
+            FROM nnd GROUP BY 1
         """,
         "ripley_k": f"""
             WITH pts AS ({_EV_PTS}),

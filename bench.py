@@ -181,6 +181,7 @@ HEADLINE = [
     "cdc_chunks",
     "freq_of_freqs",
     "move_rose",
+    "nn_distance_hist",
 ]
 
 

@@ -456,3 +456,60 @@ def knn_join(
         .select("id", "neighbor_id", "dist2", "rank")
     )
     return certified.unionByName(fb)
+
+
+def nn_distance_hist(
+    points: DataFrame,
+    id_col: str = "id",
+    scale: int = 1000,
+    res: int | None = None,
+    rings: int = 1,
+) -> DataFrame:
+    """Nearest-neighbor distance histogram — the Clark-Evans / G-function
+    side of point-pattern analysis (Clark & Evans 1954, public), the
+    LOCAL companion to ``ripley_k``'s global pair curve: the distribution
+    of each point's distance to its single nearest neighbor separates
+    clustered (mass at short distances) from dispersed (mass near the
+    lattice spacing) patterns.
+
+    Exactness: the NN search is ``knn_cell_local(k=1, exact=True)``
+    (certified ring join + brute-force tail), then the squared distance
+    is RECOMPUTED in integer 1/``scale``-degree arithmetic and banded by
+    its DECIMAL DIGIT COUNT (length of the integer's base-10 string —
+    floor(log10)+1 without libm, bit-identical in any SQL engine).
+    Output: (band, n_points, min_d2, max_d2) — exact integers; the
+    Clark-Evans R statistic (mean NN distance over its CSR expectation)
+    stays with the consumer, as every division does.
+
+    Scale posture: inherits knn_cell_local's — one cell-keyed shuffle
+    with a density-matched auto resolution (pairs ∝ n, not n·density),
+    the certified-exact fallback carrying only the sparse tail; then two
+    broadcast-joinable lookups and a ≤13-row rollup (d2 < 10^13).
+    """
+    nn = knn_cell_local(points, 1, id_col=id_col, res=res, rings=rings)
+    pm = points.select(
+        F.col(id_col).alias("_mid"),
+        F.round(F.col("lon") * scale).cast("long").alias("_mx"),
+        F.round(F.col("lat") * scale).cast("long").alias("_my"),
+    )
+    d2i = (
+        (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx"))
+        + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
+    )
+    return (
+        nn.select("id", "neighbor_id")
+        .join(pm.select(F.col("_mid").alias("id"),
+                        F.col("_mx").alias("_ax"),
+                        F.col("_my").alias("_ay")), "id")
+        .join(pm.select(F.col("_mid").alias("neighbor_id"),
+                        F.col("_mx").alias("_bx"),
+                        F.col("_my").alias("_by")), "neighbor_id")
+        .select(F.length(d2i.cast("string")).cast("int").alias("band"),
+                d2i.alias("_d2"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("_d2").cast("long").alias("min_d2"),
+            F.max("_d2").cast("long").alias("max_d2"),
+        )
+    )

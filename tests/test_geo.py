@@ -641,6 +641,39 @@ def test_hex_focal_smooth_brute_force(spark):
     assert all(r["is_hot"] for r in iso)
 
 
+def test_nn_distance_hist_bruteforce(spark):
+    """Digit-banded NN histogram == numpy brute force (exact integer
+    recompute of the certified search's choice); duplicate points give a
+    d2=0 → band 1 row; a two-point set yields one mutual band."""
+    from insights_spark.geo.knn import nn_distance_hist
+
+    rng = np.random.default_rng(17)
+    xm = rng.integers(-170000, 170000, 200)
+    ym = rng.integers(-80000, 80000, 200)
+    xm[7], ym[7] = xm[3], ym[3]          # planted duplicate pair
+    df = spark.createDataFrame(
+        [(i, int(xm[i]) / 1000.0, int(ym[i]) / 1000.0) for i in range(200)],
+        "id long, lon double, lat double",
+    )
+    got = {r["band"]: (r["n_points"], r["min_d2"], r["max_d2"])
+           for r in nn_distance_hist(df, res=2).collect()}
+    d2 = (xm[:, None] - xm[None, :]) ** 2 + (ym[:, None] - ym[None, :]) ** 2
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nn = d2.min(axis=1)
+    want = {}
+    for v in nn:
+        b = len(str(int(v)))
+        n, mn, mx = want.get(b, (0, None, None))
+        want[b] = (n + 1, v if mn is None else min(mn, v),
+                   v if mx is None else max(mx, v))
+    assert got == want
+    assert got[1] == (2, 0, 0)           # the duplicate pair
+    two = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.003, 0.004)], "id long, lon double, lat double")
+    assert {r["band"]: (r["n_points"], r["min_d2"], r["max_d2"])
+            for r in nn_distance_hist(two, res=2).collect()} == {2: (2, 25, 25)}
+
+
 def test_move_rose_sectors(spark):
     """Every octant, every 45° boundary ray, and the still bucket pinned
     by hand: boundary rays belong to the half-open sector ABOVE them
