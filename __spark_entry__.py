@@ -921,6 +921,18 @@ def _q_kn_continuation(spark, sf_dir):
     return kn_continuation(_t(spark, sf_dir, "documents"))
 
 
+def _q_winsorized_stats(spark, sf_dir):
+    """Winsorized robust stats per event_type (ops/stats.py): rank-exact
+    type-1 percentiles (k = max(1, ceil(q·n)) — well-defined under ties),
+    integer-cents clamp + exact BIGINT sum; the winsorized mean division
+    stays with the consumer."""
+    from insights_spark.ops.stats import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 def _q_freq_of_freqs(spark, sf_dir):
     """Good-Turing N_r table (text/freq.py): distinct token types per
     occurrence count — the smoothing companion to kn_continuation; two
@@ -3470,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_shape": _q_region_shape,
         "kn_continuation": _q_kn_continuation,
         "freq_of_freqs": _q_freq_of_freqs,
+        "winsorized_stats": _q_winsorized_stats,
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
@@ -6291,6 +6304,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(lft.n_left, 0) AS BIGINT) AS n_left,
                CAST(coalesce(rgt.n_right, 0) AS BIGINT) AS n_right
         FROM uni LEFT JOIN lft USING (token) LEFT JOIN rgt USING (token)
+    """
+    out["winsorized_stats"] = """
+        WITH v AS (SELECT event_type AS grp,
+                          CAST(round(value * 100) AS BIGINT) AS vv
+                   FROM events WHERE value IS NOT NULL),
+        r AS (SELECT grp, vv,
+                     row_number() OVER (PARTITION BY grp ORDER BY vv) AS rn,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM v),
+        b AS (SELECT grp, min(vv) AS lo_cents, max(vv) AS hi_cents
+              FROM r
+              WHERE rn = greatest(1, CAST(ceil(n * 5 / 100.0) AS BIGINT))
+                 OR rn = greatest(1, CAST(ceil(n * 95 / 100.0) AS BIGINT))
+              GROUP BY grp)
+        SELECT r.grp AS event_type,
+               CAST(max(r.n) AS BIGINT) AS n,
+               CAST(min(b.lo_cents) AS BIGINT) AS lo_cents,
+               CAST(min(b.hi_cents) AS BIGINT) AS hi_cents,
+               CAST(sum(greatest(b.lo_cents, least(b.hi_cents, r.vv)))
+                    AS BIGINT) AS wins_sum_cents
+        FROM r JOIN b USING (grp)
+        GROUP BY 1
     """
     out["freq_of_freqs"] = f"""
         WITH uni AS (

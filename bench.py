@@ -182,6 +182,7 @@ HEADLINE = [
     "freq_of_freqs",
     "move_rose",
     "nn_distance_hist",
+    "winsorized_stats",
 ]
 
 

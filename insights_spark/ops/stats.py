@@ -204,3 +204,71 @@ def approx_quantile_gate(
             <= F.lit(tolerance)
         ).alias("within_bounds"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: int = 5,
+    p_hi: int = 95,
+    cents: int = 100,
+) -> DataFrame:
+    """Winsorized robust statistics per group in EXACT integer arithmetic
+    (winsorization per Tukey/Dixon, public) — the outlier-resistant
+    aggregate a profiling layer wants next to the raw mean, with the
+    percentile defined RANK-EXACTLY so two engines cannot disagree:
+
+        k_q = max(1, ⌈q·n/100⌉),  p_q = the k_q-th smallest value
+
+    (type-1/lower quantile; the value at a rank is well-defined under
+    ties regardless of tie order). Values are quantized to integer
+    1/``cents`` units (lossless on 2-decimal money-style columns), the
+    winsorized sum clamps each value into [p_lo, p_hi] before an exact
+    BIGINT sum — no float accumulation anywhere; the winsorized MEAN is
+    the consumer's one division.
+
+    Output: (group, n, lo_cents, hi_cents, wins_sum_cents).
+
+    Scale posture: one group-keyed window (rank + count share it) + one
+    broadcast-back of the 2-row-per-group percentile table + one
+    decomposable rollup — skew bounded by the hottest single group, the
+    same posture as every per-group window in the suite.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 <= p_lo <= p_hi <= 100):
+        raise ValueError("need 0 <= p_lo <= p_hi <= 100")
+    v = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.round(F.col(value_col) * cents).cast("long").alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+    )
+    w = Window.partitionBy("grp").orderBy("_v")
+    ranked = v.select(
+        "grp", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("_n"),
+    ).persist()
+    k_lo = F.greatest(F.lit(1), F.ceil(F.col("_n") * p_lo / 100))
+    k_hi = F.greatest(F.lit(1), F.ceil(F.col("_n") * p_hi / 100))
+    bounds = (
+        ranked.where((F.col("_rn") == k_lo) | (F.col("_rn") == k_hi))
+        .groupBy("grp")
+        .agg(F.min("_v").alias("lo_cents"), F.max("_v").alias("hi_cents"))
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.min("lo_cents").cast("long").alias("lo_cents"),
+            F.min("hi_cents").cast("long").alias("hi_cents"),
+            F.sum(
+                F.greatest(F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("_v")))
+            ).cast("long").alias("wins_sum_cents"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

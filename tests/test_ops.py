@@ -131,6 +131,30 @@ def test_scalar_pick_deterministic(spark):
 
 # ------------------------------------------------------------------ stats
 
+def test_winsorized_stats_hand_computed(spark):
+    """Rank-exact winsorization pinned by hand: a 20-value group with one
+    huge outlier clamps to the rank-1/rank-19 values; a 3-value group has
+    k_05 = 1 and k_95 = 3 (no clamping); nulls dropped; Fraction-free
+    integer expectations."""
+    from insights_spark.ops.stats import winsorized_stats
+
+    rows = [("a", float(i)) for i in range(1, 20)] + [("a", 1000.0)]
+    rows += [("b", 1.5), ("b", 2.25), ("b", 3.0), ("b", None)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: (r["n"], r["lo_cents"], r["hi_cents"],
+                             r["wins_sum_cents"])
+           for r in winsorized_stats(df, "event_type", "value").collect()}
+    # group a: n=20, k05=ceil(1.0)=1 -> 100, k95=ceil(19.0)=19 -> 1900;
+    # sum = 100..1900 clamped: values 1..19 (cents 100..1900) + outlier
+    # clamped to 1900 = sum(100..1900 step 100) + 1900
+    a_sum = sum(i * 100 for i in range(1, 20)) + 1900
+    assert got["a"] == (20, 100, 1900, a_sum)
+    # group b: n=3, k05=1 -> 150, k95=ceil(2.85)=3 -> 300; nothing clamps
+    assert got["b"] == (3, 150, 300, 150 + 225 + 300)
+    with pytest.raises(ValueError):
+        winsorized_stats(df, "event_type", "value", p_lo=50, p_hi=40)
+
+
 def test_changeset_stats_battery(spark):
     e = _mk_elements(spark)
     got = {r["changeset"]: r.asDict() for r in stats.changeset_stats(e).collect()}
