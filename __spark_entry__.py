@@ -1166,6 +1166,16 @@ def _q_topk(spark, sf_dir):
     )
 
 
+def _q_covered_time(spark, sf_dir):
+    """Interval-union active time per user (ops/sessions.py covered_time):
+    each event opens a 600 s window, overlaps count once — the closed
+    form Σ min(gap, window) over the (ts, id)-sorted stream, one lead()
+    window + one rollup, exact integer seconds."""
+    from insights_spark.ops.sessions import covered_time
+
+    return covered_time(_t(spark, sf_dir, "events"))
+
+
 def _q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization over the event stream (6 h timeout):
     lag → new-session flag → running sum → per-session rollup, all windows
@@ -3306,6 +3316,31 @@ def _q_lm_perplexity(spark, sf_dir):
     )
 
 
+def _q_path_tree(spark, sf_dir):
+    """URL path-hierarchy rollup (text/urls.py path_tree): planted
+    hierarchical URLs (host = doc_id%5, 0-2 directory levels by doc_id%3,
+    uppercase hosts + query/fragment decorations on every 7th doc to
+    exercise the parser) — Spark parses the REAL url strings while the
+    oracle derives the expected tree from the planted structure directly:
+    an independent ground truth, the host_stats precedent."""
+    from insights_spark.text.urls import path_tree
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    d1 = F.pmod(F.col("doc_id") / F.lit(5), F.lit(4)).cast("int").cast("string")
+    d2 = F.pmod(F.col("doc_id") / F.lit(20), F.lit(3)).cast("int").cast("string")
+    nd = F.pmod(F.col("doc_id"), F.lit(3))
+    url = F.concat(
+        F.lit("https://H"), h, F.lit(".TEST/"),
+        F.when(nd >= 1, F.concat(F.lit("d"), d1, F.lit("/"))).otherwise(F.lit("")),
+        F.when(nd == 2, F.concat(F.lit("e"), d2, F.lit("/"))).otherwise(F.lit("")),
+        F.lit("p"), F.col("doc_id").cast("string"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+               F.lit("?utm=x#top")).otherwise(F.lit("")),
+    )
+    return path_tree(d.select(url.alias("url")))
+
+
 def _q_host_stats(spark, sf_dir):
     """Host-level crawl rollup (text/urls.py:host_stats). Planted URLs
     spread docs over 5 hosts with a host-dependent mirror factor: host h
@@ -3483,6 +3518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_continuation": _q_kn_continuation,
         "freq_of_freqs": _q_freq_of_freqs,
         "winsorized_stats": _q_winsorized_stats,
+        "covered_time": _q_covered_time,
+        "path_tree": _q_path_tree,
         "column_profile": _q_column_profile,
         "semantic_prune": _q_semantic_prune,
         "cohort_retention": _q_cohort_retention,
@@ -6304,6 +6341,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(lft.n_left, 0) AS BIGINT) AS n_left,
                CAST(coalesce(rgt.n_right, 0) AS BIGINT) AS n_right
         FROM uni LEFT JOIN lft USING (token) LEFT JOIN rgt USING (token)
+    """
+    out["path_tree"] = """
+        WITH d AS (SELECT doc_id,
+                          'h' || (doc_id % 5) || '.test' AS host,
+                          doc_id % 3 AS nd,
+                          'd' || ((doc_id // 5) % 4) AS s1,
+                          'e' || ((doc_id // 20) % 3) AS s2
+                   FROM documents),
+        nodes AS (SELECT host, u.nd_depth AS depth, u.nd_prefix AS prefix
+                  FROM (
+                    SELECT host,
+                           [{'nd_depth': 0, 'nd_prefix': '/'}]
+                           || CASE WHEN nd >= 1 THEN
+                                [{'nd_depth': 1, 'nd_prefix': '/' || s1}]
+                              ELSE [] END
+                           || CASE WHEN nd = 2 THEN
+                                [{'nd_depth': 2,
+                                  'nd_prefix': '/' || s1 || '/' || s2}]
+                              ELSE [] END
+                           || [{'nd_depth': CAST(nd + 1 AS INT),
+                                'nd_prefix': CASE nd
+                                  WHEN 0 THEN '/p' || doc_id
+                                  WHEN 1 THEN '/' || s1 || '/p' || doc_id
+                                  ELSE '/' || s1 || '/' || s2 || '/p' || doc_id
+                                END}] AS l
+                    FROM d) t, unnest(t.l) AS n(u))
+        SELECT host, CAST(depth AS INT) AS depth, prefix,
+               CAST(count(*) AS BIGINT) AS n_pages
+        FROM nodes GROUP BY 1, 2, 3
+    """
+    out["covered_time"] = """
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 1000000 AS ep,
+                          event_id
+                   FROM events),
+        l AS (SELECT user_id, ep,
+                     lead(ep) OVER (PARTITION BY user_id
+                                    ORDER BY ep, event_id) AS nep
+              FROM e)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN nep IS NULL THEN 600
+                             ELSE least(nep - ep, 600) END) AS BIGINT)
+                 AS covered_s
+        FROM l GROUP BY 1
     """
     out["winsorized_stats"] = """
         WITH v AS (SELECT event_type AS grp,

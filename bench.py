@@ -183,6 +183,8 @@ HEADLINE = [
     "move_rose",
     "nn_distance_hist",
     "winsorized_stats",
+    "covered_time",
+    "path_tree",
 ]
 
 

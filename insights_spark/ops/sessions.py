@@ -386,3 +386,50 @@ def event_gap_stats(
         F.expr("percentile(_gap_s, 0.5)").alias("p50_gap_s"),
         F.expr("percentile(_gap_s, 0.9)").alias("p90_gap_s"),
     )
+
+
+def covered_time(
+    events: DataFrame,
+    window_s: int = 600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Interval-UNION length per user — "how many seconds was the user
+    actually active?" when each event opens a ``window_s``-second activity
+    interval: overlapping intervals must count once (the classic
+    interval-coalescing problem; Σ min(gap, window) over the time-sorted
+    stream is the closed form, no merge loop needed).
+
+    With events sorted by (epoch, id) per user, event i covers
+    ``min(next_epoch − epoch, window_s)`` NEW seconds (its window up to
+    where the next event's window takes over), and the last event covers
+    the full window — so the union is ONE lead() window away, exact
+    integer seconds. Duplicate timestamps contribute 0 (fully shadowed),
+    which is what union semantics demand. The companion
+    ``peak concurrency`` (sweep-line) answers "how MANY intervals at
+    once"; this answers "how LONG was anything open".
+
+    Output: (user_id, n_events, covered_s). One user-partitioned window
+    + one decomposable rollup; skew bounded by the busiest user.
+    """
+    if window_s < 1:
+        raise ValueError("window_s must be >= 1")
+    pts = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ep"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_ep", "_id")
+    nxt = F.lead("_ep").over(w)
+    contrib = F.when(
+        nxt.isNull(), F.lit(window_s)
+    ).otherwise(F.least(nxt - F.col("_ep"), F.lit(window_s)))
+    return (
+        pts.withColumn("_c", contrib)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_c").cast("long").alias("covered_s"),
+        )
+    )

@@ -153,3 +153,53 @@ def host_stats(
             & (dup <= F.lit(max_dup_per_mille))
         ).cast("int").alias("keep"),
     )
+
+
+def path_tree(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL path-hierarchy rollup — the "directory tree sizes" query of a
+    crawl frontier: every page counts toward EVERY ancestor prefix of its
+    path, so each (host, prefix) row reads off the number of pages in
+    that subtree (depth 0 = the host root, depth = #segments = the page
+    itself). The standard crawl-budgeting / sitemap-shape primitive.
+
+    Output: (host, depth, prefix, n_pages). The per-row explode factor
+    is path depth + 1 (bounded by URL structure, not data volume), then
+    ONE decomposable (host, depth, prefix)-keyed rollup with map-side
+    combine — prefix keys nest, so hot subtrees are exactly the rows a
+    consumer wants, and AQE splits them like any hot key.
+
+    Parsing matches ``canonical_url``'s tolerance: scheme stripped if
+    present, host lowercased up to the first '/', query/fragment cut
+    before path segmentation, empty segments dropped.
+    """
+    u = F.col(url_col)
+    rest = F.when(
+        u.contains("://"), F.expr(f"substring_index({url_col}, '://', -1)")
+    ).otherwise(u)
+    host = F.lower(F.substring_index(rest, "/", 1))
+    path = F.when(
+        rest.contains("/"),
+        F.expr(f"substring(substring_index({url_col}, '://', -1), "
+               f"length(substring_index(substring_index({url_col}, '://', -1),"
+               f" '/', 1)) + 1)"),
+    ).otherwise(F.lit(""))
+    clean = F.substring_index(F.substring_index(path, "?", 1), "#", 1)
+    segs = F.filter(F.split(clean, "/"), lambda s: s != "")
+    nodes = F.transform(
+        F.sequence(F.lit(0), F.size(segs)),
+        lambda i: F.struct(
+            i.cast("int").alias("depth"),
+            F.concat(F.lit("/"), F.array_join(F.slice(segs, 1, i), "/"))
+            .alias("prefix"),
+        ),
+    )
+    return (
+        df.where(u.isNotNull())
+        .select(host.alias("host"), F.explode(nodes).alias("nd"))
+        .groupBy("host", F.col("nd.depth").alias("depth"),
+                 F.col("nd.prefix").alias("prefix"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )

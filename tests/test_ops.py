@@ -748,6 +748,29 @@ def test_scd2_merge_incremental(spark):
     assert canon(latest.scd2_merge(merged.select(*cols), batch)) == canon(full)
 
 
+def test_covered_time_interval_union(spark):
+    """Σ min(gap, window) == true interval-union length: overlapping
+    windows count once, duplicate timestamps contribute zero, disjoint
+    events contribute full windows, singleton user = one window."""
+    from datetime import datetime, timedelta
+
+    from insights_spark.ops.sessions import covered_time
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: events at 0s, 100s (overlap), 100s dup, 10_000s (disjoint)
+    for i, off in enumerate([0, 100, 100, 10_000]):
+        rows.append((1, base + timedelta(seconds=off), i))
+    rows.append((2, base, 99))              # singleton
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r["user_id"]: (r["n_events"], r["covered_s"])
+           for r in covered_time(df, window_s=600).collect()}
+    # union for user 1: [0,700) ∪ [10000,10600) = 700 + 600
+    assert got == {1: (4, 1300), 2: (1, 600)}
+    with pytest.raises(ValueError):
+        covered_time(df, window_s=0)
+
+
 def test_dwell_segments(spark):
     """Hand-built track: re-entry counts as a second visit, a NULL
     (outside) gap breaks the run, one-event visits dwell 0, and dwell is

@@ -1611,6 +1611,37 @@ def test_bigram_lm_scores_hand_case(spark):
     assert out_p[1]["bits_sum"] == bits(2, 2) + bits(2, 0)
 
 
+def test_path_tree_hand_case(spark):
+    """Directory-tree rollup pinned by hand: ancestors accumulate their
+    whole subtree, the root row counts every page of the host, uppercase
+    hosts fold together, query/fragment are cut before segmentation, a
+    scheme-less URL still parses, null urls drop."""
+    from insights_spark.text.urls import path_tree
+
+    rows = [
+        ("https://A.test/docs/intro/p1",),
+        ("https://a.test/docs/intro/p2?utm=x#frag",),
+        ("https://a.test/docs/p3",),
+        ("a.test/p4",),                     # scheme-less
+        ("https://b.test/p5",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {(r["host"], r["depth"], r["prefix"]): r["n_pages"]
+           for r in path_tree(df).collect()}
+    assert got == {
+        ("a.test", 0, "/"): 4,
+        ("a.test", 1, "/docs"): 3,
+        ("a.test", 2, "/docs/intro"): 2,
+        ("a.test", 3, "/docs/intro/p1"): 1,
+        ("a.test", 3, "/docs/intro/p2"): 1,
+        ("a.test", 2, "/docs/p3"): 1,
+        ("a.test", 1, "/p4"): 1,
+        ("b.test", 0, "/"): 1,
+        ("b.test", 1, "/p5"): 1,
+    }
+
+
 def test_host_stats_hand_case(spark):
     """Host rollup on hand pages: messy spellings fold into their clean
     canonical before the distinct count; dup_per_mille is exact integer
