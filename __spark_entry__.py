@@ -421,6 +421,16 @@ def _q_cdc_chunks(spark, sf_dir):
     return cdc_chunks(_t(spark, sf_dir, "documents"))
 
 
+def _q_cdc_containment(spark, sf_dir):
+    """CDC-chunk containment (text/dedup.py cdc_containment): pairs from
+    the chunk-hash equi-join only (df-capped at 64 — boilerplate chunks
+    leave candidate generation like hot grams in the minhash cap), shared
+    DISTINCT chunk bytes vs min(doc length), exact integer gate at 20%."""
+    from insights_spark.text.dedup import cdc_containment
+
+    return cdc_containment(_t(spark, sf_dir, "documents"))
+
+
 def _q_fingerprint(spark, sf_dir):
     """Document fingerprint: portable polynomial rolling hash."""
     from insights_spark.text.quality import doc_fingerprint
@@ -3623,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "cdc_chunks": _q_cdc_chunks,
+        "cdc_containment": _q_cdc_containment,
         "fingerprint": _q_fingerprint,
         "minhash": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4182,6 +4193,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 3
     """
 
+    cdc_sql = f"""
+            WITH d AS (SELECT doc_id, text AS s, length(text) AS L
+                       FROM documents
+                       WHERE text IS NOT NULL AND length(text) > 0),
+            bpos AS (SELECT doc_id,
+                            unnest(list_filter(range(8, L + 1),
+                                i -> list_reduce(list_prepend(7::BIGINT, list_transform(string_split(substr(s, i - 7, 8), ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) % 64 = 0)) AS b
+                     FROM d),
+            lastc AS (SELECT doc_id, max(b) AS lb FROM bpos GROUP BY doc_id),
+            cuts AS (SELECT doc_id, b FROM bpos
+                     UNION ALL
+                     SELECT d.doc_id, d.L AS b
+                     FROM d LEFT JOIN lastc USING (doc_id)
+                     WHERE coalesce(lastc.lb, 0) < d.L),
+            spans AS (SELECT doc_id, b,
+                             coalesce(lag(b) OVER (PARTITION BY doc_id
+                                                   ORDER BY b), 0) AS pb,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY b) - 1 AS cidx
+                      FROM cuts)
+            SELECT sp.doc_id, CAST(sp.cidx AS INT) AS chunk_idx,
+                   CAST(sp.pb + 1 AS BIGINT) AS start,
+                   CAST(sp.b - sp.pb AS BIGINT) AS length,
+                   CAST(list_reduce(list_prepend(7::BIGINT, list_transform(string_split(substr(d.s, pb + 1, b - pb), ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS chash
+            FROM spans sp JOIN d USING (doc_id)
+    """
+
     out = {
         "knn": knn_sql,
         "knn_cell_local": knn_sql,
@@ -4436,31 +4474,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'sw' END AS lang_pred
             FROM scored
         """,
-        "cdc_chunks": f"""
-            WITH d AS (SELECT doc_id, text AS s, length(text) AS L
-                       FROM documents
-                       WHERE text IS NOT NULL AND length(text) > 0),
-            bpos AS (SELECT doc_id,
-                            unnest(list_filter(range(8, L + 1),
-                                i -> list_reduce(list_prepend(7::BIGINT, list_transform(string_split(substr(s, i - 7, 8), ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) % 64 = 0)) AS b
-                     FROM d),
-            lastc AS (SELECT doc_id, max(b) AS lb FROM bpos GROUP BY doc_id),
-            cuts AS (SELECT doc_id, b FROM bpos
-                     UNION ALL
-                     SELECT d.doc_id, d.L AS b
-                     FROM d LEFT JOIN lastc USING (doc_id)
-                     WHERE coalesce(lastc.lb, 0) < d.L),
-            spans AS (SELECT doc_id, b,
-                             coalesce(lag(b) OVER (PARTITION BY doc_id
-                                                   ORDER BY b), 0) AS pb,
-                             row_number() OVER (PARTITION BY doc_id
-                                                ORDER BY b) - 1 AS cidx
-                      FROM cuts)
-            SELECT sp.doc_id, CAST(sp.cidx AS INT) AS chunk_idx,
-                   CAST(sp.pb + 1 AS BIGINT) AS start,
-                   CAST(sp.b - sp.pb AS BIGINT) AS length,
-                   CAST(list_reduce(list_prepend(7::BIGINT, list_transform(string_split(substr(d.s, pb + 1, b - pb), ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS chash
-            FROM spans sp JOIN d USING (doc_id)
+        "cdc_chunks": cdc_sql,
+        "cdc_containment": f"""
+            WITH chunks AS ({cdc_sql}),
+            ch AS (SELECT DISTINCT doc_id, chash, length FROM chunks),
+            keep AS (SELECT chash, length FROM ch
+                     GROUP BY 1, 2 HAVING count(*) <= 64),
+            k AS (SELECT ch.doc_id, ch.chash, ch.length
+                  FROM ch JOIN keep USING (chash, length)),
+            pairs AS (SELECT k1.doc_id AS a, k2.doc_id AS b,
+                             CAST(sum(k1.length) AS BIGINT) AS shared_bytes
+                      FROM k k1 JOIN k k2 USING (chash, length)
+                      WHERE k1.doc_id < k2.doc_id
+                      GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+                   FROM documents
+                   WHERE text IS NOT NULL AND length(text) > 0)
+            SELECT p.a, p.b, p.shared_bytes,
+                   da.len AS a_len, db.len AS b_len
+            FROM pairs p
+            JOIN dl da ON da.doc_id = p.a
+            JOIN dl db ON db.doc_id = p.b
+            WHERE p.shared_bytes * 1000000 >= 200000 * least(da.len, db.len)
         """,
         "fingerprint": f"""
             SELECT doc_id, {fp_expr} AS fp

@@ -185,6 +185,7 @@ HEADLINE = [
     "winsorized_stats",
     "covered_time",
     "path_tree",
+    "cdc_containment",
 ]
 
 

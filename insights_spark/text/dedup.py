@@ -932,3 +932,68 @@ def cdc_chunks(
             F.col("c.chash").alias("chash"),
         )
     )
+
+
+def cdc_containment(
+    df: DataFrame,
+    min_shared_ppm: int = 200_000,
+    max_chunk_df: int = 64,
+    window: int = 8,
+    mod_sel: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level containment — the APPLICATION query of ``cdc_chunks``
+    and the binary-level sibling of the gram-based ``containment_pairs``:
+    two documents that share content-defined chunks share literal byte
+    runs, robust to insertions (the CDC anchor property), so
+    ``shared_bytes / min(len_a, len_b)`` measures quote-inclusion without
+    any tokenizer.
+
+    Candidates come ONLY from the chunk-hash equi-join on (chash, length)
+    — never all-pairs — with a ``max_chunk_df`` document-frequency cap on
+    chunks (boilerplate chunks shared by everything are dropped from
+    CANDIDATE GENERATION exactly like hot grams in the minhash df-cap;
+    the measured quantity is then shared RARE bytes, which is the
+    dedup-relevant signal). Shared bytes count each DISTINCT (chash,
+    length) once per pair. Gate: shared·10⁶ ≥ ``min_shared_ppm`` ·
+    min(len_a, len_b) in exact integers.
+
+    Output: (a, b, shared_bytes, a_len, b_len) with a < b.
+    """
+    ch = (
+        cdc_chunks(df, window=window, mod_sel=mod_sel,
+                   id_col=id_col, text_col=text_col)
+        .select("doc_id", "length", "chash")
+        .distinct()
+    )
+    keep = (
+        ch.groupBy("chash", "length")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= F.lit(max_chunk_df))
+        .select("chash", "length")
+    )
+    ch = ch.join(keep, ["chash", "length"]).persist()
+    pairs = (
+        ch.select(F.col("doc_id").alias("a"), "chash", "length")
+        .join(ch.select(F.col("doc_id").alias("b"), "chash", "length"),
+              ["chash", "length"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("length").cast("long").alias("shared_bytes"))
+    )
+    dl = df.select(
+        F.col(id_col).alias("_d"),
+        F.length(text_col).cast("long").alias("_len"),
+    ).where(F.col("_len") > 0)
+    return (
+        pairs.join(dl.select(F.col("_d").alias("a"),
+                             F.col("_len").alias("a_len")), "a")
+        .join(dl.select(F.col("_d").alias("b"),
+                        F.col("_len").alias("b_len")), "b")
+        .where(
+            F.col("shared_bytes") * F.lit(1_000_000)
+            >= F.lit(min_shared_ppm) * F.least("a_len", "b_len")
+        )
+        .select("a", "b", "shared_bytes", "a_len", "b_len")
+    )

@@ -958,6 +958,32 @@ def test_cdc_chunks_structure_and_edit_robustness(spark):
         cdc_chunks(df, window=0)
 
 
+def test_cdc_containment_pairs_and_dfcap(spark):
+    """The edited-copy pair shares most of its CDC bytes; unrelated docs
+    never pair; a 70-doc boilerplate clique exceeds the df-cap so its
+    chunks leave candidate generation entirely (no quadratic clique)."""
+    import random
+    import string
+
+    from insights_spark.text.dedup import cdc_containment
+
+    rng = random.Random(5)
+    body = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(3000))
+    other = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(3000))
+    boiler = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(1500))
+    rows = [(1, body), (2, "edited prefix! " + body), (3, other)]
+    rows += [(100 + i, boiler) for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["shared_bytes"]
+           for r in cdc_containment(df).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] >= 0.6 * 3000      # tail chunks all shared
+    assert not any(3 in p for p in got)   # unrelated doc pairs nothing
+    # identical boilerplate docs pair with NOBODY: their chunks have
+    # df=70 > 64 and are dropped from candidate generation
+    assert not any(a >= 100 or b >= 100 for a, b in got)
+
+
 def test_passage_dedup_keep_first_order(spark):
     """Keep-first semantics pinned by hand: a chunk repeated WITHIN a doc
     loses its second instance, a passage copied into a later doc is
