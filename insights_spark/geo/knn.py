@@ -463,7 +463,7 @@ def nn_distance_hist(
     id_col: str = "id",
     scale: int = 1000,
     res: int | None = None,
-    rings: int = 1,
+    rings: int = 2,
 ) -> DataFrame:
     """Nearest-neighbor distance histogram — the Clark-Evans / G-function
     side of point-pattern analysis (Clark & Evans 1954, public), the
@@ -485,6 +485,13 @@ def nn_distance_hist(
     with a density-matched auto resolution (pairs ∝ n, not n·density),
     the certified-exact fallback carrying only the sparse tail; then two
     broadcast-joinable lookups and a ≤13-row rollup (d2 < 10^13).
+    ``rings`` defaults to 2 because ``auto_cell_res``'s density target
+    (4·k per cell) is calibrated for the ring-2 certification radius
+    (2.5·edge): at rings=1 the radius is only 1·edge, which on a
+    lattice whose spacing exceeds the auto-picked cell size fails
+    certification for EVERY query and routes the whole input through
+    the brute-force fallback — measured as an n² spill-loop straggler
+    at sf0.1 before this default was fixed.
     """
     nn = knn_cell_local(points, 1, id_col=id_col, res=res, rings=rings)
     pm = points.select(
