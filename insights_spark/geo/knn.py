@@ -458,6 +458,70 @@ def knn_join(
     return certified.unionByName(fb)
 
 
+def nn_cell_res(
+    points: DataFrame,
+    floor: float = 1.25,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    min_res: int = 0,
+    max_res: int = 6,
+    sample_cap: int = 100_000,
+) -> int:
+    """Resolution pick for NEAREST-NEIGHBOR searches: the FINEST res whose
+    mean occupied-cell density is ≥ ``floor`` — the dual of
+    ``auto_cell_res``'s ceiling criterion, and the one NN needs.
+
+    Why the ceiling rule is wrong here: ``auto_cell_res`` returns the
+    first res with density ≤ target, which on data sparser than the cell
+    grid degenerates to density == 1 with EMPTY rings — every query then
+    fails certification and the exact fallback becomes an O(n²)
+    broadcast NLJ (measured at sf1: 1M points → 1M singleton cells, 262k
+    ring-2 pairs for 1M queries, a disk-filling 10¹²-pair fallback). A
+    density FLOOR instead guarantees the expected ring-2 neighborhood
+    holds ≥ 19·floor points, so the k=1 certificate holds for the bulk
+    and the escalation loop carries a genuine tail, not the whole input.
+    The default 1.25 sits just above singleton density: the aperture-7
+    quantization means the returned level's density lands in
+    [floor, 7·floor), and pair volume per level is n·19·density — at a
+    floor of 2 the sf1 lattice landed on density ~14 (266M pairs, 278 s
+    in one level); at 1.25 it lands one level finer (~1.4-2/cell, ~27M
+    pairs) and lets the geometric escalation absorb the tail instead.
+    Density is monotone non-increasing in res, so the finest qualifying
+    res also minimizes bucket size — cheapest certified join.
+
+    Same measurement discipline and cost as ``auto_cell_res``: one count
+    + ONE aggregate over a ≤ ``sample_cap`` hash sample (sampled density
+    UNDER-estimates the true density, so the pick errs toward COARSER
+    cells — more candidates, easier certification, slightly costlier
+    join; the certificate keeps the result exact either way).
+    """
+    n = points.count()
+    if n == 0:
+        return min_res
+    frac_mod = max(1, n // sample_cap)
+    samp = points
+    if frac_mod > 1:
+        samp = points.filter(
+            F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)),
+                   F.lit(frac_mod)) == 0
+        )
+        n = max(n // frac_mod, 1)
+    counts = samp.agg(*[
+        F.countDistinct(
+            cells.hex_udf(r, use_h3=False)(F.col(lon_col), F.col(lat_col))
+        ).alias(f"c{r}")
+        for r in range(min_res, max_res + 1)
+    ]).first()
+    best = min_res
+    for r in range(min_res, max_res + 1):
+        occupied = counts[f"c{r}"]
+        if occupied and n / occupied >= floor:
+            best = r
+        else:
+            break
+    return best
+
+
 def nn_distance_hist(
     points: DataFrame,
     id_col: str = "id",
@@ -472,30 +536,125 @@ def nn_distance_hist(
     clustered (mass at short distances) from dispersed (mass near the
     lattice spacing) patterns.
 
-    Exactness: the NN search is ``knn_cell_local(k=1, exact=True)``
-    (certified ring join + brute-force tail), then the squared distance
-    is RECOMPUTED in integer 1/``scale``-degree arithmetic and banded by
-    its DECIMAL DIGIT COUNT (length of the integer's base-10 string —
-    floor(log10)+1 without libm, bit-identical in any SQL engine).
-    Output: (band, n_points, min_d2, max_d2) — exact integers; the
-    Clark-Evans R statistic (mean NN distance over its CSR expectation)
-    stays with the consumer, as every division does.
+    Physical shape — MULTI-LEVEL GRID ESCALATION, the classic grid-file
+    NN strategy, chosen over ``knn_cell_local``'s window machinery
+    because k=1 admits a far cheaper plan: per level, the cell+ring
+    bucketed join feeds ONE ``min(struct(dist2, neighbor))`` rollup —
+    associative, map-side combined, NO per-query window sort anywhere.
+    A query is CERTIFIED when its candidate minimum lies strictly inside
+    ``cert_radius_deg(res, rings)`` (then no point outside the rings can
+    be nearer); the uncertified tail re-runs two resolutions coarser
+    (7× the cell area) until res 0, and only the res-0 remnant — points
+    whose nearest neighbor is beyond 2.5·edge₀, i.e. continental-scale
+    isolates — pays a broadcast min against the full set. Each level's
+    cost is (remaining queries) × ring density, so escalation is
+    geometric, never the O(n²) cliff a one-shot fallback hits when the
+    starting resolution misjudges the data's spacing (measured: the
+    pre-escalation version filled the disk at sf1).
 
-    Scale posture: inherits knn_cell_local's — one cell-keyed shuffle
-    with a density-matched auto resolution (pairs ∝ n, not n·density),
-    the certified-exact fallback carrying only the sparse tail; then two
-    broadcast-joinable lookups and a ≤13-row rollup (d2 < 10^13).
-    ``rings`` defaults to 2 because ``auto_cell_res``'s density target
-    (4·k per cell) is calibrated for the ring-2 certification radius
-    (2.5·edge): at rings=1 the radius is only 1·edge, which on a
-    lattice whose spacing exceeds the auto-picked cell size fails
-    certification for EVERY query and routes the whole input through
-    the brute-force fallback — measured as an n² spill-loop straggler
-    at sf0.1 before this default was fixed.
+    The starting resolution is ``nn_cell_res``'s density-FLOOR pick
+    (see its docstring for why ``auto_cell_res``'s ceiling criterion is
+    wrong for NN). Exactness: distances are RECOMPUTED in integer
+    1/``scale``-degree arithmetic on the argmin pair and banded by
+    DECIMAL DIGIT COUNT (floor(log10)+1 with no libm — string length,
+    bit-identical in any SQL engine). Output: (band, n_points, min_d2,
+    max_d2) — exact integers; the Clark-Evans R division stays with the
+    consumer.
     """
-    nn = knn_cell_local(points, 1, id_col=id_col, res=res, rings=rings)
-    pm = points.select(
-        F.col(id_col).alias("_mid"),
+    from pyspark.sql.functions import pandas_udf
+
+    if res is None:
+        res = nn_cell_res(points)
+    pts = points.select(F.col(id_col).alias("id"), "lon", "lat")
+    # one-resolution steps: each level multiplies cell area (and ring
+    # density) by 7 while the certification radius grows 2.65x -- the
+    # geometric balance where every level costs ~remaining x 19 x density
+    # and the tail shrinks faster than the density grows
+    levels = list(range(res, -1, -1))
+
+    # candidate side: ALL levels' cells in ONE Arrow pass, persisted once
+    # -- the per-level work then fans the (shrinking) QUERY side's ring
+    # instead of re-fanning every candidate each level (k-rings are
+    # symmetric neighborhoods, so query-side fan + candidate home-cell
+    # equi-join yields the identical pair set)
+    @pandas_udf("array<long>")
+    def all_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = (lon.notna() & lat.notna()).to_numpy()
+        lons, lats = lon.to_numpy(), lat.to_numpy()
+        cols = [cells.hex_cell_id(lons[mask], lats[mask], lv, use_h3=False)
+                for lv in levels]
+        out = []
+        j = 0
+        for i in range(len(lons)):
+            if mask[i]:
+                out.append([int(c[j]) for c in cols])
+                j += 1
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    cand = pts.withColumn("_cells", all_cells("lon", "lat")).persist()
+
+    @pandas_udf("array<long>")
+    def ring_of(col: pd.Series) -> pd.Series:
+        return pd.Series([
+            cells.hex_ring_ids(int(c), rings) if pd.notna(c) else []
+            for c in col
+        ])
+
+    remaining = cand.select("id", "lon", "lat", "_cells")
+    certified_parts = []
+    for i, lv in enumerate(levels):
+        ring_fan = remaining.select(
+            F.col("id"), F.col("lon"), F.col("lat"),
+            F.explode(ring_of(F.element_at("_cells", i + 1))).alias("cell"),
+        )
+        cand_lv = cand.select(
+            F.element_at("_cells", i + 1).alias("cell"),
+            F.col("id").alias("neighbor_id"),
+            F.col("lon").alias("_nlon"),
+            F.col("lat").alias("_nlat"),
+        )
+        joined = ring_fan.join(cand_lv, "cell").filter(
+            F.col("id") != F.col("neighbor_id")
+        )
+        d2c = (F.col("lon") - F.col("_nlon")) ** 2 \
+            + (F.col("lat") - F.col("_nlat")) ** 2
+        best = joined.withColumn("dist2", d2c).groupBy("id").agg(
+            F.min(F.struct("dist2", "neighbor_id")).alias("b")
+        )
+        r2 = cert_radius_deg(lv, rings) ** 2
+        cert = best.where(F.col("b.dist2") < F.lit(r2)).select(
+            "id", F.col("b.neighbor_id").alias("neighbor_id")
+        ).localCheckpoint()
+        certified_parts.append(cert)
+        remaining = remaining.join(cert.select("id"), "id", "left_anti") \
+            .localCheckpoint()
+        if remaining.isEmpty():
+            break
+    if not remaining.isEmpty():
+        # continental-scale isolates only: broadcast the tiny remnant
+        nb = pts.select(F.col("id").alias("neighbor_id"),
+                        F.col("lon").alias("_nlon"),
+                        F.col("lat").alias("_nlat"))
+        d2 = (F.col("lon") - F.col("_nlon")) ** 2 \
+            + (F.col("lat") - F.col("_nlat")) ** 2
+        rem = (
+            F.broadcast(remaining)
+            .join(nb, F.col("id") != F.col("neighbor_id"))
+            .withColumn("dist2", d2)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist2", "neighbor_id")).alias("b"))
+            .select("id", F.col("b.neighbor_id").alias("neighbor_id"))
+        )
+        certified_parts.append(rem)
+    nn = certified_parts[0]
+    for p in certified_parts[1:]:
+        nn = nn.unionByName(p)
+    pm = pts.select(
+        F.col("id").alias("_mid"),
         F.round(F.col("lon") * scale).cast("long").alias("_mx"),
         F.round(F.col("lat") * scale).cast("long").alias("_my"),
     )
@@ -504,10 +663,9 @@ def nn_distance_hist(
         + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
     )
     return (
-        nn.select("id", "neighbor_id")
-        .join(pm.select(F.col("_mid").alias("id"),
-                        F.col("_mx").alias("_ax"),
-                        F.col("_my").alias("_ay")), "id")
+        nn.join(pm.select(F.col("_mid").alias("id"),
+                          F.col("_mx").alias("_ax"),
+                          F.col("_my").alias("_ay")), "id")
         .join(pm.select(F.col("_mid").alias("neighbor_id"),
                         F.col("_mx").alias("_bx"),
                         F.col("_my").alias("_by")), "neighbor_id")
