@@ -181,6 +181,33 @@ def hex_ring_ids(cell: int, rings: int = 1) -> list[int]:
     return out
 
 
+def hex_ring_offsets(rings: int = 1) -> list[int]:
+    """Packed-id DELTAS of the k-ring neighborhood (same cells, same order
+    as ``hex_ring_ids``): the packed axial id is linear in (q, r) —
+    hex_encode(res, q+dq, r+dr) = cell + (dq << 28) + dr — so the ring fan
+    is pure int64 addition. This is what lets the ring explode run as a
+    JVM codegen expression (explode over cell + literal offsets) instead
+    of a per-row Python UDF."""
+    out = []
+    for dq in range(-rings, rings + 1):
+        for dr in range(max(-rings, -dq - rings), min(rings, -dq + rings) + 1):
+            out.append((dq << 28) + dr)
+    return out
+
+
+def hex_ring_col(cell_col, rings: int = 1):
+    """Column of the k-ring cell ids of ``cell_col`` (NULL-safe: NULL cell
+    → NULL array, which explode() drops — same rows as the old UDF's []).
+    Value-identical to hex_ring_ids applied per row."""
+    arr = F.array(*[
+        (F.col(cell_col) if isinstance(cell_col, str) else cell_col)
+        + F.lit(o).cast("long")
+        for o in hex_ring_offsets(rings)
+    ])
+    c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    return F.when(c.isNotNull(), arr)
+
+
 def hex_center(cell: int) -> tuple[float, float]:
     res, q, r = hex_decode(cell)
     size = hex_edge_deg(res)

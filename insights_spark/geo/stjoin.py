@@ -29,7 +29,6 @@ reproduced bit-for-bit by the brute-force SQL oracle.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,14 +64,6 @@ def st_within(
             "candidate set would be incomplete"
         )
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<long>")
-    def ring_udf(col: pd.Series) -> pd.Series:
-        return col.map(
-            lambda c: cells.hex_ring_ids(int(c), rings) if pd.notna(c) else []
-        )
-
     tau = int(tau_seconds)
     base = points.select(
         F.col(id_col).alias("id"),
@@ -91,8 +82,9 @@ def st_within(
     q = base.select(
         F.col("home_cell").alias("cell"), "_chunk", "id", "lon", "lat", "_ep"
     )
+    # JVM ring fan (packed-id addition) — see cells.hex_ring_offsets
     cand = base.select(
-        F.explode(ring_udf(F.col("home_cell").cast("long"))).alias("cell"),
+        F.explode(cells.hex_ring_col("home_cell", rings)).alias("cell"),
         F.col("_chunk").alias("_c0"),
         F.col("id").alias("neighbor_id"),
         F.col("lon").alias("_nlon"),

@@ -25,37 +25,45 @@ membership is engine-exact, no tolerance.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
 
 
-def _gram_hashes(text_col, n: int):
-    """All n-gram polynomial hashes of a text column, as array<long>.
+def _distinct_gram_hashes_udf(n: int):
+    """pandas UDF: DISTINCT n-gram polynomial hashes of a text column, as
+    array<long> — the Arrow-vectorized replacement for the old JVM
+    ``transform(grams, aggregate(chars, ...))`` column, whose per-CHARACTER
+    interpreted fold (no codegen for higher-order functions) dominated the
+    decontam scan (guide §4.1/§4.2; measured ~5.5 s of the sf0.1 bench).
 
-    Same arithmetic as dedup.poly_hash / the inverted-index oracle:
-    h = fold(7, h*31 + ord(char)) mod 1e9+7 over the space-joined gram.
-    Computed JVM-side (transform + aggregate); the fold is interpreted,
-    so at scale this column is computed once per doc in the scan stage —
-    cost ∝ tokens, not pairs.
+    Values are bit-identical: grams come from the same lowercase
+    whitespace tokenization (``_word_ngrams_py`` mirrors the column
+    version, pinned by tests), hashes from ``poly_hash_np`` (pinned
+    bit-identical to the fold: h = fold(7, h·31 + ord) mod 1e9+7), and
+    distinctness of HASH VALUES matches the old
+    ``array_distinct(hashes)`` / explode-then-distinct semantics on both
+    the doc and benchmark sides.
     """
-    toks = F.filter(
-        F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: t != ""
-    )
-    k = F.size(toks) - (n - 1)
-    grams = F.when(k > 0, F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        grams,
-        lambda g: F.aggregate(
-            F.filter(F.split(g, ""), lambda c: c != ""),
-            F.lit(7).cast("long"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1_000_000_007),
-        ),
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import _word_ngrams_py, poly_hash_np
+
+    @pandas_udf("array<long>")
+    def _gh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            grams = _word_ngrams_py(t, n) if t is not None else []
+            if not grams:
+                out.append([])
+                continue
+            out.append(np.unique(poly_hash_np(grams)).tolist())
+        return pd.Series(out)
+
+    return _gh
 
 
 def contaminated_docs(
@@ -69,16 +77,14 @@ def contaminated_docs(
     """(doc_id, n_bench_grams) for every doc sharing ≥1 n-gram with the
     benchmark; n_bench_grams = how many DISTINCT benchmark gram hashes the
     doc contains."""
+    gh = _distinct_gram_hashes_udf(n)
     bench_grams = (
-        benchmark.select(
-            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("_gh")
-        )
+        benchmark.select(F.explode(gh(F.col(bench_text_col))).alias("_gh"))
         .distinct()
     )
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_gram_hashes(F.col(text_col), n)))
-        .alias("_gh"),
+        F.explode(gh(F.col(text_col))).alias("_gh"),
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "_gh")

@@ -356,39 +356,43 @@ def hits_fixed_point(
         .distinct()
         .persist()
     )
+    # Sparse score vectors (r6, guide §2.4): a score table only needs rows
+    # for nodes that CAN be nonzero — {indeg>0} for a, {outdeg>0} for h.
+    # A zero-score row cannot move the L∞ max (scores are ≥ 0; the
+    # empty-relation case is covered by greatest(max, 1) since max(∅) is
+    # NULL and greatest skips NULLs), contributes nothing through the edge
+    # join, and is re-materialized as 0 by the final left-join coalesce —
+    # so the per-half-round `nodes ⋈ sums` full-coverage join (2 joins per
+    # iteration, 8 for the default 4) is dropped with bit-identical output.
     h = nodes.withColumn("h", F.lit(1).cast("long"))
     a = None
     for _ in range(iters):
         a_sums = (
             e.join(h, e["src"] == h["id"])
-            .groupBy(F.col("dst").alias("nid"))
-            .agg(F.sum("h").alias("raw"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").cast("long").alias("raw"))
         )
-        a = nodes.join(
-            a_sums, nodes["id"] == a_sums["nid"], "left"
-        ).select(
-            "id", F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("a")
-        )
-        amax = a.agg(F.greatest(F.max("a"), F.lit(1)).alias("m"))
-        a = a.crossJoin(F.broadcast(amax)).select(
-            "id", F.expr(f"(a * {scale}) div m").alias("a")
+        amax = a_sums.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
+        a = a_sums.crossJoin(F.broadcast(amax)).select(
+            "id", F.expr(f"(raw * {scale}) div m").alias("a")
         ).localCheckpoint(eager=True)
         h_sums = (
             e.join(a, e["dst"] == a["id"])
-            .groupBy(F.col("src").alias("nid"))
-            .agg(F.sum("a").alias("raw"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").cast("long").alias("raw"))
         )
-        h = nodes.join(
-            h_sums, nodes["id"] == h_sums["nid"], "left"
-        ).select(
-            "id", F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("h")
-        )
-        hmax = h.agg(F.greatest(F.max("h"), F.lit(1)).alias("m"))
-        h = h.crossJoin(F.broadcast(hmax)).select(
-            "id", F.expr(f"(h * {scale}) div m").alias("h")
+        hmax = h_sums.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
+        h = h_sums.crossJoin(F.broadcast(hmax)).select(
+            "id", F.expr(f"(raw * {scale}) div m").alias("h")
         ).localCheckpoint(eager=True)
-    return nodes.join(h, "id").join(a, "id").select(
-        "id", F.col("h").alias("hub"), F.col("a").alias("auth")
+    return (
+        nodes.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+        )
     )
 
 

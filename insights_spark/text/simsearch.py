@@ -30,6 +30,29 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _fold_dot_np(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Row-wise SEQUENTIAL-fold dot product — bit-identical to ``dot``.
+
+    numpy's own dot/einsum use pairwise/SIMD summation (different add
+    order → different IEEE rounding), so instead the fold runs as a
+    dim-loop of elementwise float64 ops: per row the add sequence is
+    exactly ((0.0 + x₀y₀) + x₁y₁) + …, the same tree Catalyst's
+    interpreted aggregate evaluates — vectorized ACROSS rows, sequential
+    WITHIN each row. This is what lets the Arrow kernels below replace
+    the (non-codegen) higher-order-function fold without perturbing a
+    single ulp."""
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * Y[:, j]
+    return acc
+
+
+def _fold_norm_np(X: np.ndarray) -> np.ndarray:
+    """Row-wise sqrt(fold(x²)) — bit-identical to ``norm`` (IEEE sqrt is
+    correctly rounded in both java.lang.Math and numpy)."""
+    return np.sqrt(_fold_dot_np(X, X))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -476,31 +499,49 @@ def semantic_prune(
         if len(rows) >= min(num_centroids, n_total) or t >= M:
             break
         t *= 4
-    cent = spark.createDataFrame(
-        [(i + 1, r[1]) for i, r in enumerate(rows)],
-        "cent_id int, cvec array<float>",
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    # r6 (guide §4.1/§4.2): the centroid assignment was a ×k crossJoin +
+    # per-row interpreted fold + a window sort over n·k rows; it is now ONE
+    # map-side Arrow pass computing the same fold arithmetic (bit-identical
+    # — see _fold_dot_np) with argmax tie-broken to the smallest cent_id
+    # (np.argmax returns the FIRST maximum; centroids are scanned in
+    # cent_id order), i.e. exactly the old (score DESC, cent_id ASC)
+    # row_number pick. No Exchange, no n·k blow-up.
+    cmat = [np.asarray(r[1], dtype=np.float64) for r in rows]
+    cnorms = [float(_fold_norm_np(c[None, :])[0]) for c in cmat]
+
+    @pandas_udf("int")
+    def best_cent(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nx = _fold_norm_np(X)
+        scores = np.empty((X.shape[0], len(cmat)), dtype=np.float64)
+        for ci, (c, cn) in enumerate(zip(cmat, cnorms)):
+            scores[:, ci] = _fold_dot_np(X, np.broadcast_to(c, X.shape)) / (nx * cn)
+        return pd.Series((np.argmax(scores, axis=1) + 1).astype(np.int32))
+
+    @pandas_udf("double")
+    def cos_fold(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        if len(xa) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in xa])
+        Y = np.stack([np.asarray(v, dtype=np.float64) for v in xb])
+        return pd.Series(
+            _fold_dot_np(X, Y) / (_fold_norm_np(X) * _fold_norm_np(Y))
+        )
+
     a = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
-    scored = a.crossJoin(F.broadcast(cent)).withColumn(
-        "score",
-        dot(F.col("emb"), F.col("cvec"))
-        / (norm(F.col("emb")) * norm(F.col("cvec"))),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cent_id"))
-    asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "emb")
+    asg = a.select(
+        "vec_id", best_cent(F.col("emb")).alias("cent_id"), "emb"
     )
     lhs = asg.select(F.col("vec_id").alias("a"), "cent_id", F.col("emb").alias("ea"))
     rhs = asg.select(F.col("vec_id").alias("b"), "cent_id", F.col("emb").alias("eb"))
     pairs = (
         lhs.join(rhs, "cent_id")
         .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))),
-        )
+        .withColumn("cosine", cos_fold(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b")
     )
@@ -564,37 +605,41 @@ def kmeans_lloyd_int(
     init = q.orderBy("id").limit(k).collect()     # bounded: k rows
     cents = [(i, list(r["q"])) for i, r in enumerate(init)]
 
-    def _cent_lit():
-        return F.array(*[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(int(v)).cast("long") for v in cv])
-                .alias("cv"),
-            )
-            for cid, cv in cents
-        ])
+    from pyspark.sql.functions import pandas_udf
+
+    def _assign_udf(cents_now):
+        # r6 (guide §4.1): the per-row argmin over k centroids ran as an
+        # INTERPRETED higher-order fold (zip_with + aggregate get no
+        # codegen); distances are exact int64, so a numpy kernel is
+        # bit-identical by construction (integer sums are order-free) —
+        # np.argmin returns the FIRST minimum, i.e. the smallest cid among
+        # ties, exactly the old array_min(struct(d, cid)) pick.
+        C = np.array([cv for _cid, cv in cents_now], dtype=np.int64)
+        cids = np.array([cid for cid, _cv in cents_now], dtype=np.int64)
+
+        @pandas_udf("struct<cluster:long, dist:long>")
+        def _assign(qs: pd.Series) -> pd.DataFrame:
+            if len(qs) == 0:
+                return pd.DataFrame({"cluster": [], "dist": []})
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
+            dists = np.empty((X.shape[0], C.shape[0]), dtype=np.int64)
+            for ci in range(C.shape[0]):
+                D = X - C[ci]
+                dists[:, ci] = np.einsum("ij,ij->i", D, D)
+            best = np.argmin(dists, axis=1)
+            return pd.DataFrame({
+                "cluster": cids[best],
+                "dist": dists[np.arange(X.shape[0]), best],
+            })
+
+        return _assign
 
     assigned = None
     for it in range(iters):
-        best = F.array_min(
-            F.transform(
-                _cent_lit(),
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("q"), c["cv"],
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
+        best = _assign_udf(cents)(F.col("q"))
         assigned = q.select(
             "id", "q",
-            best["cid"].alias("cluster"), best["d"].alias("dist"),
+            best["cluster"].alias("cluster"), best["dist"].alias("dist"),
         )
         if it == iters - 1:
             break
