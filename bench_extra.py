@@ -38,8 +38,11 @@ def main() -> None:
     suffix = os.environ.get("PLAN_SUFFIX", "before")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    plan_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "plans", "r06")
+    plan_dir = os.environ.get(
+        "PLAN_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "plans", "r06"),
+    )
     os.makedirs(plan_dir, exist_ok=True)
 
     spark = get_spark("insights-bench-extra", master=f"local[{cpus}]",

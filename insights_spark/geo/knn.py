@@ -95,6 +95,56 @@ def _cell_pairs(queries, candidates, res: int, rings: int,
     return joined.withColumn("dist2", d2).select("id", "neighbor_id", "dist2")
 
 
+def _cell_pairs_half(pts, res: int, rings: int):
+    """Unordered (a, b, dist2) pairs within ``rings`` hex rings at ``res``,
+    with a < b — each true pair examined EXACTLY ONCE (r6, guide §2.3).
+
+    The symmetric fan (_cell_pairs + a<b filter) visits every unordered
+    pair twice — once per orientation — and throws half away at the
+    filter. Here candidates fan only the lexicographically-POSITIVE half
+    of the ring offsets (the packed axial delta (dq<<28)+dr is sign-
+    equivalent to (dq, dr) lexicographic order, |dr| < 2^27), so for any
+    cross-cell pair exactly one orientation lands in a bucket; same-cell
+    pairs come from a separate un-replicated self-join with the id
+    inequality. Join volume is halved; the output pair set is identical
+    (dist2 is a symmetric IEEE expression, bit-equal in either
+    orientation).
+    """
+    enc = pts.withColumn(
+        "cell", cells.hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat"))
+    ).persist()
+    q = enc.select("cell", "id", "lon", "lat")
+    pos = [o for o in cells.hex_ring_offsets(rings) if o > 0]
+    fan = F.array(*[F.col("cell") + F.lit(o).cast("long") for o in pos])
+    cand = enc.select(
+        F.explode(F.when(F.col("cell").isNotNull(), fan)).alias("cell"),
+        F.col("id").alias("neighbor_id"),
+        F.col("lon").alias("_nlon"),
+        F.col("lat").alias("_nlat"),
+    )
+    cross = q.join(cand, "cell")
+    same = q.join(
+        enc.select(
+            "cell",
+            F.col("id").alias("neighbor_id"),
+            F.col("lon").alias("_nlon"),
+            F.col("lat").alias("_nlat"),
+        ),
+        "cell",
+    ).filter(F.col("id") < F.col("neighbor_id"))
+    d2 = (F.col("lon") - F.col("_nlon")) ** 2 \
+        + (F.col("lat") - F.col("_nlat")) ** 2
+    return (
+        cross.unionByName(same)
+        .withColumn("dist2", d2)
+        .select(
+            F.least("id", "neighbor_id").alias("a"),
+            F.greatest("id", "neighbor_id").alias("b"),
+            "dist2",
+        )
+    )
+
+
 def within_distance(
     points: DataFrame,
     radius_deg: float,
@@ -134,13 +184,9 @@ def within_distance(
             f"< radius {radius_deg}: candidate set would be incomplete"
         )
     pts = points.select(F.col(id_col).alias("id"), "lon", "lat")
-    pairs = _cell_pairs(pts, pts, res, rings)
-    return (
-        pairs.filter(
-            (F.col("id") < F.col("neighbor_id"))
-            & (F.col("dist2") <= F.lit(radius_deg * radius_deg))
-        )
-        .select(F.col("id").alias("a"), F.col("neighbor_id").alias("b"), "dist2")
+    # half-fan: each unordered pair joined once (see _cell_pairs_half)
+    return _cell_pairs_half(pts, res, rings).filter(
+        F.col("dist2") <= F.lit(radius_deg * radius_deg)
     )
 
 
@@ -204,9 +250,9 @@ def ripley_k(
             f"< max radius {rmax}: candidate set would be incomplete"
         )
     pts = points.select(F.col(id_col).alias("id"), "lon", "lat")
-    pairs = _cell_pairs(pts, pts, res, rings).filter(
-        (F.col("id") < F.col("neighbor_id"))
-        & (F.col("dist2") <= F.lit(rmax * rmax))
+    # half-fan: each unordered pair joined once (see _cell_pairs_half)
+    pairs = _cell_pairs_half(pts, res, rings).filter(
+        F.col("dist2") <= F.lit(rmax * rmax)
     )
     # cumulative band counts in one pass; coalesce(0) covers the
     # no-pairs-at-all case (agg still yields one row, with NULL sums)

@@ -82,14 +82,33 @@ def st_within(
     q = base.select(
         F.col("home_cell").alias("cell"), "_chunk", "id", "lon", "lat", "_ep"
     )
-    # JVM ring fan (packed-id addition) — see cells.hex_ring_offsets
-    cand = base.select(
-        F.explode(cells.hex_ring_col("home_cell", rings)).alias("cell"),
-        F.col("_chunk").alias("_c0"),
+    # HALF-FAN (r6, guide §2.3): the symmetric fan + a<b filter examines
+    # every unordered pair twice, once per orientation. Candidates now fan
+    # only the lexicographically-positive half of the composite
+    # (cell-offset, chunk-offset) space — (o_c > 0) × {-1,0,+1} plus
+    # (o_c = 0, o_t = +1) — so any pair with a nonzero composite delta
+    # lands in exactly one bucket under exactly one orientation; pairs in
+    # the SAME (cell, chunk) bucket come from an un-replicated self-join
+    # with the id inequality. Join volume is halved; the output pair set
+    # is identical (dist2/dt are symmetric expressions, and a/b are
+    # re-canonicalized via least/greatest).
+    nside = [
         F.col("id").alias("neighbor_id"),
         F.col("lon").alias("_nlon"),
         F.col("lat").alias("_nlat"),
         F.col("_ep").alias("_nep"),
+    ]
+    pos = [o for o in cells.hex_ring_offsets(rings) if o > 0]
+    cand_cross = base.select(
+        F.explode(
+            F.when(
+                F.col("home_cell").isNotNull(),
+                F.array(*[F.col("home_cell") + F.lit(o).cast("long")
+                          for o in pos]),
+            )
+        ).alias("cell"),
+        F.col("_chunk").alias("_c0"),
+        *nside,
     ).select(  # one generator per projection: chunk fan-out goes second
         "cell",
         F.explode(
@@ -100,11 +119,22 @@ def st_within(
         "_nlat",
         "_nep",
     )
+    cand_samecell = base.select(
+        F.col("home_cell").alias("cell"),
+        (F.col("_chunk") + 1).alias("_chunk"),
+        *nside,
+    )
     d2 = (F.col("lon") - F.col("_nlon")) ** 2 + (F.col("lat") - F.col("_nlat")) ** 2
     dt = F.abs(F.col("_ep") - F.col("_nep"))
+    crossed = q.join(
+        cand_cross.unionByName(cand_samecell), ["cell", "_chunk"]
+    )
+    same = q.join(
+        base.select(F.col("home_cell").alias("cell"), "_chunk", *nside),
+        ["cell", "_chunk"],
+    ).filter(F.col("id") < F.col("neighbor_id"))
     return (
-        q.join(cand, ["cell", "_chunk"])
-        .filter(F.col("id") < F.col("neighbor_id"))
+        crossed.unionByName(same)
         .withColumn("dist2", d2)
         .withColumn("dt_s", dt)
         .filter(
@@ -112,8 +142,8 @@ def st_within(
             & (F.col("dt_s") <= F.lit(tau))
         )
         .select(
-            F.col("id").alias("a"),
-            F.col("neighbor_id").alias("b"),
+            F.least("id", "neighbor_id").alias("a"),
+            F.greatest("id", "neighbor_id").alias("b"),
             "dist2",
             "dt_s",
         )

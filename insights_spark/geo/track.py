@@ -233,13 +233,19 @@ def simplify_tracks(
     e2 = int(eps_milli) * int(eps_milli)
 
     def dp(pdf):
-        import pandas as pd
+        import numpy as np
 
         pdf = pdf.sort_values(["_ep", "_id"], kind="mergesort").reset_index(
             drop=True
         )
-        xs = [int(round(v * scale)) for v in pdf["lon"]]
-        ys = [int(round(v * scale)) for v in pdf["lat"]]
+        # r6 (guide §4.2): the per-candidate scan is vectorized. Exactness
+        # is preserved: the cross product |dx·py − dy·px| ≤ ~2^41 fits
+        # int64, argmax over |cross| ≡ argmax over cross² (monotone on
+        # ≥ 0; np.argmax keeps the FIRST max = the old smallest-k tie
+        # rule), and only the one threshold compare per segment — whose
+        # squares can exceed 2^63 — runs in arbitrary-precision Python int.
+        xs = np.rint(pdf["lon"].to_numpy(np.float64) * scale).astype(np.int64)
+        ys = np.rint(pdf["lat"].to_numpy(np.float64) * scale).astype(np.int64)
         n = len(pdf)
         keep = {0, n - 1}
         stack = [(0, n - 1, 0)]
@@ -247,15 +253,20 @@ def simplify_tracks(
             i, j, d = stack.pop()
             if j - i < 2 or d >= max_depth:
                 continue
-            ax, ay = xs[i], ys[i]
-            dx, dy = xs[j] - ax, ys[j] - ay
+            ax, ay = int(xs[i]), int(ys[i])
+            dx, dy = int(xs[j]) - ax, int(ys[j]) - ay
             l2 = dx * dx + dy * dy
-            best, bestk = -1, -1
-            for k in range(i + 1, j):
-                px, py = xs[k] - ax, ys[k] - ay
-                s = (dx * py - dy * px) ** 2 if l2 else (px * px + py * py)
-                if s > best:
-                    best, bestk = s, k
+            px = xs[i + 1:j] - ax
+            py = ys[i + 1:j] - ay
+            if l2:
+                mag = np.abs(dx * py - dy * px)        # |cross| ≤ 2^41
+                ki = int(np.argmax(mag))
+                best = int(mag[ki]) ** 2               # exact python int
+            else:
+                s = px * px + py * py                  # ≤ 2^41, exact
+                ki = int(np.argmax(s))
+                best = int(s[ki])
+            bestk = i + 1 + ki
             if best > (e2 * l2 if l2 else e2):
                 keep.add(bestk)
                 stack.append((i, bestk, d + 1))

@@ -23,6 +23,8 @@ so float32 promotion rules cannot diverge.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,29 +34,48 @@ def quantize_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, lo, scale, codes array<int>, dim) per non-empty vector."""
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    lo = F.array_min(x)
-    hi = F.array_max(x)
-    span = hi - lo
-    codes = F.transform(
-        x,
-        lambda v: F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0),
-                F.when(span == 0.0, F.lit(0)).otherwise(
-                    F.floor((v - lo) * F.lit(255.0) / span).cast("int")
-                ),
-            ),
-        ),
-    )
+    """(vec_id, lo, scale, codes array<int>, dim) per non-empty vector.
+
+    r6 (guide §4.1/§4.2): the transform/array_min/array_max column
+    algebra is INTERPRETED per element (higher-order functions get no
+    codegen), which dominated this map-only query; the same expression
+    tree now runs as one vectorized Arrow kernel. Bit-exactness is free
+    here: min/max are order-independent, and every per-element op —
+    (v − lo) · 255.0 / span, floor, clamp — is an independent IEEE
+    float64 expression numpy evaluates identically (float32 → float64
+    promotion is exact on both paths).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lo:double, scale:double, codes:array<int>, dim:int>")
+    def _quant(vecs: pd.Series) -> pd.DataFrame:
+        los, scales, codes_out, dims = [], [], [], []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            lo = float(np.min(x))
+            hi = float(np.max(x))
+            span = hi - lo
+            if span == 0.0:
+                codes = np.zeros(len(x), dtype=np.int32)
+            else:
+                codes = np.clip(
+                    np.floor((x - lo) * 255.0 / span), 0, 255
+                ).astype(np.int32)
+            los.append(lo)
+            scales.append(span / 255.0)
+            codes_out.append(codes.tolist())
+            dims.append(np.int32(len(x)))
+        return pd.DataFrame(
+            {"lo": los, "scale": scales, "codes": codes_out, "dim": dims}
+        )
+
+    q = _quant(F.col(vec_col))
     return emb.filter(F.size(vec_col) > 0).select(
         F.col(id_col).alias("vec_id"),
-        lo.alias("lo"),
-        (span / F.lit(255.0)).alias("scale"),
-        codes.alias("codes"),
-        F.size(vec_col).cast("int").alias("dim"),
+        q["lo"].alias("lo"),
+        q["scale"].alias("scale"),
+        q["codes"].alias("codes"),
+        q["dim"].alias("dim"),
     )
 
 
@@ -85,12 +106,31 @@ def int8_topk(
     """
     q = codes.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes"))
-    dot = F.aggregate(
-        F.zip_with("qcodes", "codes",
-                   lambda a, b: (a.cast("long") * b.cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    # r6 (guide §4.1): the per-pair zip_with+aggregate fold is interpreted
+    # (no codegen for higher-order functions); integer sums are order-free,
+    # so the vectorized int64 kernel is exact by construction. Ragged pairs
+    # (differing dims) fall back to a per-row exact loop.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def dot8(qc: pd.Series, cc: pd.Series) -> pd.Series:
+        if len(qc) == 0:
+            return pd.Series([], dtype="int64")
+        lens_q = np.array([len(v) for v in qc])
+        lens_c = np.array([len(v) for v in cc])
+        if (lens_q == lens_q[0]).all() and (lens_c == lens_q[0]).all():
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in qc])
+            Y = np.stack([np.asarray(v, dtype=np.int64) for v in cc])
+            return pd.Series(np.einsum("ij,ij->i", X, Y))
+        # zip_with pads the shorter side with NULL → NULL dot; mirror that
+        return pd.Series([
+            sum(int(a) * int(b) for a, b in zip(x, y))
+            if len(x) == len(y) else None
+            for x, y in zip(qc, cc)
+        ], dtype="object")
+
+    dot = dot8(F.col("qcodes"), F.col("codes"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(

@@ -561,10 +561,18 @@ def test_star_cc_sweep_count_on_snake(spark):
         [(a, b) for a, b in zip(ids, ids[1:])] + [(b, a) for a, b in zip(ids, ids[1:])],
         "id long, nbr_id long",
     )
-    labels, sweeps = vectorize.star_cc_labels(edges, max_sweeps=12)
+    # collect_cap=0 forces the DISTRIBUTED contraction (the default would
+    # take the bounded driver union-find fast path on 63 edges)
+    labels, sweeps = vectorize.star_cc_labels(edges, max_sweeps=12,
+                                              collect_cap=0)
     got = {r["id"]: r["label"] for r in labels.collect()}
     assert got == {i: 1 for i in ids}
     assert sweeps <= 8, sweeps
+
+    # the union-find fast path must produce identical labels
+    fast, fsweeps = vectorize.star_cc_labels(edges, max_sweeps=12)
+    assert fsweeps == 0
+    assert {r["id"]: r["label"] for r in fast.collect()} == got
 
 
 def test_geohash_known_vectors_and_sql_parity(spark):

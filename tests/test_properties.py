@@ -187,12 +187,15 @@ def test_star_cc_random_graphs_match_union_find(spark):
         want_sets = sorted((tuple(sorted(v)) for v in want.values()))
 
         df = spark.createDataFrame(edges, "id long, nbr_id long")
-        labels, _ = star_cc_labels(df, max_sweeps=20)
-        got = {}
-        for r in labels.collect():
-            got.setdefault(r["label"], set()).add(r["id"])
-        got_sets = sorted((tuple(sorted(v)) for v in got.values()))
-        assert got_sets == want_sets, seed
+        # cover BOTH physical paths: the distributed star contraction
+        # (collect_cap=0) and the bounded driver union-find fast path
+        for cap in (0, 300_000):
+            labels, _ = star_cc_labels(df, max_sweeps=20, collect_cap=cap)
+            got = {}
+            for r in labels.collect():
+                got.setdefault(r["label"], set()).add(r["id"])
+            got_sets = sorted((tuple(sorted(v)) for v in got.values()))
+            assert got_sets == want_sets, (seed, cap)
         # label is the component minimum
         for lab, members in got.items():
             assert lab == min(members)
