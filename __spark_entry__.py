@@ -39,7 +39,40 @@ TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # r6 fan-out (guide §2.5 input skew): the fixture parquet ships ONE
+    # row group per file (verified with pyarrow), so no matter how many
+    # byte-range splits the scan planner makes, every row lands in the
+    # single task holding the row group's offset — ALL map-side work
+    # (cell encodes, gram/quality kernels, partial aggregation) was
+    # serializing on one core. A round-robin repartition to default
+    # parallelism fans it out once, right after the scan; the size gate
+    # keeps production-scale tables (many row groups, splits >> cores)
+    # from ever paying the shuffle. Filters/pruning still push below the
+    # repartition (PushDownPredicates handles RepartitionOperation), and
+    # every registered query is partition-assignment invariant (the
+    # two-phase prefix scans range-partition on a total order), so
+    # results are unchanged — the full selfcheck gate re-verified.
+    # The gate is workload-based, A/B-measured per table class: the text
+    # and vector tables feed per-row Arrow kernels (grams, signatures,
+    # fold dots) whose map cost per byte dwarfs one pass of shuffle, so
+    # fanning them out won 2-5x per query; the point/fact tables
+    # (events, lineitem, orders) are keyed by their first exchange anyway
+    # and measured uniformly SLOWER with a blanket fan-out (the
+    # repartition's pre-sort + shuffle exceeds their single-core scan).
+    # The 256 MiB cap keeps production-scale text shards (many row
+    # groups, splits >> cores) from paying the shuffle at all.
+    fan_tables = os.environ.get(
+        "SPARK_GRAFT_FANOUT", "documents,embeddings"
+    )
+    if name in {t for t in fan_tables.split(",") if t}:
+        try:
+            sz = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        except OSError:
+            sz = 1 << 40
+        if sz < 256 * 1024 * 1024:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _points(df: DataFrame, key: str) -> DataFrame:
@@ -2133,9 +2166,13 @@ def _q_minhash_vs_index(spark, sf_dir):
     signature-estimated Jaccard verify, indexed text never re-read."""
     from insights_spark.text.dedup import minhash_signature_np, minhash_vs_index
 
+    # persisted (r6): each side feeds BOTH the band explode and the
+    # signature re-attach join inside minhash_vs_index — without the pin
+    # the signature UDF pass would run twice per side
     sigs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", minhash_signature_np()(F.col("text")).alias("sig"))
+        .persist()
     )
     batch = sigs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
     index = sigs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
@@ -2533,7 +2570,11 @@ def _q_scd2_merge(spark, sf_dir):
 
     els = _build_elements_with_changeset(spark, sf_dir)
     cols = ("type", "id", "version", "valid_from", "valid_to", "is_current")
-    base = scd2_intervals(els.filter(F.col("timestamp") < "1996-01-01")).select(*cols)
+    # persisted (r6): scd2_merge consumes the stored dimension on BOTH its
+    # untouched anti-join and touched semi-join branches — in production
+    # it's a materialized table; here the window pass would run twice
+    base = scd2_intervals(els.filter(F.col("timestamp") < "1996-01-01")) \
+        .select(*cols).persist()
     batch = els.filter(F.col("timestamp") >= "1996-01-01").select(
         "type", "id", "version", "timestamp"
     )

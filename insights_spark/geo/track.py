@@ -276,7 +276,15 @@ def simplify_tracks(
         out["idx"] = out["idx"].astype("int32")
         return out
 
-    return pts.groupBy("user_id").applyInPandas(
+    # explicit hash partitioning with a PINNED count (r6, guide §2.5):
+    # the group shuffle is byte-small, so AQE coalesced it to 1-2 tasks —
+    # but the per-group Python kernel is CPU-bound, and coalescing
+    # serialized ~all groups onto one core (measured 3.8 s on 2 tasks at
+    # sf0.1). A user-specified repartition is exempt from AQE coalescing
+    # and already satisfies the groupBy's required distribution, so no
+    # second exchange is added.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    return pts.repartition(par, "user_id").groupBy("user_id").applyInPandas(
         dp, "user_id long, idx int, lon double, lat double"
     )
 

@@ -561,6 +561,12 @@ def minhash_vs_index(
     """
     rpb = num_hashes // bands
 
+    # r6 (guide §2.3 "shuffle keys, not payloads"): the band join now
+    # carries ONLY (id, band, slice); the full signatures re-attach to the
+    # deduped candidate pairs afterwards — the old plan shipped both
+    # 16-long signature arrays through every band replica and the bucket
+    # shuffle. Both sides still explode from the same upstream signature
+    # frame, so callers should persist it (the entry does).
     def banded(df, idc, side):
         s = df.filter(F.element_at(sig_col, 1) != MOD).select(
             F.col(idc).alias(side), F.col(sig_col).alias(f"_{side}sig")
@@ -574,15 +580,26 @@ def minhash_vs_index(
                 for b in range(bands)
             ]
         )
-        return s.select(
-            side, f"_{side}sig", F.explode(slices).alias("_b")
-        ).select(side, f"_{side}sig", "_b.band", "_b.key")
+        return s.select(side, F.explode(slices).alias("_b")) \
+            .select(side, "_b.band", "_b.key")
 
     cand = (
         banded(batch_sigs, batch_id, "a")
         .join(banded(index_sigs, index_id, "b"), ["band", "key"])
-        .groupBy("a", "b")
-        .agg(F.first("_asig").alias("_asig"), F.first("_bsig").alias("_bsig"))
+        .select("a", "b")
+        .distinct()
+    )
+    att = (
+        cand.join(
+            batch_sigs.select(F.col(batch_id).alias("a"),
+                              F.col(sig_col).alias("_asig")),
+            "a",
+        )
+        .join(
+            index_sigs.select(F.col(index_id).alias("b"),
+                              F.col(sig_col).alias("_bsig")),
+            "b",
+        )
     )
     eq = F.aggregate(
         F.zip_with("_asig", "_bsig", lambda x, y: (x == y).cast("int")),
@@ -590,7 +607,7 @@ def minhash_vs_index(
         lambda acc, v: acc + v,
     )
     return (
-        cand.withColumn("est_jaccard", eq / F.lit(float(num_hashes)))
+        att.withColumn("est_jaccard", eq / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )

@@ -46,12 +46,16 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     symbol load, stopword density, repetition).
     """
     t = F.col(text_col)
-    tok = tokens(t)
+    # tokenize ONCE into a materialized column (r6, guide §4.1): higher-
+    # order functions are interpreted and escape common-subexpression
+    # elimination, so the inline `tokens(t)` re-split the text per metric
+    tok = F.col("__tok")
     n_tok = F.size(tok)
     punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     return (
-        df.withColumn("n_chars", F.length(t))
+        df.withColumn("__tok", tokens(t))
+        .withColumn("n_chars", F.length(t))
         .withColumn("n_tokens", n_tok)
         .withColumn(
             "avg_token_len",
@@ -73,6 +77,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             "uniq_token_ratio",
             F.when(n_tok > 0, F.size(F.array_distinct(tok)) / n_tok).otherwise(F.lit(0.0)),
         )
+        .drop("__tok")
     )
 
 
@@ -80,7 +85,8 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     """Stopword-density language id (deterministic argmax, ties by language
     code ascending). A heuristic, not a model — the Spark shape (pure
     column scoring, no UDF) is the point."""
-    tok = tokens(F.col(text_col))
+    # tokenize ONCE (see quality_scores: interpreted HOFs escape CSE)
+    tok = F.col("__lid_tok")
     n_tok = F.size(tok)
     scores = []
     for lang in sorted(STOPWORDS):
@@ -94,7 +100,11 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
             )
         )
     best = F.sort_array(F.array(*scores))[0]
-    return df.withColumn(out_col, F.when(best["neg"] < 0, best["lang"]))
+    return (
+        df.withColumn("__lid_tok", tokens(F.col(text_col)))
+        .withColumn(out_col, F.when(best["neg"] < 0, best["lang"]))
+        .drop("__lid_tok")
+    )
 
 
 def repetition_scores(

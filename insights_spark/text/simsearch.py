@@ -114,27 +114,53 @@ def embedding_near_dups(
     correctness baseline — at corpus scale route candidate generation
     through ``embedding_lsh_candidates`` and verify only candidates.
 
-    Same execution treatment as ``cosine_topk`` (identical IEEE values):
-    norms fold once per ROW per side instead of per pair, and the streamed
-    side is repartitioned to default parallelism — the interpreted
-    higher-order fold otherwise runs every pair in the one partition the
-    parquet scan produced.
+    Execution (r6, guide §4.2 — identical IEEE values): the broadcast
+    nested-loop join evaluated the interpreted fold per PAIR; now the
+    candidate side is collected once (bounded by the same fits-in-memory
+    contract the broadcast already imposed) and a mapInPandas block
+    kernel streams the query side, running the sequential fold as a
+    dim-loop of outer updates — per pair the add sequence is exactly the
+    fold's, vectorized across the whole block (see _fold_dot_np) — and
+    emits only the qualifying (a, b, cosine) rows. No pair row is ever
+    materialized, no Python crossing carries a vector twice.
     """
+    from collections.abc import Iterator
+
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    a = (
-        vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-        .repartition(par)
-        .withColumn("_na", norm(F.col("_va")))
-    )
-    b = vectors.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
-    ).withColumn("_nb", norm(F.col("_vb")))
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    rows = vectors.select(id_col, vec_col).collect()
+    spark = vectors.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "a long, b long, cosine double")
+    Y = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    yids = np.array([r[0] for r in rows], dtype=np.int64)
+    yn = _fold_norm_np(Y)
+    bc = spark.sparkContext.broadcast((yids, Y, yn))
+
+    thr = float(threshold)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_y, Ym, ny = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            xids = pdf[id_col].to_numpy(np.int64)
+            nx = _fold_norm_np(X)
+            acc = np.zeros((X.shape[0], Ym.shape[0]), dtype=np.float64)
+            for j in range(X.shape[1]):
+                acc = acc + X[:, j][:, None] * Ym[:, j][None, :]
+            cos = acc / (nx[:, None] * ny[None, :])
+            mask = (xids[:, None] < ids_y[None, :]) & (cos >= thr)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame({
+                "a": xids[ai], "b": ids_y[bi], "cosine": cos[ai, bi],
+            })
+
     return (
-        a.join(F.broadcast(b), F.col("a") < F.col("b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .repartition(par)
+        .mapInPandas(gen, "a long, b long, cosine double")
     )
 
 
