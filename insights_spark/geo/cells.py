@@ -233,60 +233,20 @@ def s2_udf(level: int = 12):
     return _enc
 
 
-def hex_cell_col(lon, lat, res: int = 8):
-    """Pure-Catalyst axial hex encode — value-identical to
-    ``hex_cell_id(..., use_h3=False)`` (r6, guide §4.1).
-
-    Every step of the numpy kernel is an elementwise IEEE float64 op with
-    a fixed expression tree (axial projection, cube rounding via
-    floor(x+0.5), two conditional reassignments), so the same tree built
-    from Catalyst expressions evaluates bit-identically — and runs inside
-    WholeStageCodegen fused with the scan, where the pandas-UDF wrapper
-    paid an Arrow round trip per geo query. NULL lon/lat → NULL (the UDF
-    returned NULL via its mask). A parity test pins elementwise equality
-    against the numpy kernel on lattice + random coordinates.
-    """
-    lon = F.col(lon) if isinstance(lon, str) else lon
-    lat = F.col(lat) if isinstance(lat, str) else lat
-    size = hex_edge_deg(res)
-    lon = lon.cast("double")
-    lat = lat.cast("double")
-    qf = (F.lit(_SQRT3 / 3.0) * lon - lat / F.lit(3.0)) / F.lit(size)
-    rf = (F.lit(2.0 / 3.0) * lat) / F.lit(size)
-    xf, zf = qf, rf
-    yf = -xf - zf
-    rx = F.floor(xf + F.lit(0.5)).cast("double")
-    ry = F.floor(yf + F.lit(0.5)).cast("double")
-    rz = F.floor(zf + F.lit(0.5)).cast("double")
-    dx = F.abs(rx - xf)
-    dy = F.abs(ry - yf)
-    dz = F.abs(rz - zf)
-    fix_x = (dx > dy) & (dx > dz)
-    fix_z = (~fix_x) & (dz > dy)
-    rx2 = F.when(fix_x, -ry - rz).otherwise(rx)
-    rz2 = F.when(fix_z, -rx2 - ry).otherwise(rz)
-    q = rx2.cast("long")
-    r = rz2.cast("long")
-    cell = (
-        F.lit(res).cast("long") * F.lit(1 << 56)
-        + (q + F.lit(_HEX_OFF)) * F.lit(1 << 28)
-        + (r + F.lit(_HEX_OFF))
-    )
-    return F.when(lon.isNotNull() & lat.isNotNull(), cell)
-
-
 def hex_udf(res: int = 8, use_h3: bool = True):
-    """Column builder for the hex cell id.
+    """pandas-UDF hex cell encode (vectorized numpy kernel per batch).
 
-    Axial path (``use_h3=False``, or the h3 package absent): returns the
-    pure-Catalyst ``hex_cell_col`` builder — codegen, no Python worker
-    (r6; value parity with the numpy kernel is test-pinned). Only the
-    real-h3 path still needs a pandas UDF (library call per row).
+    r6 note (measured, kept deliberately): a pure-Catalyst expression
+    replica of the axial encode was built, test-pinned bit-identical, and
+    REVERTED — the cube-rounding conditionals force heavy subtree
+    duplication in a single Column (no named subexpressions in Catalyst),
+    the generated code falls back to interpreted evaluation, and rollup
+    queries keyed on the inline expression measured ~2x SLOWER than this
+    Arrow kernel (getis_ord 0.85 -> 2.0 s, nn_distance_hist 2.7 -> 5.1 s,
+    hex_smooth 0.64 -> 1.3 s at sf0.1 min-of-3). The ring FAN, by
+    contrast, is linear in the packed id and stays JVM (hex_ring_col).
     """
-    if _h3 is None or not use_h3:
-        return lambda lon, lat: hex_cell_col(lon, lat, res)
-
-    from pyspark.sql.functions import pandas_udf  # pragma: no cover
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(LongType())
     def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:

@@ -18,6 +18,7 @@ North-rule operator (SURVEY §2.11). Two physical strategies:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -607,17 +608,32 @@ def nn_distance_hist(
     # and the tail shrinks faster than the density grows
     levels = list(range(res, -1, -1))
 
-    # candidate side: ALL levels' cells in ONE pass, persisted once --
-    # the per-level work then fans the (shrinking) QUERY side's ring
+    # candidate side: ALL levels' cells in ONE Arrow pass, persisted once
+    # -- the per-level work then fans the (shrinking) QUERY side's ring
     # instead of re-fanning every candidate each level (k-rings are
     # symmetric neighborhoods, so query-side fan + candidate home-cell
-    # equi-join yields the identical pair set). Pure Catalyst (r6):
-    # hex_cell_col per level, no Arrow crossing.
-    all_cells = F.when(
-        F.col("lon").isNotNull() & F.col("lat").isNotNull(),
-        F.array(*[cells.hex_cell_col("lon", "lat", lv) for lv in levels]),
-    )
-    cand = pts.withColumn("_cells", all_cells).persist()
+    # equi-join yields the identical pair set)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def all_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = (lon.notna() & lat.notna()).to_numpy()
+        lons, lats = lon.to_numpy(), lat.to_numpy()
+        cols = [cells.hex_cell_id(lons[mask], lats[mask], lv, use_h3=False)
+                for lv in levels]
+        out = []
+        j = 0
+        for i in range(len(lons)):
+            if mask[i]:
+                out.append([int(c[j]) for c in cols])
+                j += 1
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    cand = pts.withColumn("_cells", all_cells("lon", "lat")).persist()
 
     remaining = cand.select("id", "lon", "lat", "_cells")
     certified_parts = []

@@ -471,7 +471,17 @@ def cosine_topk_bucketed(
         .withColumn("mv", F.lit(None).cast("array<float>"))
     mm = members.select("bucket", F.lit(None).cast("long").alias("id"),
                         F.lit(None).cast("array<float>").alias("v"), "mid", "mv")
-    local = qq.unionByName(mm).groupBy("bucket").applyInPandas(solve, out_schema)
+    # pinned-count hash repartition (r6, guide §2.5): the bucket shuffle
+    # is byte-small, so AQE coalesced it under the CPU-bound per-bucket
+    # numpy kernel (the simplify_tracks lesson); a user-specified count
+    # is exempt from coalescing and satisfies the groupBy distribution
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    local = (
+        qq.unionByName(mm)
+        .repartition(par, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(solve, out_schema)
+    )
     # merge probe results: global top-k per query
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

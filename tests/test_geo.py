@@ -147,41 +147,26 @@ def test_knn_exact_vs_cell_local(spark):
     assert exact == local
 
 
-def test_hex_cell_col_matches_numpy_kernel(spark):
-    """The pure-Catalyst hex encode (cells.hex_cell_col) must be
-    ELEMENTWISE identical to the numpy kernel (cells.hex_cell_id,
-    use_h3=False) — same IEEE expression tree, so every cell id matches
-    bit-for-bit, on the synthetic milli-degree lattice AND on adversarial
-    random doubles (cube-rounding tie territory included)."""
-    import numpy as np
-
-    rng = np.random.default_rng(3)
-    lons = np.concatenate([
-        (np.arange(0, 3600) * 7919 % 360000) / 1000.0 - 180.0,
-        rng.uniform(-180, 180, 2000),
-    ])
-    lats = np.concatenate([
-        (np.arange(0, 3600) * 104729 % 170000) / 1000.0 - 85.0,
-        rng.uniform(-85, 85, 2000),
-    ])
-    df = spark.createDataFrame(
-        [(float(a), float(b)) for a, b in zip(lons, lats)],
-        "lon double, lat double",
-    )
-    for res in (0, 1, 2, 6, 15):
-        got = np.array([
-            r[0] for r in df.select(
-                cells.hex_cell_col("lon", "lat", res)
-            ).collect()
-        ], dtype=np.int64)
-        want = cells.hex_cell_id(lons, lats, res, use_h3=False)
-        assert (got == want).all(), res
-    # NULL coords → NULL cell (the UDF's mask semantics)
-    ndf = spark.createDataFrame([(None, 1.0), (1.0, None), (1.0, 1.0)],
-                                "lon double, lat double")
-    vals = [r[0] for r in ndf.select(
-        cells.hex_cell_col("lon", "lat", 2)).collect()]
-    assert vals[0] is None and vals[1] is None and vals[2] is not None
+def test_hex_ring_col_matches_ring_ids(spark):
+    """The JVM ring fan (cells.hex_ring_col = packed-id addition) must
+    produce exactly hex_ring_ids per row, and NULL cells must fan to no
+    rows after explode (the old UDF's [] semantics)."""
+    pts = [(36.8, -1.28), (-120.0, 45.0), (0.0005, 0.0005), (179.9, -84.9)]
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts],
+                               "lon double, lat double")
+    for res, rings in ((1, 1), (2, 2), (6, 1)):
+        enc = df.withColumn(
+            "cell", cells.hex_udf(res, use_h3=False)(F.col("lon"), F.col("lat"))
+        )
+        got = enc.select(
+            "cell", cells.hex_ring_col("cell", rings).alias("ring")
+        ).collect()
+        for r in got:
+            assert r["ring"] == cells.hex_ring_ids(int(r["cell"]), rings)
+    ndf = spark.createDataFrame([(None,)], "cell long")
+    assert ndf.select(
+        F.explode(cells.hex_ring_col("cell", 1)).alias("x")
+    ).count() == 0
 
 
 def test_auto_cell_res_tracks_density(spark):
