@@ -66,8 +66,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "SPARK_GRAFT_FANOUT", "documents,embeddings"
     )
     if name in {t for t in fan_tables.split(",") if t}:
+        path = f"{sf_dir}/{name}.parquet"
         try:
-            sz = os.path.getsize(f"{sf_dir}/{name}.parquet")
+            if os.path.isdir(path):
+                # spark-written tables are directories of part files
+                sz = sum(
+                    e.stat().st_size for e in os.scandir(path)
+                    if e.is_file()
+                )
+            else:
+                sz = os.path.getsize(path)
         except OSError:
             sz = 1 << 40
         if sz < 256 * 1024 * 1024:
@@ -2617,7 +2625,13 @@ def _q_column_profile(spark, sf_dir):
     exact value comparison, no cross-engine string formatting."""
     from insights_spark.runtime.profile import column_profile
 
-    return column_profile(_t(spark, sf_dir, "orders"))
+    # fan the single-row-group scan out (r6): the exact multi-column
+    # count-distinct compiles to Expand (rows x #cols) INSIDE the scan
+    # stage, which otherwise runs on the one task holding the row group
+    return column_profile(
+        _t(spark, sf_dir, "orders")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _q_funnel(spark, sf_dir):

@@ -841,6 +841,12 @@ def prefix_jaccard_pairs(
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # pinned-count fan-out (r6, guide §2.5): the candidate pair rows
+        # are byte-tiny, so AQE coalesced the verify stage to a few tasks
+        # — but each pair pays an array_intersect over the full gram
+        # arrays (CPU-dense); a user-specified repartition is exempt from
+        # coalescing and the verify joins stay broadcast map-side
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     verified = (
         cand.join(ga.select(F.col("id").alias("a"),
