@@ -373,6 +373,11 @@ def hits_fixed_point(
             .agg(F.sum("h").cast("long").alias("raw"))
         )
         amax = a_sums.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
+        # the per-half-round eager checkpoint is LOAD-BEARING (r6,
+        # measured): the L∞ max rides a broadcast scalar subquery whose
+        # subtree duplicates the un-materialized sums — dropping this
+        # checkpoint nests that doubling across half-rounds (4× the edge
+        # join per iteration, hits 1.9 s → 5.4 s at sf0.1)
         a = a_sums.crossJoin(F.broadcast(amax)).select(
             "id", F.expr(f"(raw * {scale}) div m").alias("a")
         ).localCheckpoint(eager=True)

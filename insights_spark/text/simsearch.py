@@ -140,6 +140,10 @@ def embedding_near_dups(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_y, Ym, ny = bc.value
+        # chunk the broadcast side so the n×m accumulator stays bounded
+        # (~4k×4k×8B = 128 MB) whatever the corpus size — per-pair
+        # arithmetic is independent, so chunking never changes a bit
+        CH = 4096
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -147,15 +151,21 @@ def embedding_near_dups(
                           for v in pdf[vec_col]])
             xids = pdf[id_col].to_numpy(np.int64)
             nx = _fold_norm_np(X)
-            acc = np.zeros((X.shape[0], Ym.shape[0]), dtype=np.float64)
-            for j in range(X.shape[1]):
-                acc = acc + X[:, j][:, None] * Ym[:, j][None, :]
-            cos = acc / (nx[:, None] * ny[None, :])
-            mask = (xids[:, None] < ids_y[None, :]) & (cos >= thr)
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame({
-                "a": xids[ai], "b": ids_y[bi], "cosine": cos[ai, bi],
-            })
+            for s in range(0, Ym.shape[0], CH):
+                Yc = Ym[s:s + CH]
+                acc = np.zeros((X.shape[0], Yc.shape[0]), dtype=np.float64)
+                for j in range(X.shape[1]):
+                    acc = acc + X[:, j][:, None] * Yc[:, j][None, :]
+                cos = acc / (nx[:, None] * ny[s:s + CH][None, :])
+                mask = (xids[:, None] < ids_y[s:s + CH][None, :]) \
+                    & (cos >= thr)
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame({
+                        "a": xids[ai],
+                        "b": ids_y[s + bi],
+                        "cosine": cos[ai, bi],
+                    })
 
     return (
         vectors.select(F.col(id_col), F.col(vec_col))
