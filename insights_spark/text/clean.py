@@ -39,11 +39,14 @@ def clean_corpus(
     """Kept documents after the full cleaning chain:
     (doc_id, lang_pred, n_tokens)."""
     scored = lang_id(quality_scores(docs, text_col=text_col), text_col=text_col)
+    # persisted (r6, interleaved A/B ~8%): the gate feeds both the
+    # exact-dedup branch and the survivor semi-join — without the pin the
+    # quality+lang scoring chain runs twice
     gated = scored.filter(
         (F.col("n_tokens") >= F.lit(min_tokens))
         & (F.col("uniq_token_ratio") >= F.lit(min_uniq_ratio))
         & F.col("lang_pred").isin(*langs)
-    )
+    ).persist()
     reps = exact_dedup(gated, id_col=id_col, text_col=text_col).select(id_col)
     surv = gated.join(reps, id_col, "left_semi").persist()
     near = ngram_jaccard_pairs(
