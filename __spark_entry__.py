@@ -2578,11 +2578,14 @@ def _q_scd2_merge(spark, sf_dir):
 
     els = _build_elements_with_changeset(spark, sf_dir)
     cols = ("type", "id", "version", "valid_from", "valid_to", "is_current")
-    # persisted (r6): scd2_merge consumes the stored dimension on BOTH its
-    # untouched anti-join and touched semi-join branches — in production
-    # it's a materialized table; here the window pass would run twice
+    # NOT persisted (r6 cold-cache A/B): scd2_merge reads the dimension on
+    # both its anti-join and semi-join branches, but materializing the
+    # 60k-row window output costs more than letting the two branches share
+    # the exchange (cold min-of-4 interleaved: plain 2.43 s vs persisted
+    # 2.84 s — in production the dimension IS a stored table, so neither
+    # side pays the rebuild)
     base = scd2_intervals(els.filter(F.col("timestamp") < "1996-01-01")) \
-        .select(*cols).persist()
+        .select(*cols)
     batch = els.filter(F.col("timestamp") >= "1996-01-01").select(
         "type", "id", "version", "timestamp"
     )
@@ -3517,6 +3520,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_flagship_tile_density(spark, SF_DEFAULT)
 
 
+def _cold(fn: Callable[[SparkSession, str], DataFrame]):
+    """Bench-isolation guard (r6): drop the session's SQL cache before
+    building a registered query.
+
+    Several operators persist() an intermediate that feeds multiple
+    branches of ONE execution (legitimate plan-shape: the subtree would
+    otherwise compute once per consumer). But Spark's CacheManager
+    substitutes cached plans by CANONICAL-PLAN equality, so a harness
+    that times the same query function repeatedly (bench.py min-of-N) —
+    or two queries sharing a subtree (clean_corpus inside
+    prepare_corpus) — would silently serve later invocations from the
+    previous invocation's cache, and the recorded minimum would time a
+    cache hit instead of the query (measured: triangles 2.3 s cold vs
+    0.8 s on the second build of the identical plan). Clearing the SQL
+    cache at build time guarantees every invocation computes from the
+    parquet inputs; intra-query persists still work (they are registered
+    after the clear, during this invocation's own build/execution)."""
+    import functools
+
+    @functools.wraps(fn)
+    def _wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return _wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Cumulatively across CORRECTNESS_r01-r04 every registered
@@ -3525,7 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in round 5 (sections a+b = 47 entries, all inside the 50-window), so
     # that by r05 the cumulative driver coverage is 111/111 plus every
     # round-5 addition; the window's last 3 slots re-green (c) entries.
-    return {
+    reg = {
         # (a) registered late in r4, never through the driver's own gate
         "zonal_stats": _q_zonal_stats,
         "knn_join": _q_knn_join,
@@ -3714,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk": _q_topk,
         "bbox_area": _q_bbox_area,
     }
+    return {name: _cold(fn) for name, fn in reg.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -88,7 +88,21 @@ def _cell_pairs(queries, candidates, res: int, rings: int,
         F.col("lon").alias("_nlon"),
         F.col("lat").alias("_nlat"),
     )
-    joined = q.select("cell", "id", "lon", "lat").join(cand, "cell")
+    # pinned-count cell repartition (r6, guide §2.5): the bucket rows are
+    # byte-small but each pair pays the distance+window work, so AQE
+    # coalesced the join stage to a handful of tasks (profiled: 8 of 32
+    # cores on the knn_join pair stage). A user-specified count is exempt
+    # from coalescing and the join reuses the exchange (same key, same
+    # count — no extra shuffle). defaultParallelism is core-proportional,
+    # so the pin stays right-sized on a big cluster, where large buckets
+    # would not be coalesced anyway. Cold-fair interleaved A/B:
+    # knn_join 4.14 -> 2.61 s, knn_cell_local 2.55 -> 1.68 s (min-of-4).
+    n_part = queries.sparkSession.sparkContext.defaultParallelism
+    joined = (
+        q.select("cell", "id", "lon", "lat")
+        .repartition(n_part, "cell")
+        .join(cand.repartition(n_part, "cell"), "cell")
+    )
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("neighbor_id"))
     d2 = (F.col("lon") - F.col("_nlon")) ** 2 + (F.col("lat") - F.col("_nlat")) ** 2
@@ -122,14 +136,20 @@ def _cell_pairs_half(pts, res: int, rings: int):
         F.col("lon").alias("_nlon"),
         F.col("lat").alias("_nlat"),
     )
-    cross = q.join(cand, "cell")
+    # pinned-count cell repartition (r6, guide §2.5) — same rationale as
+    # _cell_pairs: AQE coalesces the byte-small bucket exchanges under the
+    # CPU-dense pair stages. Cold-fair interleaved A/B (min-of-4):
+    # within_distance 1.53 -> 1.11 s, ripley_k 1.55 -> 1.17 s.
+    n_part = pts.sparkSession.sparkContext.defaultParallelism
+    q = q.repartition(n_part, "cell")
+    cross = q.join(cand.repartition(n_part, "cell"), "cell")
     same = q.join(
         enc.select(
             "cell",
             F.col("id").alias("neighbor_id"),
             F.col("lon").alias("_nlon"),
             F.col("lat").alias("_nlat"),
-        ),
+        ).repartition(n_part, "cell"),
         "cell",
     ).filter(F.col("id") < F.col("neighbor_id"))
     d2 = (F.col("lon") - F.col("_nlon")) ** 2 \

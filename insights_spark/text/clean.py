@@ -48,7 +48,12 @@ def clean_corpus(
         & F.col("lang_pred").isin(*langs)
     ).persist()
     reps = exact_dedup(gated, id_col=id_col, text_col=text_col).select(id_col)
-    surv = gated.join(reps, id_col, "left_semi").persist()
+    # NOT persisted (r6 cold-cache A/B): surv feeds the gram pass and the
+    # final anti-join, but both re-derive cheaply from the cached gate —
+    # materializing surv's full-text rows costs more than the semi-join
+    # recompute (cold min-of-4 interleaved: gate-only 4.09 s vs
+    # gate+surv 4.77 s vs none 5.50 s)
+    surv = gated.join(reps, id_col, "left_semi")
     near = ngram_jaccard_pairs(
         surv,
         threshold=jaccard_threshold,

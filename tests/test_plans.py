@@ -284,3 +284,26 @@ def test_regional_revenue_broadcasts_dims(spark):
     plan = _plan(entry.queries()["regional_revenue"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_registered_builders_start_cold(spark):
+    """Bench-isolation invariant (r6): building a registered query drops
+    every SQL-cache entry left by a previous invocation. Spark's
+    CacheManager substitutes cached plans by canonical-plan equality, so
+    without the guard a harness timing the same query function twice
+    (bench.py min-of-N) would time a cache hit on the second pass —
+    measured 2.3 s cold vs 0.8 s cache-served for triangles. The
+    registry wrapper (entry `_cold`) must clear the cache at build time;
+    intra-query persists are registered after the clear and still pin
+    their own multi-consumer subtrees."""
+    probe = spark.range(1000).selectExpr("id", "id * 2 AS v").persist()
+    probe.count()  # materialize so the cache entry is live
+    try:
+        assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        df = entry.queries()["topk"](spark, SF)
+        # the builder itself must have cleared the pre-existing entry;
+        # topk persists nothing, so the cache is empty afterwards too
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        df.limit(1).collect()
+    finally:
+        probe.unpersist()
